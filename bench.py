@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully materialized via a count over the result (no
+collect-to-driver of payload rows).  A warmup run of the flagship query
+absorbs JVM/codegen startup so the numbers measure the plans, not Spark
+boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Headline set: one per operator family (agg, wide-agg, join, window, dedup,
+# set-op, similarity/text once implemented). Extended as coverage widens.
+BENCH_QUERIES = [
+    "courier_metrics",
+    "pricing_summary",
+    "project_normalize",
+    "filter_isin_case",
+    "dedup_first_order",
+    "rollup_status_priority",
+    "topk_orders",
+    "union_fold",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.session import (
+        build_session,
+    )
+    import __spark_entry__ as entrymod
+
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    names = [n for n in BENCH_QUERIES if n in queries]
+
+    # Warmup: run the flagship once to absorb JVM/codegen startup.
+    queries["courier_metrics"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Aggregation operators (SURVEY.md section 2.4, A1-A10).
+
+The reference's one real aggregate is the courier-metrics shape at
+`Gold_layer/starschema.py:137-145`: groupBy one key, countDistinct +
+conditional count + avg, then a derived percentage column.  That shape is
+generalized here, plus the scale variants the reference lacks
+(approx_count_distinct, rollup/cube/grouping sets).
+
+Physical notes (verified via .explain("formatted")):
+  - ``group_metrics`` plans as partial HashAggregate -> Exchange -> final
+    HashAggregate; the countDistinct forces Spark's two-phase distinct
+    expansion.  Map-side partial aggregation means the shuffle carries
+    pre-combined state, not raw rows -- this is what survives a 100x
+    scale-up.
+  - ``group_metrics_approx`` swaps countDistinct for HLL++
+    (approx_count_distinct), collapsing the distinct expansion into a single
+    aggregation pass -- the 100 TB default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_metrics(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    cond: Column,
+    avg_col: str,
+) -> DataFrame:
+    """Reference courier-metrics shape (`starschema.py:137-145`):
+
+    per group: exact distinct count, conditional count, 2dp average, and a
+    derived success percentage.  Output columns: ``<group_col>, total_cnt,
+    matched_cnt, avg_val, matched_pct``.
+    """
+    out = df.groupBy(group_col).agg(
+        F.countDistinct(distinct_col).alias("total_cnt"),
+        F.count(F.when(cond, True)).alias("matched_cnt"),
+        F.round(F.avg(avg_col), 2).alias("avg_val"),
+    )
+    return out.withColumn(
+        "matched_pct", F.round(F.col("matched_cnt") / F.col("total_cnt") * 100, 2)
+    )
+
+
+def group_metrics_approx(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    cond: Column,
+    avg_col: str,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """A2 scale variant: HLL++ approximate distinct count (single-pass,
+    no distinct expansion, fixed-size sketch per group)."""
+    out = df.groupBy(group_col).agg(
+        F.approx_count_distinct(distinct_col, rsd).alias("total_cnt"),
+        F.count(F.when(cond, True)).alias("matched_cnt"),
+        F.round(F.avg(avg_col), 2).alias("avg_val"),
+    )
+    return out.withColumn(
+        "matched_pct", F.round(F.col("matched_cnt") / F.col("total_cnt") * 100, 2)
+    )
+
+
+def conditional_count(df: DataFrame, group_col: str, cond: Column, alias: str) -> DataFrame:
+    """A3: COUNT(*) FILTER (WHERE cond) per group."""
+    return df.groupBy(group_col).agg(F.count(F.when(cond, True)).alias(alias))
+
+
+def rollup_metrics(df: DataFrame, keys: list[str], agg_col: str) -> DataFrame:
+    """A10: hierarchical subtotals (GROUP BY ROLLUP).  Spark plans one
+    Expand + single shuffle -- cheaper than N separate groupBys."""
+    return df.rollup(*keys).agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.round(F.sum(agg_col), 2).alias("sum_val"),
+        F.grouping_id(*keys).alias("grp_id"),
+    )
+
+
+def cube_metrics(df: DataFrame, keys: list[str], agg_col: str) -> DataFrame:
+    """A10: full cross-tab subtotals (GROUP BY CUBE)."""
+    return df.cube(*keys).agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.round(F.sum(agg_col), 2).alias("sum_val"),
+        F.grouping_id(*keys).alias("grp_id"),
+    )

@@ -1,0 +1,37 @@
+"""Query registry backing the ``__spark_entry__`` driver contract.
+
+Each registered query is a callable ``(spark, sf_dir) -> DataFrame`` plus an
+optional ANSI-SQL oracle string DuckDB runs over the same parquet tables.
+Column names must match exactly between the two (the driver sorts columns by
+name before hashing values), so every computed column is aliased on BOTH
+sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query plan and (optionally) its DuckDB oracle.
+
+    Queries with no oracle (non-SQL-expressible: streaming, approximate,
+    LSH-bucketed) get the driver's weaker rows-only check.
+    """
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"

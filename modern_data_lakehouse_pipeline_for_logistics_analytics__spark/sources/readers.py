@@ -1,0 +1,76 @@
+"""Sources (SURVEY.md section 2.1, S1-S3, S10).
+
+The reference reads multiline JSON with schema inference
+(`Silver_layer/Silver_tranformation.py:62`), partitioned parquet
+(`Gold_layer/starschema.py:59`) and header CSV
+(`Snowflake/snowflake_connection.py:79-82`).  At 100 TB, schema inference is
+an extra full pass over the data, so every reader here accepts an explicit
+schema and only falls back to inference when none is given.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: Driver fixture tables (TESTDATA.md); one parquet file per table.
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters/projections into the reader
+    (verify with .explain -> PushedFilters / ReadSchema)."""
+    return spark.read.parquet(path)
+
+
+def read_json_multiline(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Bronze-style whole-file JSON-array scan (S1).
+
+    Reference: `Silver_tranformation.py:62` (`multiline=True`, inferred).
+    Multiline JSON cannot be split within a file, so parallelism = file
+    count: bronze producers must emit many files per partition, not one
+    giant array (the reference writes exactly one file/day,
+    `Bronze_layer/extraction.py:122-128` -- a scale bug we do not copy).
+    """
+    reader = spark.read.option("multiline", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """Header CSV scan (S3). Reference leaves every column string
+    (`snowflake_connection.py:79-82`); pass a schema to get typed columns
+    without an inference pass."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load driver fixture tables from ``sf_dir`` (defaults to all ten)."""
+    use = names or TABLE_NAMES
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in use}
