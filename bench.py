@@ -31,6 +31,14 @@ BENCH_QUERIES = [
     "rollup_status_priority",
     "topk_orders",
     "union_fold",
+    "join_broadcast_region_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "join_range_ship_window",
+    "asof_latest_event_per_order",
+    "window_latest_line_per_order",
+    "window_rolling_sum_spend",
 ]
 
 

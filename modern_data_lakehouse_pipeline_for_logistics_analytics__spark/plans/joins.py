@@ -1,0 +1,254 @@
+"""Join plans (SURVEY.md section 2.3) -- star-schema consumption queries the
+reference defers to its warehouse (`README.md:41-43`), expressed Spark-first
+over the TPC-H-ish fixtures.
+
+Physical intent (checked with .explain("formatted")):
+  - dim chains (customer->nation->region) broadcast: fact side never
+    shuffles for enrichment.
+  - fact<->fact (orders<->lineitem) shuffles on the join key once; AQE
+    picks SMJ vs shuffled-hash by observed sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import anti_join, asof_join, dim_join, range_join, semi_join
+from .registry import read_events, register, table_path
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+@register(
+    "join_broadcast_region_revenue",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact -> dim-chain enrichment, every dim broadcast (fact side never
+    shuffles until the final group-by)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    df = dim_join(orders, cust, on=orders["o_custkey"] == cust["c_custkey"], how="inner")
+    df = dim_join(df, nation, on=df["c_nationkey"] == nation["n_nationkey"], how="inner")
+    df = dim_join(df, region, on=df["n_regionkey"] == region["r_regionkey"], how="inner")
+    return df.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: filtered dim broadcast + fact-fact equi-join + top-k.
+    Filters sit on the scans (pushdown); top-k is TakeOrderedAndProject."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    df = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+    return df.orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")).limit(10)
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way join with a cross-table residual
+    (customer and supplier in the same nation)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    df = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return df.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+agg -- the pushdown benchmark.  All four
+    predicates reach the parquet reader (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: existence check, no payload duplication."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return semi_join(cust, urgent, cust["c_custkey"] == urgent["o_custkey"])
+
+
+@register(
+    "join_anti_no_finished",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: orphan audit (customers with no finished order)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fin = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return anti_join(cust, fin, cust["c_custkey"] == fin["o_custkey"])
+
+
+@register(
+    "join_range_ship_window",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS lines_in_window
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi key + interval residual (checkpoint_time within
+    [created_at, updated_at] validation shape, SURVEY section 2.3).  The
+    equi key keeps this a hash join with residual filter, not a BNLJ."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    df = range_join(
+        li,
+        orders,
+        equi=li["l_orderkey"] == orders["o_orderkey"],
+        lower=li["l_shipdate"] >= orders["o_orderdate"],
+        upper=li["l_shipdate"] <= F.date_add(orders["o_orderdate"], 90),
+    )
+    return df.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("lines_in_window"))
+
+
+@register(
+    "asof_latest_event_per_order",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ts AS last_event_ts, event_type AS last_event_type
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, e.ts, e.event_type,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM orders o
+      JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    ) WHERE rn = 1
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event per order as of its order date -- the
+    reference's checkpoints[last] semantics (`extraction.py:80-94`)
+    generalized across tables."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    events = read_events(spark, sf_dir).select("user_id", "ts", "event_type", "event_id")
+    df = asof_join(
+        orders,
+        events,
+        left_key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        tie_breakers=["event_id"],
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("ts").alias("last_event_ts"),
+        F.col("event_type").alias("last_event_type"),
+    )

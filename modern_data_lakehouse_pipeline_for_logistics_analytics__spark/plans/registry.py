@@ -35,3 +35,16 @@ def register(name: str, oracle: str | None = None):
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL).  Read
+    nanos as long (runtime conf) and truncate to microsecond timestamps --
+    the same truncation Python's datetime applies to DuckDB's TIMESTAMP_NS,
+    so oracle comparisons stay exact."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
