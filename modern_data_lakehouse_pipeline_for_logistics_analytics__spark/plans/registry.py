@@ -47,4 +47,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integral `div`, NOT float division: ns values ~1.7e18 lose their last
+    # digits in a double, rounding some timestamps up 1us vs DuckDB's
+    # truncation.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,177 @@
+"""Scalar-function plans (SURVEY.md section 2.8, F1-F16).
+
+The reference's scalar surface is trim/upper, casts, to_timestamp/to_date,
+round, date arithmetic (F1-F14); F16 notes the JSON/regex/math functions it
+lacks but the driver's ``events.props`` fixture exercises.  Each family gets
+one wide projection query so every function is value-checked against DuckDB.
+
+All outputs are exact types (strings, ints, dates, truncated timestamps) or
+libm results rounded to 6dp -- no per-row float knife-edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import read_events, register, table_path
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+           CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS order_dom,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT)
+             AS days_to_cutoff
+    FROM orders
+    """,
+)
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F5, F12-F13: to_date, extract fields, date_trunc, date_add,
+    datediff (`Silver_tranformation.py:88-89`, `starschema.py:88`,
+    `pastapi.py:210` semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.to_date(d).alias("order_date"),
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month"),
+        F.dayofmonth(d).cast("long").alias("order_dom"),
+        F.trunc(d, "month").alias("month_start"),
+        F.date_add(F.to_date(d), 30).alias("due_date"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.to_date(d)).cast("long").alias(
+            "days_to_cutoff"
+        ),
+    )
+
+
+@register(
+    "scalar_strings",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(TRIM(c_name)) AS name_norm,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+           CONCAT_WS('|', c_mktsegment, c_name) AS seg_name,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           LPAD(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+           CAST(STRPOS(c_name, '#') AS BIGINT) AS hash_pos
+    FROM customer
+    """,
+)
+def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F14/F15 + the standard string set the reference lacks (F16):
+    normalize, length, substring, regexp_extract, concat_ws, replace,
+    lpad, instr."""
+    c = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(F.trim(name)).alias("name_norm"),
+        F.length(name).cast("long").alias("name_len"),
+        F.substring(name, 1, 8).alias("name_prefix"),
+        F.regexp_extract(name, r"([0-9]+)", 1).alias("name_digits"),
+        F.concat_ws("|", F.col("c_mktsegment"), name).alias("seg_name"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.instr(name, "#").cast("long").alias("hash_pos"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: JSON scalar extraction over ``events.props``
+    (`get_json_object` string path + typed `from_json`)."""
+    e = read_events(spark, sf_dir)
+    k_int = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.when(k_int >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 30000) AS abs_delta,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           l_orderkey % 7 AS key_mod,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 math set: abs/ceil/floor/mod/greatest/least/sqrt/ln/sign.
+    libm outputs rounded to 6dp; the rest are exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 30000).alias("abs_delta"),
+        F.ceil(price).alias("price_ceil"),
+        F.floor(price).alias("price_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@register(
+    "scalar_conditionals",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN_MASKED') AS status_masked,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'partial' END AS status_label,
+           IF(o_totalprice > 200000, 'big', 'small') AS size_band
+    FROM orders
+    """,
+)
+def q_scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9 conditional family: coalesce/nullif, multi-branch CASE,
+    2-branch IF."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.col("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(s, F.lit("O")), F.lit("OPEN_MASKED")).alias("status_masked"),
+        F.when(s == "F", "finished").when(s == "O", "open").otherwise("partial").alias(
+            "status_label"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_band"),
+    )
