@@ -1,0 +1,235 @@
+"""Deduplication operators for LLM-training-data pipelines (north-star
+extension; BASELINE.json north_star, SURVEY.md section 7.1).
+
+Four families over a ``documents(doc_id, text, ...)`` table:
+
+  exact        -- hash-groupBy on canonicalized text.  One shuffle on the
+                  digest; survivor = min(doc_id).
+  shingle/Jaccard -- word-trigram shingle sets, pairwise exact Jaccard.
+                  O(n^2) blow-up bounded by joining only on shared shingles;
+                  the VERIFY stage of a dedup pipeline, run on LSH
+                  candidates at scale, never on the full corpus.
+  MinHash+LSH  -- 32 xxhash64 permutations -> minhash signature -> bands ->
+                  candidates share a band bucket.  Join cost is
+                  O(sum bucket^2), independent of corpus^2: the 100 TB path.
+  SimHash      -- 64-bit weighted token-hash signature; near-dups have
+                  small Hamming distance; banding the signature gives
+                  candidate buckets the same way.
+
+All JVM-side (split/transform/xxhash64/explode) -- no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(text_col: str) -> F.Column:
+    """Whitespace tokens, lowercased."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_shingles(tokens: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles from a token array (JVM higher-order
+    fns; no UDF)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text -> group -> canonical min id.
+    Output: ``text_hash, canonical_id, n_copies``."""
+    h = F.md5(F.lower(F.trim(F.col(text_col))))
+    return df.groupBy(h.alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded distinct shingle rows: (id, shingle)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(tokenize(text_col), n)).alias("s"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
+) -> DataFrame:
+    """Pairwise exact shingle-Jaccard >= threshold.
+
+    Jaccard is a ratio of integer counts -> bit-identical across engines
+    (no float-summation ambiguity).  Output: ``doc_a, doc_b, n_common,
+    n_a, n_b, jaccard``.
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    from .textstats import round_half_up
+
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            round_half_up(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    xxhash64(shingle, seed=i).  Computed with one explode + one groupBy
+    (num_perm aggregates), not num_perm passes."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature (bands x rows_per_band = num_perm); docs sharing
+    any band bucket become candidate pairs.  Self-join runs per bucket --
+    cost scales with bucket sizes, not corpus^2."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.xxhash64(*cols).alias(f"band_{b}"))
+    banded = signatures.select(F.col("doc"), *band_cols)
+    stacked = banded.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band_no", "bb.bucket")
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates
+    -> exact-Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm)
+    cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    verified = jaccard_pairs(df, id_col, text_col, threshold)
+    return cands.join(
+        verified, on=["doc_a", "doc_b"], how="inner"
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+#: Signed-64-bit single-bit masks (bit 63 is the sign bit).
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: per bit position, sign of the sum of
+    (+1/-1) contributions from each distinct token's xxhash64 bit.
+    One explode to (doc, token), one explode to 64 bits, one groupBy.
+    Bit tests use literal masks (shift builtins take only literal shift
+    amounts)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    bits = toks.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("th"),
+    ).withColumn("mask", F.element_at(masks, (F.col("bit") + 1).cast("int")))
+    bits = bits.withColumn(
+        "contrib",
+        F.when(F.col("th").bitwiseAND(F.col("mask")) != 0, 1).otherwise(-1),
+    )
+    per_bit = bits.groupBy("doc", "bit", "mask").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0).cast("long"))).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame:
+    """Band the 64-bit simhash into ``chunks`` equal chunks; pairs agreeing
+    on any chunk are Hamming-near candidates.  By pigeonhole, any pair with
+    Hamming distance < chunks is guaranteed caught (8 chunks -> distance
+    <= 7 always recovered; planted near-dups measure distance 0-9 on the
+    fixture)."""
+    cols = [
+        (
+            F.shiftright(F.col("simhash"), i * (64 // chunks))
+            .bitwiseAND(F.lit((1 << (64 // chunks)) - 1))
+            .alias(f"chunk_{i}")
+        )
+        for i in range(chunks)
+    ]
+    banded = signatures.select(F.col("doc"), *cols)
+    stacked = banded.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("chunk_no"), F.col(f"chunk_{i}").alias("val"))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc", "cc.chunk_no", "cc.val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )

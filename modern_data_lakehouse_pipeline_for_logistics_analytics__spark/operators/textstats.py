@@ -1,0 +1,125 @@
+"""Text analysis operators for training-data pipelines (north-star
+extension): language ID, quality scoring, token counting, fingerprinting.
+
+All built-in string/array expressions -- whole-stage-codegen'd, no Python.
+Accuracy of the heuristics is secondary to determinism: every score is a
+pure function of the text, reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokenize
+
+
+def round_half_up(col: F.Column, decimals: int) -> F.Column:
+    """floor(x*10^d + 0.5)/10^d -- deterministic cross-engine rounding.
+
+    Engine-native ROUND disagrees between Spark (decimal-string HALF_UP)
+    and DuckDB (binary-value) when a ratio of small integers lands exactly
+    on a .5 boundary whose double representation is inexact (e.g.
+    3/160 = 0.01875).  floor over identical IEEE doubles is bit-identical
+    everywhere.  Valid for the non-negative values used here."""
+    p = 10**decimals
+    return F.floor(col * p + F.lit(0.5)).cast("long") / F.lit(float(p))
+
+
+def sql_round_half_up(expr: str, decimals: int) -> str:
+    """DuckDB-side mirror of :func:`round_half_up`."""
+    p = 10**decimals
+    return f"CAST(FLOOR(({expr}) * {p} + 0.5) AS BIGINT) / {float(p)}"
+
+#: Tiny per-language marker sets for the voting heuristic.  Real pipelines
+#: swap in fastText/CLD3 behind the same column contract.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+#: BPE-ish pretokenizer: word pieces OR single non-space symbols.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic quality features: char/token counts, mean token
+    length, punctuation density, digit density, distinct-token ratio.
+    Output columns: id, n_chars_m, n_tokens, mean_tok_len, punct_cnt,
+    digit_cnt, distinct_ratio, quality_score."""
+    toks = tokenize(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    distinct_ratio = round_half_up(F.size(F.array_distinct(toks)) / n_tokens, 4)
+    mean_tok_len = round_half_up(
+        (n_chars - (n_tokens - 1)) / n_tokens, 4
+    )  # chars minus single-space separators, over token count
+    score = round_half_up(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+        + distinct_ratio * 0.3
+        + F.when(punct / n_chars < 0.1, 0.2).otherwise(0.0),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_m"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        punct.cast("long").alias("punct_cnt"),
+        digits.cast("long").alias("digit_cnt"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_votes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word voting language ID.  Emits one vote column per language
+    (count of marker hits) and the argmax with deterministic tie-break
+    (language code ascending wins ties)."""
+    toks = F.array_distinct(tokenize(text_col))
+    vote_cols = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    # argmax with lexicographic tie-break: pack (votes, negated-lang-rank)
+    best = None
+    for lang in sorted(LANG_MARKERS):  # later langs only win with MORE votes
+        v = vote_cols[lang]
+        if best is None:
+            best = F.struct(v.alias("v"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(v > best.getField("v"), F.struct(v.alias("v"), F.lit(lang).alias("lang"))).otherwise(best)
+    out_cols = [F.col(id_col)] + [
+        vote_cols[lang].cast("long").alias(f"votes_{lang}") for lang in sorted(LANG_MARKERS)
+    ]
+    return df.select(*out_cols, best.getField("lang").alias("lang_pred"))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex pieces
+    (words / numbers / single symbols)."""
+    ws = F.size(tokenize(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: full-text md5, min/max token-md5 (a 2-hash
+    MinHash -- the rolling-hash family), and length.  All string-exact."""
+    toks = F.array_distinct(tokenize(text_col))
+    tok_hashes = F.transform(toks, lambda t: F.md5(t))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("full_md5"),
+        F.array_min(tok_hashes).alias("min_tok_md5"),
+        F.array_max(tok_hashes).alias("max_tok_md5"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_m"),
+    )

@@ -15,7 +15,19 @@ def _load_all() -> None:
     """Import every query module (idempotent)."""
     from . import relational  # noqa: F401
 
-    for mod in ("joins", "windows", "setops", "scalars", "nested", "dedup", "similarity", "textstats", "eventtime"):
+    for mod in (
+        "joins",
+        "windows",
+        "scalars",
+        "nested",
+        "dedup",
+        "similarity",
+        "textstats",
+        "eventtime",
+        "multimodal",
+        "streaming",
+        "pipeline",
+    ):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

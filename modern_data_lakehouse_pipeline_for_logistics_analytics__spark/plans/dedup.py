@@ -1,0 +1,90 @@
+"""Dedup plans over the ``documents`` fixture (north-star extension).
+
+The fixture plants word-level near-duplicates (trigram-shingle Jaccard up
+to ~0.99 between distinct doc_ids) but no byte-exact duplicates -- so the
+exact-dedup query verifies singleton behavior while the Jaccard / MinHash /
+SimHash family exercises real near-dup recovery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from .registry import register, table_path
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on canonicalized text, min-id survivor.
+    One shuffle on the 128-bit digest; at 100 TB the digest (not the text)
+    is what shuffles."""
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1)])) AS s
+      FROM tok),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(FLOOR((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) AS BIGINT)
+             / CAST(10000.0 AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(FLOOR((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) AS BIGINT)
+             / CAST(10000.0 AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard pairs >= 0.5.  Jaccard is a ratio of
+    integer counts -- bit-identical across engines.  This is the VERIFY
+    stage; at scale it runs only on LSH candidates (next query), never all
+    pairs."""
+    return jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # xxhash64 not reproducible in DuckDB -> rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands) candidates, exact-Jaccard verified
+    at >= 0.7.  The 100 TB dedup path: cost ~ sum(bucket^2), not corpus^2.
+    tests/test_northstar.py proves its recall against brute-force Jaccard."""
+    return minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
+
+
+@register("dedup_simhash_candidates")  # xxhash64-derived -> rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) signatures banded into 4x16-bit chunks; same-chunk
+    pairs are Hamming-near candidates."""
+    sigs = simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return simhash_candidate_pairs(sigs)

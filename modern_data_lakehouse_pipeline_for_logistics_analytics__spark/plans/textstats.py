@@ -1,0 +1,121 @@
+"""Text-analysis plans over the ``documents`` fixture (north-star).
+
+Every score is a deterministic pure function of the text; all ratios are
+integer-count ratios (bit-identical across engines) rounded at 4dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.textstats import (
+    fingerprints,
+    language_votes,
+    quality_features,
+    token_counts,
+)
+from .registry import register, table_path
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             LENGTH(text) AS nc,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS nt,
+             len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS nd,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+      FROM documents),
+    r AS (
+      SELECT doc_id, nc, nt, punct, digits,
+             CAST(FLOOR((nd / nt) * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS distinct_ratio,
+             CAST(FLOOR(((nc - (nt - 1)) / nt) * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
+               AS mean_tok_len
+      FROM base)
+    SELECT doc_id,
+           nc AS n_chars_m, nt AS n_tokens, mean_tok_len,
+           punct AS punct_cnt, digits AS digit_cnt, distinct_ratio,
+           CAST(FLOOR((LEAST(CAST(1.0 AS DOUBLE), nt / CAST(100.0 AS DOUBLE)) * 0.5
+                 + distinct_ratio * 0.3
+                 + CASE WHEN punct / nc < 0.1 THEN CAST(0.2 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END) * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
+             AS quality_score
+    FROM r
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/digit/distinct-token features plus a
+    composite score (filter-threshold shape used by pretraining pipelines)."""
+    return quality_features(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "text_langid_votes",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['der','die','und','das','ist'])) AS votes_de,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['the','and','of','to','is'])) AS votes_en,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['el','la','de','que','y'])) AS votes_es,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['le','la','et','les','des'])) AS votes_fr
+      FROM documents),
+    s2 AS (SELECT *, CASE WHEN votes_en > votes_de THEN 'en' ELSE 'de' END AS l2,
+                  GREATEST(votes_de, votes_en) AS m2 FROM v),
+    s3 AS (SELECT *, CASE WHEN votes_es > m2 THEN 'es' ELSE l2 END AS l3,
+                  GREATEST(m2, votes_es) AS m3 FROM s2)
+    SELECT doc_id, votes_de, votes_en, votes_es, votes_fr,
+           CASE WHEN votes_fr > m3 THEN 'fr' ELSE l3 END AS lang_pred
+    FROM s3
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word-voting language ID with deterministic lexicographic
+    tie-break (n-gram heuristic family; swap in a real classifier behind
+    the same columns)."""
+    return language_votes(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace and BPE-ish regex pretokenizer."""
+    return token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS full_md5,
+           list_aggregate(list_transform(
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+             t -> md5(t)), 'min') AS min_tok_md5,
+           list_aggregate(list_transform(
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+             t -> md5(t)), 'max') AS max_tok_md5,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+    FROM documents
+    """,
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text digest + min/max token digests
+    (2-hash MinHash; the rolling-hash family)."""
+    return fingerprints(_docs(spark, sf_dir), "doc_id", "text")

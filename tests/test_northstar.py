@@ -1,0 +1,123 @@
+"""Quality tests for the north-star operators (SURVEY.md section 7.1):
+properties the DuckDB oracle cannot check -- LSH recall against brute
+force, SimHash candidate recovery, multimodal schema/failure contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall(docs):
+    """Every true near-dup pair (exact Jaccard >= 0.7) must be recovered by
+    the MinHash-LSH pipeline -- with 32 perms / 8 bands, P(miss) for
+    j >= 0.7 is (1 - 0.7^4)^8 ~= 9% per pair; the fixture's planted pairs
+    are j >= 0.9 where P(miss) < 0.2%, so full recall is expected."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_dedup,
+    )
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    missed = truth - found
+    assert len(missed) <= max(1, len(truth) // 10), f"LSH missed {len(missed)}/{len(truth)}"
+
+
+def test_simhash_recovers_planted_neardups(docs):
+    """Planted near-dups (Jaccard >= 0.9) have near-identical token sets,
+    so their SimHashes agree on at least one 16-bit chunk almost surely."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        jaccard_pairs,
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    cands = {(r.doc_a, r.doc_b) for r in simhash_candidate_pairs(sigs).collect()}
+    missed = truth - cands
+    assert len(missed) <= max(1, len(truth) // 5), f"SimHash missed {len(missed)}/{len(truth)}"
+
+
+def test_simhash_deterministic(docs):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    a = {(r.doc, r.simhash) for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    b = {(r.doc, r.simhash) for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    assert a == b
+
+
+def test_lsh_topk_consistent_with_bruteforce(emb):
+    """LSH ANN returns a subset of the brute-force candidate space with
+    identical cosine values for any (query, neighbor) pair both report."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = cosine_topk(emb, queries, "vec_id", "embedding", k=500)
+    brute_map = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    approx = lsh_topk(emb, queries, "vec_id", "embedding", k=10, n_planes=8).collect()
+    assert approx, "LSH should return same-bucket candidates"
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in brute_map:
+            assert abs(brute_map[key] - r.cos_sim) < 1e-9
+
+
+def test_multimodal_decode_contract(spark, sf_dir):
+    """Decode stage: stable schema, ok-status stub decodes with plausible
+    dims, unknown mime and unavailable decoder produce status rows, not
+    task failures."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        attach_binary_payload,
+        decode_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    # Mix in an unknown mime and a real-codec mime (stubbed unavailable).
+    media = media.withColumn(
+        "mime",
+        F.when(F.col("doc_id") % 10 == 0, "video/mp4")
+        .when(F.col("doc_id") % 10 == 1, "image/png")
+        .otherwise(F.col("mime")),
+    )
+    out = decode_media(media)
+    assert out.schema == DECODED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 50
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, []).append(r)
+    assert "ok" in by_status and "unknown_mime" in by_status and "decoder_unavailable" in by_status
+    for r in by_status["ok"]:
+        assert 64 <= r.width < 256 and 64 <= r.height < 256 and r.n_bytes > 0
+    for r in by_status["unknown_mime"] + by_status["decoder_unavailable"]:
+        assert r.width is None and r.height is None
