@@ -39,6 +39,16 @@ BENCH_QUERIES = [
     "asof_latest_event_per_order",
     "window_latest_line_per_order",
     "window_rolling_sum_spend",
+    "scalar_json",
+    "explode_embedding_positions",
+    "tumbling_hourly_counts",
+    "session_windows_30m",
+    "dedup_exact_groups",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    "embedding_neardup_pairs",
+    "ann_bruteforce_topk",
 ]
 
 

@@ -54,11 +54,29 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Exploded distinct shingle rows: (id, shingle)."""
-    return df.select(
+    """Exploded distinct shingle rows: (id, shingle).
+
+    Built with posexplode + lead() windows rather than per-row array
+    lambdas: higher-order functions are interpreted (not whole-stage
+    codegen'd), which measured ~10x slower at sf0.1.  The window
+    shuffles on doc id once -- the same key every downstream
+    join/aggregate uses.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(tokenize(text_col), n)).alias("s"),
+        F.posexplode(tokenize(text_col)).alias("pos", "tok"),
     )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = (
+        toks.withColumn("s", F.concat_ws(" ", *parts))
+        .withColumn("last_tok", F.lead("tok", n - 1).over(w))
+        .filter(F.col("last_tok").isNotNull())
+        .select("doc", "s")
+    )
+    return sh.distinct()
 
 
 def jaccard_pairs(
@@ -70,7 +88,10 @@ def jaccard_pairs(
     (no float-summation ambiguity).  Output: ``doc_a, doc_b, n_common,
     n_a, n_b, jaccard``.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    # Cached: the shingle frame feeds three plan branches (sizes + both
+    # sides of the self-join); without caching Spark recomputes the
+    # tokenize/window subtree per branch.
+    sh = shingle_sets(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
