@@ -25,8 +25,7 @@ def _load_all() -> None:
         "textstats",
         "eventtime",
         "multimodal",
-        "streaming",
-        "pipeline",
+        "extras",
     ):
         try:
             __import__(f"{__name__}.{mod}")
