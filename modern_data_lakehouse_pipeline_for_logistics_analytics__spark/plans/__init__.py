@@ -26,6 +26,7 @@ def _load_all() -> None:
         "eventtime",
         "multimodal",
         "extras",
+        "analytics",
     ):
         try:
             __import__(f"{__name__}.{mod}")
