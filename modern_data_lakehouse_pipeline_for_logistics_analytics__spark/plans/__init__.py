@@ -27,6 +27,7 @@ def _load_all() -> None:
         "multimodal",
         "extras",
         "analytics",
+        "udfs",
     ):
         try:
             __import__(f"{__name__}.{mod}")

