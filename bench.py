@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "join_range_ship_window",
-    "asof_latest_event_per_order",
+    "asof_prev_error_per_event",
     "window_latest_line_per_order",
     "window_rolling_sum_spend",
     "scalar_json",

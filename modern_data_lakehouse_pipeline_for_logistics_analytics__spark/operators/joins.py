@@ -69,16 +69,21 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tie_breakers: list[str] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` sharing the key (inner semantics: left rows with
-    no prior right row drop out).
+    ``right_ts <= left_ts`` (``< left_ts`` when ``strict`` -- required for
+    self-as-of so a row cannot match itself) sharing the key (inner
+    semantics: left rows with no prior right row drop out).
 
     Deterministic: ties on ``right_ts`` break by ``tie_breakers`` descending.
     """
+    cmp = (
+        right[right_ts] < left[left_ts] if strict else right[right_ts] <= left[left_ts]
+    )
     joined = left.join(
         right,
-        (left[left_key] == right[right_key]) & (right[right_ts] <= left[left_ts]),
+        (left[left_key] == right[right_key]) & cmp,
         "inner",
     )
     order = [right[right_ts].desc()] + [right[c].desc() for c in (tie_breakers or [])]

@@ -219,36 +219,44 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "asof_latest_event_per_order",
+    "asof_prev_error_per_event",
     oracle="""
-    SELECT o_orderkey, o_custkey, ts AS last_event_ts, event_type AS last_event_type
+    SELECT event_id, user_id, ts AS prev_error_ts, prev_id AS prev_error_id
     FROM (
-      SELECT o.o_orderkey, o.o_custkey, e.ts, e.event_type,
-             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
-                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
-      FROM orders o
-      JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+      SELECT l.event_id, l.user_id, r.ts, r.event_id AS prev_id,
+             ROW_NUMBER() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts DESC, r.event_id DESC) AS rn
+      FROM events l
+      JOIN events r ON r.user_id = l.user_id
+                   AND r.event_type = 'error'
+                   AND r.ts < l.ts
     ) WHERE rn = 1
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: latest event per order as of its order date -- the
-    reference's checkpoints[last] semantics (`extraction.py:80-94`)
-    generalized across tables."""
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    events = read_events(spark, sf_dir).select("user_id", "ts", "event_type", "event_id")
+    """As-of join: for each event, the same user's most recent STRICTLY
+    earlier 'error' event -- the reference's checkpoints[last] semantics
+    (`extraction.py:80-94`) generalized to a keyed temporal self-join.
+    (An orders->events as-of is vacuous on these fixtures: every event
+    postdates every order date.)"""
+    events = read_events(spark, sf_dir)
+    left = events.select("event_id", "user_id", "ts")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")
+    )
     df = asof_join(
-        orders,
-        events,
-        left_key="o_custkey",
-        right_key="user_id",
-        left_ts="o_orderdate",
-        right_ts="ts",
-        tie_breakers=["event_id"],
+        left,
+        errors,
+        left_key="user_id",
+        right_key="e_user",
+        left_ts="ts",
+        right_ts="e_ts",
+        tie_breakers=["e_id"],
+        strict=True,
     )
     return df.select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("ts").alias("last_event_ts"),
-        F.col("event_type").alias("last_event_type"),
+        "event_id",
+        "user_id",
+        F.col("e_ts").alias("prev_error_ts"),
+        F.col("e_id").alias("prev_error_id"),
     )
