@@ -9,14 +9,18 @@ Four families over a ``documents(doc_id, text, ...)`` table:
                   O(n^2) blow-up bounded by joining only on shared shingles;
                   the VERIFY stage of a dedup pipeline, run on LSH
                   candidates at scale, never on the full corpus.
-  MinHash+LSH  -- 32 xxhash64 permutations -> minhash signature -> bands ->
-                  candidates share a band bucket.  Join cost is
+  MinHash+LSH  -- 32 universal-hash permutations -> minhash signature ->
+                  bands -> candidates share a band bucket.  Join cost is
                   O(sum bucket^2), independent of corpus^2: the 100 TB path.
-  SimHash      -- 64-bit weighted token-hash signature; near-dups have
-                  small Hamming distance; banding the signature gives
-                  candidate buckets the same way.
+  SimHash      -- 64-bit weighted shingle-hash signature; near-dups have
+                  small Hamming distance; chunk-banding the signature gives
+                  candidate buckets, bit_count(xor) verifies in-plan.
 
-All JVM-side (split/transform/xxhash64/explode) -- no Python UDFs.
+Text-heavy kernels (shingling, minhash signatures) run as narrow
+Arrow-batched mapInPandas passes -- vectorized numpy inside, no shuffle
+until the candidate self-join, parallelism restored by an explicit
+repartition when the corpus arrives as few files.  Set algebra
+(intersection counts, banding joins, Hamming verify) stays JVM-side.
 """
 
 from __future__ import annotations
@@ -28,6 +32,14 @@ from pyspark.sql import functions as F
 def tokenize(text_col: str) -> F.Column:
     """Whitespace tokens, lowercased."""
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism before a Python (mapInPandas)
+    stage: small corpora often arrive as one parquet file = one
+    partition = one Python worker.  The shuffle moves only raw text --
+    cheap relative to serial shingling/hashing."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def word_shingles(tokens: F.Column, n: int = 3) -> F.Column:
@@ -56,27 +68,28 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Exploded distinct shingle rows: (id, shingle).
 
-    Built with posexplode + lead() windows rather than per-row array
-    lambdas: higher-order functions are interpreted (not whole-stage
-    codegen'd), which measured ~10x slower at sf0.1.  The window
-    shuffles on doc id once -- the same key every downstream
-    join/aggregate uses.
+    One narrow ``mapInPandas`` pass: tokenization, n-gram windowing, and
+    per-doc dedup happen inside the Arrow batch, so the operator adds NO
+    shuffle (earlier posexplode+lead-window and higher-order-lambda
+    versions shuffled up to 3x and measured slower).  Tokenization is
+    ``lower().split()`` == the engine-side split(lower(trim(x)), '\\s+')
+    used by the oracle.
     """
-    from pyspark.sql import Window
+    import pandas as pd
 
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokenize(text_col)).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    sh = (
-        toks.withColumn("s", F.concat_ws(" ", *parts))
-        .withColumn("last_tok", F.lead("tok", n - 1).over(w))
-        .filter(F.col("last_tok").isNotNull())
-        .select("doc", "s")
-    )
-    return sh.distinct()
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            shs: list = []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.lower().strip().split()
+                seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                ids.extend([doc] * len(seen))
+                shs.extend(seen)
+            yield pd.DataFrame({"doc": ids, "s": shs})
+
+    src = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
+    return src.mapInPandas(gen, schema="doc long, s string")
 
 
 def jaccard_pairs(
@@ -118,43 +131,119 @@ def jaccard_pairs(
     )
 
 
+def _minhash_params(num_perm: int):
+    """Deterministic universal-hash parameters: odd multipliers + offsets
+    from sha256(i).  uint64 wraparound arithmetic -- the standard
+    vectorized MinHash permutation family."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.empty(num_perm, dtype=np.uint64)
+    b = np.empty(num_perm, dtype=np.uint64)
+    for i in range(num_perm):
+        d = hashlib.sha256(f"minhash:{i}".encode()).digest()
+        a[i] = int.from_bytes(d[:8], "big") | 1  # odd
+        b[i] = int.from_bytes(d[8:16], "big")
+    return a, b
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band_no, bucket) rows in ONE narrow pass: shingle -> base
+    blake2b hash -> num_perm universal hashes (numpy, vectorized) -> min
+    per permutation -> per-band digest.  No shuffle until the bucket
+    self-join; per-doc work is O(shingles x num_perm) SIMD ops."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    A, B = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def gen(batches):
+        for pdf in batches:
+            docs, band_nos, buckets = [], [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.lower().strip().split()
+                seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                if not seen:
+                    continue
+                base = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                        for s in seen
+                    ),
+                    dtype=np.uint64,
+                    count=len(seen),
+                )
+                # (num_perm, n_shingles) universal hashes, min per row
+                sig = (A[:, None] * base[None, :] + B[:, None]).min(axis=1)
+                for bnd in range(bands):
+                    chunk = sig[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+                    digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                    docs.append(doc)
+                    band_nos.append(bnd)
+                    buckets.append(int.from_bytes(digest, "big", signed=False) >> 1)
+            yield pd.DataFrame(
+                {"doc": docs, "band_no": band_nos, "bucket": buckets}, dtype="int64"
+            )
+
+    src = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
+    return src.mapInPandas(gen, schema="doc long, band_no int, bucket long")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, n: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: for seed i, min over shingles of
-    xxhash64(shingle, seed=i).  Computed with one explode + one groupBy
-    (num_perm aggregates), not num_perm passes."""
-    sh = shingle_sets(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    """MinHash signature per doc (columns mh_0..mh_{num_perm-1}), same
+    universal-hash family as ``minhash_band_buckets``."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    A, B = _minhash_params(num_perm)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.lower().strip().split()
+                seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                if not seen:
+                    continue
+                base = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                        for s in seen
+                    ),
+                    dtype=np.uint64,
+                    count=len(seen),
+                )
+                sig = (A[:, None] * base[None, :] + B[:, None]).min(axis=1)
+                out.append([doc] + [int(v >> 1) for v in sig])
+            yield pd.DataFrame(out, columns=["doc"] + [f"mh_{i}" for i in range(num_perm)])
+
+    src = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
+    schema = ", ".join(["doc long"] + [f"mh_{i} long" for i in range(num_perm)])
+    return src.mapInPandas(gen, schema=schema)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_perm: int = 32, bands: int = 8
+    banded: DataFrame,
 ) -> DataFrame:
-    """Band the signature (bands x rows_per_band = num_perm); docs sharing
-    any band bucket become candidate pairs.  Self-join runs per bucket --
-    cost scales with bucket sizes, not corpus^2."""
-    rows_per_band = num_perm // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(*cols).alias(f"band_{b}"))
-    banded = signatures.select(F.col("doc"), *band_cols)
-    stacked = banded.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band_no", "bb.bucket")
-    a, b_ = stacked.alias("a"), stacked.alias("b")
+    """Docs sharing any (band_no, bucket) become candidate pairs.
+    Self-join runs per bucket -- cost scales with sum(bucket^2), not
+    corpus^2."""
+    a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b_,
@@ -175,10 +264,10 @@ def minhash_lsh_dedup(
     num_perm: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates
-    -> exact-Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm)
-    cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    """Full MinHash-LSH near-dup pipeline: banded bucket rows -> candidate
+    pairs -> exact-Jaccard verification of candidates only."""
+    banded = minhash_band_buckets(df, id_col, text_col, num_perm, bands)
+    cands = lsh_candidate_pairs(banded)
     verified = jaccard_pairs(df, id_col, text_col, threshold)
     return cands.join(
         verified, on=["doc_a", "doc_b"], how="inner"
