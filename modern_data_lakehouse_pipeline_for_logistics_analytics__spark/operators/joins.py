@@ -76,16 +76,50 @@ def asof_join(
     self-as-of so a row cannot match itself) sharing the key (inner
     semantics: left rows with no prior right row drop out).
 
-    Deterministic: ties on ``right_ts`` break by ``tie_breakers`` descending.
+    Algorithm: union both sides tagged, one window per key ordered by
+    (ts, side, tie-breakers), fill right columns with
+    last_value(ignoreNulls) -- ONE shuffle on the key and O(n log n)
+    work.  A join-then-top-1 formulation materializes every (left row x
+    earlier right row) pair first, which explodes on keys with long
+    history; this never does.
+
+    Left/right column names must be disjoint.  Deterministic: ties on
+    ``right_ts`` break by ``tie_breakers`` (greatest wins).
     """
-    cmp = (
-        right[right_ts] < left[left_ts] if strict else right[right_ts] <= left[left_ts]
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"asof_join requires disjoint column names; overlap: {overlap}")
+
+    l_tag = left.select(
+        left[left_key].alias("__k"),
+        left[left_ts].alias("__ts"),
+        # left sorts BEFORE right at equal ts when strict (so it cannot
+        # see an equal-ts right row), AFTER when inclusive.
+        F.lit(0 if strict else 1).alias("__side"),
+        *[left[c] for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right.columns],
     )
-    joined = left.join(
-        right,
-        (left[left_key] == right[right_key]) & cmp,
-        "inner",
+    r_tag = right.select(
+        right[right_key].alias("__k"),
+        right[right_ts].alias("__ts"),
+        F.lit(1 if strict else 0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[right[c] for c in right.columns],
     )
-    order = [right[right_ts].desc()] + [right[c].desc() for c in (tie_breakers or [])]
-    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(*order)
-    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    unioned = l_tag.unionByName(r_tag)
+
+    order = [F.col("__ts").asc(), F.col("__side").asc()] + [
+        F.col(c).asc_nulls_first() for c in (tie_breakers or [])
+    ]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__side"),
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right.columns],
+    )
+    is_left = F.col("__side") == (0 if strict else 1)
+    return filled.filter(is_left & F.col(right_ts).isNotNull()).drop("__side")
