@@ -160,6 +160,81 @@ def hyperplane_buckets(
     return src.mapInPandas(bucketize, schema="id long, bucket long")
 
 
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer over the corpus; each query
+    probes its ``nprobe`` nearest centroids and runs exact cosine only
+    within those inverted lists.
+
+    Expected work per query ~ corpus * nprobe / n_clusters.  The quantizer
+    fit is one Spark ML KMeans job (seeded -- deterministic); at 100 TB
+    fit on a sample, assign everywhere.  Recall degrades only when a true
+    neighbor lives in an unprobed cluster -- raise nprobe to trade compute
+    for recall (nprobe == n_clusters is exact brute force).
+    Output: ``query_id, neighbor_id, cos_sim, rank``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col)).alias("fv"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="fv", predictionCol="cluster").fit(
+        corpus
+    )
+    assigned = model.transform(corpus).select("neighbor_id", "cv", "cluster")
+
+    # Probe list per query: distance to every centroid (tiny broadcast
+    # table), keep nprobe nearest.
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cluster", "centroid"],
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("centroid"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,

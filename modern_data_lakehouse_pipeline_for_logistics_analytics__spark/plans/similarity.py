@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_pairs_above, cosine_topk, lsh_topk
+from ..operators.similarity import cosine_pairs_above, cosine_topk, ivf_topk, lsh_topk
 from .registry import register, table_path
 
 _COS_CTE = """
@@ -83,3 +83,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, queries, "vec_id", "embedding", k=10, n_planes=8)
+
+
+@register("ann_ivf_topk")  # KMeans-derived buckets -> rows-only
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: k-means coarse quantizer, nprobe=4 of 16 clusters.
+    Recall vs brute force is measured in tests/test_northstar.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_clusters=16, nprobe=4)

@@ -90,6 +90,33 @@ def test_lsh_topk_consistent_with_bruteforce(emb):
             assert abs(brute_map[key] - r.cos_sim) < 1e-9
 
 
+def test_ivf_topk_recall(emb):
+    """IVF with nprobe=4/16 must recover a solid share of the true top-10
+    (embeddings are near-orthogonal random vectors -- the hardest case for
+    coarse quantization -- so the bar is recall@10 >= 0.3 and exact
+    cosine agreement on everything returned)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    truth = {}
+    for r in brute.collect():
+        truth.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    approx = ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_clusters=16, nprobe=4)
+    rows = approx.collect()
+    assert rows
+    hits = total = 0
+    for r in rows:
+        if r.neighbor_id in truth.get(r.query_id, {}):
+            hits += 1
+            assert abs(truth[r.query_id][r.neighbor_id] - r.cos_sim) < 1e-9
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.3, f"IVF recall@10 too low: {hits}/{total}"
+
+
 def test_multimodal_decode_contract(spark, sf_dir):
     """Decode stage: stable schema, ok-status stub decodes with plausible
     dims, unknown mime and unavailable decoder produce status rows, not
