@@ -274,43 +274,50 @@ def minhash_lsh_dedup(
     ).select("doc_a", "doc_b", "jaccard")
 
 
-#: Signed-64-bit single-bit masks (bit 63 is the sign bit).
-_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
-
-
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """64-bit SimHash per doc over distinct word-``n``-gram shingles: per
     bit position, sign of the sum of (+1/-1) contributions from each
-    shingle's xxhash64 bit.  One explode to (doc, shingle), one explode to
-    64 bits, one groupBy.
+    shingle's hash bit.  One narrow mapInPandas pass -- shingling, hashing
+    and bit-voting all vectorized (an earlier explode-to-64-bit-rows JVM
+    formulation pushed 16M rows through two groupBys for the same answer).
 
     Shingles, not unigrams: tiny vocabularies make unigram-token hash sets
     (and hence simhashes) heavily correlated across unrelated docs --
     measured avg pairwise Hamming 14/64 on the fixture, flooding the
     candidate join.  Trigram shingles restore near-independence for
-    unrelated docs while near-dups still share almost all shingles.
+    unrelated docs while near-dups still share almost all shingles."""
+    import hashlib
 
-    Bit tests use literal masks (shift builtins take only literal shift
-    amounts)."""
-    toks = shingle_sets(df, id_col, text_col, n).withColumnRenamed("s", "tok").withColumn(
-        "th", F.xxhash64("tok")
-    )
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
-    bits = toks.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("th"),
-    ).withColumn("mask", F.element_at(masks, (F.col("bit") + 1).cast("int")))
-    bits = bits.withColumn(
-        "contrib",
-        F.when(F.col("th").bitwiseAND(F.col("mask")) != 0, 1).otherwise(-1),
-    )
-    per_bit = bits.groupBy("doc", "bit", "mask").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc").agg(
-        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0).cast("long"))).alias(
-            "simhash"
-        )
-    )
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            docs, sigs = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.lower().strip().split()
+                seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                if not seen:
+                    continue
+                base = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                        for s in seen
+                    ),
+                    dtype=np.uint64,
+                    count=len(seen),
+                )
+                # (n_shingles, 64) bit matrix -> per-bit vote -> sign bits
+                bits = np.unpackbits(base.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(seen)
+                sign = (votes > 0).astype(np.uint8)
+                sig = int.from_bytes(np.packbits(sign, bitorder="little").tobytes(), "little")
+                docs.append(doc)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"doc": docs, "simhash": sigs}, dtype="int64")
+
+    src = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
+    return src.mapInPandas(gen, schema="doc long, simhash long")
 
 
 def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame:
@@ -319,6 +326,9 @@ def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame
     Hamming distance < chunks is guaranteed caught (8 chunks -> distance
     <= 7 always recovered; planted near-dups measure distance 0-9 on the
     fixture)."""
+    # Four plan branches read the signatures (both join sides + both
+    # verification lookups) -- cache so the signature pass runs once.
+    signatures = signatures.cache()
     cols = [
         (
             F.shiftright(F.col("simhash"), i * (64 // chunks))
