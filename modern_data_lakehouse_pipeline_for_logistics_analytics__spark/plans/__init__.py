@@ -28,6 +28,7 @@ def _load_all() -> None:
         "extras",
         "analytics",
         "udfs",
+        "subqueries",
     ):
         try:
             __import__(f"{__name__}.{mod}")
