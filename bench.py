@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "scalar_datetime",
+    "pivot_status_by_priority",
+    "agg_median_stddev",
+    "window_range_7day_spend",
+    "sql_exists_correlated",
 ]
 
 
