@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
     "join_range_ship_window",
     "asof_prev_error_per_event",
     "window_latest_line_per_order",

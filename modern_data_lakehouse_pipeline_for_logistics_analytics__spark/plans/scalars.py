@@ -174,6 +174,78 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_strings2",
+    oracle="""
+    SELECT c_custkey,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           SPLIT_PART(c_name, '#', 2) AS name_after_hash,
+           REVERSE(c_mktsegment) AS seg_rev,
+           REPEAT(LEFT(c_mktsegment, 2), 2) AS seg_rep,
+           LEFT(c_name, 4) AS name_l4,
+           RIGHT(c_name, 3) AS name_r3,
+           CAST(ASCII(c_mktsegment) AS BIGINT) AS seg_ascii,
+           CHR(CAST(65 + c_custkey % 26 AS INT)) AS key_chr
+    FROM customer
+    """,
+)
+def q_scalar_strings2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: translate, split_part, reverse, repeat,
+    left/right, ascii/chr."""
+    c = _t(spark, sf_dir, "customer")
+    seg, name = F.col("c_mktsegment"), F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.translate(seg, "AEIOU", "aeiou").alias("seg_translated"),
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("name_after_hash"),
+        F.reverse(seg).alias("seg_rev"),
+        F.repeat(F.substring(seg, 1, 2), 2).alias("seg_rep"),
+        F.substring(name, 1, 4).alias("name_l4"),
+        F.substring(name, -3, 3).alias("name_r3"),
+        F.ascii(seg).cast("long").alias("seg_ascii"),
+        F.chr(65 + F.col("c_custkey") % 26).alias("key_chr"),
+    )
+
+
+@register(
+    "scalar_datetime2",
+    oracle="""
+    SELECT o_orderkey,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS order_week,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS order_dow,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3mo,
+           CAST(DATE_DIFF('month', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT)
+             AS months_to_cutoff
+    FROM orders
+    """,
+)
+def q_scalar_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime batch: last_day, quarter, weekofyear, dayofweek,
+    add_months, whole-month difference.
+
+    Cross-engine pins: DuckDB DATE + INTERVAL MONTH returns a timestamp
+    (cast Spark's date to match); Spark DAYOFWEEK is 1=Sunday while
+    DuckDB's is 0=Sunday (+1 in the oracle); whole-month difference is
+    computed from year/month fields so both engines count calendar
+    boundaries."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("long").alias("order_quarter"),
+        F.weekofyear(d).cast("long").alias("order_week"),
+        F.dayofweek(d).cast("long").alias("order_dow"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3mo"),
+        (
+            (F.year(F.lit("1998-12-01").cast("date")) - F.year(d)) * 12
+            + (F.month(F.lit("1998-12-01").cast("date")) - F.month(d))
+        ).cast("long").alias("months_to_cutoff"),
+    )
+
+
+@register(
     "scalar_conditionals",
     oracle="""
     SELECT o_orderkey,
