@@ -1,0 +1,72 @@
+"""Lakehouse maintenance operators: upsert (MERGE) and SCD2 dimension
+building.
+
+The reference's only update mechanism is whole-partition overwrite
+(`Silver_tranformation.py:121`, SURVEY.md T4).  Real lakehouse tables need
+row-level upsert and history tracking; with Delta/Iceberg these map to
+``MERGE INTO`` -- here they are expressed as pure DataFrame plans so they
+run on any storage, and swap to the native MERGE where a table format is
+available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics: update matched keys with the update row, keep
+    unmatched target rows, insert unmatched update rows.
+
+    Columns must be identical between the two frames.  Implemented as a
+    full-outer join on the key with per-column COALESCE(update, target)
+    -- one shuffle; at scale, pre-bucket both sides on the key.
+    """
+    if set(target.columns) != set(updates.columns):
+        raise ValueError("merge_upsert requires identical columns")
+    cols = [c for c in target.columns if c != key]
+    t = target.select(F.col(key).alias("__tk"), *[F.col(c).alias(f"__t_{c}") for c in cols])
+    u = updates.select(F.col(key).alias("__uk"), *[F.col(c).alias(f"__u_{c}") for c in cols])
+    j = t.join(u, t["__tk"] == u["__uk"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("__uk"), F.col("__tk")).alias(key),
+        *[
+            F.when(F.col("__uk").isNotNull(), F.col(f"__u_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
+            for c in cols
+        ],
+    )
+
+
+def scd2_from_events(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an event history:
+    one validity interval per (key, consecutive run of equal ``attr``).
+
+    Output: ``<key>, <attr>, valid_from, valid_to, is_current`` --
+    ``valid_to`` is null on the open interval.  One shuffle on the key;
+    runs collapse via the lag-change-flag + running-sum island pattern.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    changed = (
+        F.lag(F.col(attr)).over(w).isNull()
+        | (F.col(attr) != F.lag(F.col(attr)).over(w))
+    ).cast("int")
+    runs = (
+        df.select(key, attr, ts)
+        .withColumn("__chg", changed)
+        .withColumn("__run", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    intervals = runs.groupBy(key, "__run", attr).agg(F.min(ts).alias("valid_from"))
+    w2 = Window.partitionBy(key).orderBy("valid_from")
+    return (
+        intervals.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key, attr, "valid_from", "valid_to", "is_current")
+    )

@@ -29,6 +29,7 @@ def _load_all() -> None:
         "analytics",
         "udfs",
         "subqueries",
+        "maintenance",
     ):
         try:
             __import__(f"{__name__}.{mod}")

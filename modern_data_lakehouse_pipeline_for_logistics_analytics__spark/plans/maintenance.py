@@ -1,0 +1,97 @@
+"""Lakehouse-maintenance plans: MERGE upsert, SCD2, correlation stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.maintenance import merge_upsert, scd2_from_events
+from .registry import read_events, register, table_path
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 <> 0),
+    updates AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (update + keep + insert) as one full-outer plan:
+    target = keys not divisible by 3, updates = even keys doubled -- so
+    the result exercises all three MERGE branches."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    return merge_upsert(target, updates, key="o_orderkey")
+
+
+@register(
+    "scd2_user_event_type",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR event_type <> LAG(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM runs),
+    intervals AS (
+      SELECT user_id, run, event_type, MIN(ts) AS valid_from
+      FROM numbered GROUP BY user_id, run, event_type)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+             AS is_current
+    FROM intervals
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension from an event history: validity intervals per run of
+    equal attribute values (gaps-and-islands), open interval flagged
+    current."""
+    e = read_events(spark, sf_dir)
+    return scd2_from_events(e, key="user_id", attr="event_type", ts="ts")
+
+
+@register(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+           ROUND(VAR_SAMP(l_discount), 8) AS disc_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, sample covariance, variance
+    per group (dim-sized output; rounded to absorb summation-order ulps)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+        F.round(F.var_samp("l_discount"), 8).alias("disc_var"),
+    )
