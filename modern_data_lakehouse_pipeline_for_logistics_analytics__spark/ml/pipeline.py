@@ -22,7 +22,11 @@ from pyspark.ml.feature import StringIndexer, VectorAssembler
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CATEGORICAL = ["courier", "origin_country", "destination_country"]
+#: Reference feature set (`prediction.py:102-112`): note it INCLUDES
+#: ``status``, from which the label is deterministically derived
+#: (`Silver_tranformation.py:107-111`) -- a target leak we reproduce for
+#: parity and flag here; drop "status" for an honest model.
+CATEGORICAL = ["courier", "origin_country", "destination_country", "status"]
 NUMERIC = ["shipment_weight", "delivery_days"]
 LABEL = "delivery_status"
 

@@ -30,13 +30,14 @@ def country_eta(gold_fact: DataFrame, country: str) -> DataFrame:
     unparseable values null out instead of failing (`pastapi.py:208`).
     """
     hits = gold_fact.filter(F.upper(F.col("destination_country")) == country.upper())
+    mean_days = F.avg(F.col("delivery_days").try_cast("double"))
     return hits.agg(
         F.count(F.lit(1)).alias("n_shipments"),
-        F.round(F.avg(F.col("delivery_days").try_cast("double")), 2).alias("avg_delivery_days"),
+        F.round(mean_days, 2).alias("avg_delivery_days"),
+        # int(mean) truncation, matching `pastapi.py:209` exactly
         F.date_add(
             F.current_date(),
-            F.ceil(F.coalesce(F.avg(F.col("delivery_days").try_cast("double")), F.lit(0.0)))
-            .cast("int"),
+            F.coalesce(mean_days, F.lit(0.0)).cast("int"),
         ).alias("estimated_delivery_date"),
     )
 
