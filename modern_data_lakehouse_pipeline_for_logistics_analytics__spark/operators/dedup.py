@@ -320,6 +320,58 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     return src.mapInPandas(gen, schema="doc long, simhash long")
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Collapse near-dup pairs into clusters: iterative min-label
+    propagation until fixpoint.  Output: ``doc, canonical`` (canonical =
+    min doc id in the component) for every doc appearing in a pair.
+
+    Each iteration is one join + one groupBy (label flows along edges in
+    both directions); near-dup graphs have tiny diameters, so this
+    converges in a handful of rounds.  At billion-edge scale swap in the
+    alternating large-star/small-star formulation -- same join primitives,
+    fewer rounds.  The fixpoint check is one count per round (driver-side
+    loop, executor-side work).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("canonical", F.col("doc"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc"])
+            .groupBy("src")
+            .agg(F.min("canonical").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc"] == neighbor_min["src"], "left")
+            .select(
+                "doc",
+                F.least(F.col("canonical"), F.coalesce(F.col("nbr_min"), F.col("canonical"))).alias(
+                    "canonical"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc") == F.col("o.doc"))
+            .filter(F.col("n.canonical") != F.col("o.canonical"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame:
     """Band the 64-bit simhash into ``chunks`` equal chunks; pairs agreeing
     on any chunk are Hamming-near candidates.  By pigeonhole, any pair with

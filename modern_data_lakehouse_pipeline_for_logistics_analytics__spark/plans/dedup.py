@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_dedup,
@@ -80,6 +81,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     at >= 0.7.  The 100 TB dedup path: cost ~ sum(bucket^2), not corpus^2.
     tests/test_northstar.py proves its recall against brute-force Jaccard."""
     return minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
+
+
+@register("dedup_clusters")  # transitive closure -> no SQL oracle (rows-only)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: MinHash-LSH pairs collapsed into connected
+    components with a canonical (min-id) doc per cluster -- what a
+    training pipeline actually drops/keeps.  Cluster correctness
+    (transitive closure vs a union-find oracle) is proven in
+    tests/test_northstar.py."""
+    pairs = minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
+    return connected_components(pairs)
 
 
 @register("dedup_simhash_candidates")  # xxhash64-derived -> rows-only

@@ -61,6 +61,40 @@ def test_simhash_recovers_planted_neardups(docs):
     assert len(missed) <= max(1, len(truth) // 5), f"SimHash missed {len(missed)}/{len(truth)}"
 
 
+def test_connected_components_match_union_find(docs):
+    """Spark label propagation must produce exactly the components a
+    driver-side union-find computes from the same pairs."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    edge_list = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert edge_list
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    got = {r.doc: r.canonical for r in connected_components(pairs).collect()}
+    assert got == want
+
+
 def test_simhash_deterministic(docs):
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
         simhash_signatures,
