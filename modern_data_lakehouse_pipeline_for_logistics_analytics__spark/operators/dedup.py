@@ -131,6 +131,63 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard restricted to the given candidate pairs
+    (``doc_a < doc_b``) -- the verify stage of an LSH dedup pipeline.
+
+    Cost is O(candidate docs x shingles), NEVER the corpus-pairwise
+    shingle self-join ``jaccard_pairs`` runs: shingle rows are first
+    semi-joined down to docs appearing in any candidate pair, and the
+    intersection join is keyed on the candidate pair itself, so only
+    candidate pairs ever materialize.  Output: ``doc_a, doc_b, n_common,
+    n_a, n_b, jaccard``.
+    """
+    cands = cands.select("doc_a", "doc_b").distinct().cache()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sh = (
+        shingle_sets(df, id_col, text_col, n)
+        .join(cand_docs, "doc", "left_semi")
+        .cache()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("a_doc"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc").alias("b_doc"), F.col("s").alias("s_b"))
+    inter = (
+        cands.join(a, F.col("doc_a") == F.col("a_doc"))
+        .join(b, (F.col("doc_b") == F.col("b_doc")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    from .textstats import round_half_up
+
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            round_half_up(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
 def _minhash_params(num_perm: int):
     """Deterministic universal-hash parameters: odd multipliers + offsets
     from sha256(i).  uint64 wraparound arithmetic -- the standard
@@ -265,13 +322,14 @@ def minhash_lsh_dedup(
     bands: int = 8,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: banded bucket rows -> candidate
-    pairs -> exact-Jaccard verification of candidates only."""
+    pairs -> exact-Jaccard verification of the CANDIDATE PAIRS ONLY
+    (``jaccard_verify_pairs``).  The verify cost is O(candidate docs x
+    shingles); the full-corpus pairwise ``jaccard_pairs`` never runs --
+    that corpus^2-ish join is exactly what LSH banding exists to avoid."""
     banded = minhash_band_buckets(df, id_col, text_col, num_perm, bands)
     cands = lsh_candidate_pairs(banded)
-    verified = jaccard_pairs(df, id_col, text_col, threshold)
-    return cands.join(
-        verified, on=["doc_a", "doc_b"], how="inner"
-    ).select("doc_a", "doc_b", "jaccard")
+    verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold)
+    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -331,6 +389,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     alternating large-star/small-star formulation -- same join primitives,
     fewer rounds.  The fixpoint check is one count per round (driver-side
     loop, executor-side work).
+
+    Storage is bounded: each round caches only the new label frame and
+    unpersists the superseded one after the fixpoint count materializes
+    it, so at most [edges + 2 label frames] are ever pinned regardless of
+    max_iter (r1 leaked one cached frame per round).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -366,9 +429,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .filter(F.col("n.canonical") != F.col("o.canonical"))
             .count()
         )
+        # The count above materialized new_labels' cache; the previous
+        # round's frame is now dead weight -- release it.
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

@@ -77,11 +77,17 @@ def asof_join(
     semantics: left rows with no prior right row drop out).
 
     Algorithm: union both sides tagged, one window per key ordered by
-    (ts, side, tie-breakers), fill right columns with
+    (ts, side, tie-breakers), fill the right payload with
     last_value(ignoreNulls) -- ONE shuffle on the key and O(n log n)
     work.  A join-then-top-1 formulation materializes every (left row x
     earlier right row) pair first, which explodes on keys with long
     history; this never does.
+
+    The entire right row is packed into ONE struct column and filled with
+    a single ``last(struct, ignorenulls=True)``: filling each right column
+    independently would back-fill a NULL payload cell from an OLDER right
+    row, emitting a mixed row that never existed (a matched right row with
+    a NULL column must surface that NULL).
 
     Left/right column names must be disjoint.  Deterministic: ties on
     ``right_ts`` break by ``tie_breakers`` (greatest wins).
@@ -90,6 +96,9 @@ def asof_join(
     if overlap:
         raise ValueError(f"asof_join requires disjoint column names; overlap: {overlap}")
 
+    import pyspark.sql.types as T
+
+    r_struct = T.StructType([right.schema[c] for c in right.columns])
     l_tag = left.select(
         left[left_key].alias("__k"),
         left[left_ts].alias("__ts"),
@@ -97,19 +106,19 @@ def asof_join(
         # see an equal-ts right row), AFTER when inclusive.
         F.lit(0 if strict else 1).alias("__side"),
         *[left[c] for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right.columns],
+        F.lit(None).cast(r_struct).alias("__rrow"),
     )
     r_tag = right.select(
         right[right_key].alias("__k"),
         right[right_ts].alias("__ts"),
         F.lit(1 if strict else 0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[right[c] for c in right.columns],
+        F.struct(*[right[c] for c in right.columns]).alias("__rrow"),
     )
     unioned = l_tag.unionByName(r_tag)
 
     order = [F.col("__ts").asc(), F.col("__side").asc()] + [
-        F.col(c).asc_nulls_first() for c in (tie_breakers or [])
+        F.col("__rrow").getField(c).asc_nulls_first() for c in (tie_breakers or [])
     ]
     w = (
         Window.partitionBy("__k")
@@ -119,7 +128,11 @@ def asof_join(
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right.columns],
+        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__rrow"),
     )
     is_left = F.col("__side") == (0 if strict else 1)
-    return filled.filter(is_left & F.col(right_ts).isNotNull()).drop("__side")
+    matched = filled.filter(is_left & F.col("__rrow").isNotNull())
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__rrow").getField(c).alias(c) for c in right.columns],
+    )

@@ -57,6 +57,75 @@ def running_sum(
     return df.withColumn(alias, F.round(F.sum(value_col).over(w), 2))
 
 
+def global_ntile(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    range_col: str,
+    alias: str = "ntile",
+    range_desc: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """NTILE(k) over a GLOBAL ordering without a single-task sort.
+
+    A bare ``Window.orderBy`` funnels the whole table through one task --
+    fine for dim-sized input, a serialization wall on a fact table.  This
+    computes the identical result distributed:
+
+      1. approximate percentiles of ``range_col`` (one tiny agg job at
+         plan-build time) become literal split points;
+      2. each row's range partition is a PURE FUNCTION of its value
+         (a when-chain over the splits) -- crucially NOT
+         ``repartitionByRange``, whose sampled boundaries differ between
+         the offsets job and the main job (separate jobs re-shuffle with
+         fresh RDD ids; observed off-by-one buckets at sf0.01);
+      3. per-partition ``row_number`` + broadcast per-partition offsets
+         -> exact global rank;
+      4. NTILE's exact bucket arithmetic (first ``n % k`` buckets get one
+         extra row) applied to the global rank.
+
+    ``order_by`` must be a TOTAL order whose leading key is ``range_col``
+    (ties on ``range_col`` land in one partition, so skew follows value
+    ties -- acceptable for measure-like columns).  ``range_col`` must be
+    non-null.  Split accuracy only affects load balance, never results.
+    """
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    qs = [j / P for j in range(1, P)]
+    splits_row = df.agg(F.percentile_approx(range_col, qs, 10000).alias("s")).first()
+    splits = sorted(set(splits_row["s"] or []), reverse=range_desc)
+    v = F.col(range_col)
+    pid_expr = F.lit(len(splits))
+    if splits:
+        chain = F.when(v >= F.lit(splits[0]) if range_desc else v <= F.lit(splits[0]), 0)
+        for i, s in enumerate(splits[1:], start=1):
+            chain = chain.when(v >= F.lit(s) if range_desc else v <= F.lit(s), i)
+        pid_expr = chain.otherwise(len(splits))
+    ranged = df.withColumn("__pid", pid_expr.cast("int"))
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    rn = (F.row_number().over(w) + F.col("__off")).alias("__rn")
+    ranked = ranged.join(F.broadcast(off_df), "__pid").withColumn("__rn", rn)
+    q, r = divmod(n_total, k)
+    if q == 0:
+        bucket = F.col("__rn")
+    else:
+        head = r * (q + 1)
+        bucket = F.when(
+            F.col("__rn") <= head, F.ceil(F.col("__rn") / (q + 1))
+        ).otherwise(r + F.ceil((F.col("__rn") - head) / q))
+    return ranked.withColumn(alias, bucket.cast("int")).drop("__pid", "__off", "__rn")
+
+
 def lag_delta_days(
     df: DataFrame,
     keys: list[str],

@@ -163,7 +163,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(YEAR(l.l_shipdate) AS BIGINT) AS ship_year,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT))
              AS revenue_e4
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -178,8 +178,10 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume by year -- the same dim
     table (nation) joined twice under different roles.  Revenue in exact
-    integer ten-thousandths: ~4k small groups make 2dp-rounded double
-    sums hit cross-engine .5 knife-edges (observed at sf0.01)."""
+    integer ten-thousandths via half-up floor on BOTH sides: ~4k small
+    groups make per-row rounded doubles hit cross-engine .5 knife-edges,
+    and Spark ``round`` (decimal-string HALF_UP) disagrees with DuckDB
+    ``ROUND`` (binary) on exactly those edges (r1 hash-FAIL)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
@@ -197,7 +199,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
-    rev_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    rev_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
     return df.groupBy(
         "cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("ship_year")
     ).agg(F.sum(rev_e4).alias("revenue_e4"))

@@ -24,7 +24,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
-           unnest(embedding) AS val
+           CAST(unnest(embedding) AS DOUBLE) AS val
     FROM embeddings
     WHERE vec_id < 50
     """,
@@ -32,8 +32,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10: posexplode -- array-of-N to N rows with 0-based position
     (`explode(checkpoints)` semantics with ordinal retained).  float32
-    values widen to float64 identically in both engines, so no rounding
-    is needed."""
+    widens to float64 exactly, but the oracle must CAST explicitly: a bare
+    ``unnest(embedding)`` stays FLOAT in DuckDB and the driver then hashes
+    float32 representations against Spark's float64 (r1 hash-FAIL)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     return emb.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
         "vec_id", F.col("pos").cast("long").alias("pos"), F.col("val").cast("double").alias("val")
@@ -70,7 +71,7 @@ def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_statuses",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem GROUP BY l_orderkey
     """,
@@ -78,10 +79,12 @@ def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_set + sort_array (deterministic order --
     bare collect_list order is partition-dependent and must never be
-    hash-compared)."""
+    hash-compared).  The sorted array is serialized to a comma-joined
+    STRING on both sides because the driver's canonicalizer cannot hash
+    array-typed cells (r1 'unhashable type: list')."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

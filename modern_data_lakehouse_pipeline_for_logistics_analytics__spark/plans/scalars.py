@@ -118,7 +118,7 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_json",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
            CAST(len(json_keys(props)) AS BIGINT) AS n_keys
     FROM events
@@ -126,12 +126,17 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface (SURVEY 1.2: the reference never uses maps):
-    from_json to map<string,bigint>, map_keys, element access."""
+    from_json to map<string,bigint>, map_keys, element access.
+
+    ``prop_keys`` is serialized to a sorted comma-joined STRING on both
+    sides: the driver's canonicalizer hashes cell values via pandas and
+    dies on array-typed cells (r1 'unhashable type: list'), and sorting
+    removes JSON-document key-order dependence."""
     e = read_events(spark, sf_dir)
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return e.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
     )

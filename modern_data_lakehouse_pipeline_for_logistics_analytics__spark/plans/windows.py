@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.windows import lag_delta_days, latest_per_key, rank_by
+from ..operators.windows import global_ntile, lag_delta_days, latest_per_key, rank_by
 from .registry import register, table_path
 
 
@@ -63,7 +63,7 @@ def q_rank_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_sum_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_spend_cents,
            COUNT(*) OVER (
@@ -78,15 +78,17 @@ def q_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money is summed in exact integer cents: per-row float window outputs
     across thousands of rows WILL hit half-ulp rounding knife-edges between
     engines (observed at sf0.01), so cross-engine-hashable plans keep frame
-    arithmetic integral.  The float-averaging operator itself is
-    ``operators.windows.rolling_avg``.
+    arithmetic integral.  Cents via ``floor(x*100 + 0.5)`` on BOTH sides:
+    Spark ``round`` is decimal-string HALF_UP while DuckDB rounds the binary
+    double, and the two disagree on inexact-binary .5 edges (r1 hash-FAIL).
+    The float-averaging operator itself is ``operators.windows.rolling_avg``.
     """
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(-6, 0)
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         _t(spark, sf_dir, "orders")
         .withColumn("rolling_spend_cents", F.sum(cents).over(w))
@@ -99,21 +101,21 @@ def q_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend_cents
     FROM orders
     """,
 )
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative customer spend (exact integer cents; see
-    window_rolling_sum_spend for why)."""
+    """Cumulative customer spend (exact integer cents via half-up floor;
+    see window_rolling_sum_spend for why)."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         _t(spark, sf_dir, "orders")
         .withColumn("cum_spend_cents", F.sum(cents).over(w))
@@ -153,11 +155,15 @@ def q_lag_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE bucketing (spend quartiles)."""
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .withColumn("spend_quartile", F.ntile(4).over(w))
-        .select("o_orderkey", "spend_quartile")
-    )
+    """NTILE bucketing (spend quartiles) -- DISTRIBUTED: ``global_ntile``
+    range-partitions on the sort keys and reconstructs exact global ranks
+    from per-partition offsets, so no unpartitioned window ever funnels the
+    fact table through one task (r1 used a bare Window.orderBy)."""
+    return global_ntile(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=4,
+        range_col="o_totalprice",
+        alias="spend_quartile",
+        range_desc=True,
+    ).select("o_orderkey", F.col("spend_quartile").cast("int").alias("spend_quartile"))

@@ -2,9 +2,10 @@
 
 Runs a registered Spark query and its oracle SQL over the same parquet
 tables and compares row count, column names, and order-insensitive values
-(floats compared to 1e-9 relative tolerance after sorting; everything else
-exact). Keeping this strict locally means the driver's value-hash gate is
-exercised before every commit.
+EXACTLY -- floats included.  The driver's gate is an exact value-hash, so
+any ulp of float divergence the r1 harness tolerated (rel_tol 1e-9) was a
+silent driver hash-FAIL; exact local comparison is the only faithful
+predictor.
 """
 
 from __future__ import annotations
@@ -88,10 +89,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
 
     for n, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
         for c, (sv, dv) in zip(sorted(spark_cols), zip(sr, dr)):
-            if isinstance(sv, float) and isinstance(dv, float):
-                if not math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9):
-                    problems.append(f"row {n} col {c}: {sv!r} != {dv!r}")
-            elif sv != dv:
+            if sv != dv:
                 problems.append(f"row {n} col {c}: {sv!r} != {dv!r}")
         if len(problems) > 8:
             problems.append("... (truncated)")
