@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "agg_median_stddev",
     "window_range_7day_spend",
     "sql_exists_correlated",
+    "dedup_clusters",
+    "embedding_neardup_lsh",
+    "unpivot_lineitem_measures",
+    "histogram_price_buckets",
+    "bitwise_line_flags",
+    "window_ntile_spend_quartiles",
 ]
 
 

@@ -194,6 +194,85 @@ def hyperplane_buckets(
     return src.mapInPandas(bucketize, schema="id long, bucket long")
 
 
+def banded_hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int = 12,
+    planes_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-band hyperplane LSH: ``n_bands`` independent sign-bit
+    signatures of ``planes_per_band`` planes each.  A pair colliding in
+    ANY band becomes a candidate, so per-pair miss probability is
+    ``(1 - p^b)^r`` (p = 1 - angle/pi) -- tune r up for recall, b up for
+    precision.  One narrow mapInPandas pass; output ``id, band, bucket``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    total = n_bands * planes_per_band
+    planes = df.sparkSession.sparkContext.broadcast(_plane_matrix(total, dim))
+    weights = np.array([1 << p for p in range(planes_per_band)], dtype=np.int64)
+
+    def bucketize(batches):
+        P = planes.value
+        for pdf in batches:
+            v = np.array(list(pdf["v"]), dtype=np.float64)
+            bits = (v @ P.T) >= 0  # (n, total)
+            ids, bands, buckets = [], [], []
+            for b in range(n_bands):
+                chunk = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
+                ids.extend(pdf["id"])
+                bands.extend([b] * len(pdf))
+                buckets.extend(chunk @ weights)
+            yield pd.DataFrame({"id": ids, "band": bands, "bucket": buckets})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(bucketize, schema="id long, band int, bucket long")
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_bands: int = 12,
+    planes_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-banded: the 100 TB path.
+
+    Candidates come from band-bucket collisions (cost ~ sum bucket^2 per
+    band, never corpus^2); the exact float64 cosine then verifies ONLY
+    candidate pairs.  Recall < 1 by construction -- measured against the
+    exact ``cosine_pairs_above`` in tests/test_northstar.py; raise
+    ``n_bands`` to push the miss probability down geometrically.
+    Output: ``id_a, id_b, cos_sim`` (same schema as the exact operator).
+    """
+    banded = banded_hyperplane_buckets(df, id_col, vec_col, n_bands, planes_per_band, dim)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,

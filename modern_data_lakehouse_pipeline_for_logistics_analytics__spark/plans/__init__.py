@@ -38,6 +38,7 @@ def _load_all() -> None:
         "udfs",
         "subqueries",
         "maintenance",
+        "coverage2",
     ):
         try:
             __import__(f"{__name__}.{mod}")
@@ -92,6 +93,15 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "embedding_neardup_pairs",
+    # (d) new this round
+    "unpivot_lineitem_measures",
+    "string_agg_names_per_segment",
+    "histogram_price_buckets",
+    "regexp_extract_all_digits",
+    "window_first_last_nth",
+    "percentile_disc_prices",
+    "bitwise_line_flags",
+    "embedding_neardup_lsh",
 ]
 
 

@@ -18,21 +18,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "window_range_7day_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS spend_7d_cents
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS spend_7d_cents
     FROM orders
     """,
 )
 def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (true trailing 7 *days*, not 7 rows): the rolling
     delivery-metrics shape done on event time.  Ordering key is epoch-day
-    so the frame bound is numeric on both engines."""
+    so the frame bound is numeric on both engines.  Integer-cents sums are
+    CAST back to BIGINT in the oracle: DuckDB SUM(BIGINT) returns HUGEINT,
+    which pandas widens to float64 and the driver then hash-mismatches
+    (the actual root cause of r1's window hash-FAILs)."""
     o = _t(spark, sf_dir, "orders")
     day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
     w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-6, 0)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return o.select(
         "o_custkey", "o_orderkey", F.sum(cents).over(w).alias("spend_7d_cents")
     )

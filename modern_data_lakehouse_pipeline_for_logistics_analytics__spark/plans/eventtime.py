@@ -27,7 +27,7 @@ def _cents(col: str) -> F.Column:
     SELECT DATE_TRUNC('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -54,7 +54,7 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events)
     SELECT window_start,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM assigned GROUP BY window_start
     """,
 )

@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_pairs_above, cosine_topk, ivf_topk, lsh_topk
+from ..operators.similarity import (
+    cosine_pairs_above,
+    cosine_topk,
+    ivf_topk,
+    lsh_neardup_pairs,
+    lsh_topk,
+)
 from .registry import register, table_path
 
 _COS_CTE = """
@@ -43,6 +49,17 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.4): brute-force exact stage.
     At scale this runs per LSH bucket, not on all pairs."""
     return cosine_pairs_above(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4)
+
+
+@register("embedding_neardup_lsh")  # hash-derived planes -> rows-only
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH + exact verify
+    on candidates only -- the path that replaces the all-pairs product at
+    100 TB.  Recall vs the exact operator is measured in
+    tests/test_northstar.py."""
+    return lsh_neardup_pairs(
+        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4, n_bands=12
+    )
 
 
 @register(

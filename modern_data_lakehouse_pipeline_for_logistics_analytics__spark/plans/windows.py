@@ -63,9 +63,9 @@ def q_rank_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_sum_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_spend_cents,
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_spend_cents,
            COUNT(*) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_in_window
@@ -101,9 +101,9 @@ def q_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend_cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_spend_cents
     FROM orders
     """,
 )

@@ -19,6 +19,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Spark SQL type -> ANSI DDL type for the DB-API load path.
+_DDL_TYPES = {
+    "string": "VARCHAR",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def jdbc_plan(
+    url: str, table: str, load_date: str, options: dict | None = None, mode: str = "append"
+) -> dict:
+    """The fully-resolved JDBC writer configuration as plain data -- the
+    unit tests assert against this, keeping the untestable part of
+    ``write_jdbc`` (the driverful ``save()``) one line."""
+    plan = {"format": "jdbc", "mode": mode, "url": url, "dbtable": table,
+            "load_date": load_date}
+    plan.update(options or {})
+    return plan
+
 
 def write_jdbc(
     df: DataFrame,
@@ -31,13 +57,62 @@ def write_jdbc(
     """Typed warehouse load: adds the load_date column (replacing
     table-per-date) and writes via JDBC.  Use ``numPartitions`` in
     ``options`` to bound concurrent warehouse connections."""
+    plan = jdbc_plan(url, table, load_date, options, mode)
     writer = (
-        df.withColumn("load_date", F.lit(load_date))
-        .write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .mode(mode)
+        df.withColumn("load_date", F.lit(plan["load_date"]))
+        .write.format(plan["format"])
+        .option("url", plan["url"])
+        .option("dbtable", plan["dbtable"])
+        .mode(plan["mode"])
     )
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def warehouse_ddl(df: DataFrame, table: str) -> str:
+    """CREATE TABLE DDL preserving Spark types (the reference's loader
+    erases every column to STRING, `snowflake_connection.py:97-99`)."""
+    cols = []
+    for f in df.schema.fields:
+        t = _DDL_TYPES.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(f"no warehouse DDL mapping for {f.name}: {f.dataType.simpleString()}")
+        cols.append(f'"{f.name}" {t}')
+    return f'CREATE TABLE IF NOT EXISTS "{table}" ({", ".join(cols)})'
+
+
+def write_warehouse_dbapi(
+    df: DataFrame,
+    connection,
+    table: str,
+    load_date: str,
+    batch_size: int = 10_000,
+) -> int:
+    """Executable warehouse load over any DB-API connection (sqlite3,
+    duckdb, ...): typed CREATE TABLE + batched executemany inserts.
+
+    This is the driver-side egress edge (SURVEY section 7.4(5) allows
+    collect only at ML/serving/egress boundaries): gold tables are
+    dim-sized aggregates by construction.  Rows stream through
+    ``toLocalIterator`` in bounded batches, so the driver holds one batch
+    at a time, never the table.  Returns rows loaded.  For fact-scale
+    egress use ``write_jdbc`` (executors stream partitions directly).
+    """
+    staged = df.withColumn("load_date", F.lit(load_date))
+    connection.execute(warehouse_ddl(staged, table))
+    placeholders = ", ".join(["?"] * len(staged.columns))
+    sql = f'INSERT INTO "{table}" VALUES ({placeholders})'
+    n, batch = 0, []
+    for row in staged.toLocalIterator():
+        batch.append(tuple(row))
+        if len(batch) >= batch_size:
+            connection.executemany(sql, batch)
+            n += len(batch)
+            batch = []
+    if batch:
+        connection.executemany(sql, batch)
+        n += len(batch)
+    if hasattr(connection, "commit"):
+        connection.commit()
+    return n

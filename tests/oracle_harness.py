@@ -65,6 +65,52 @@ def _sort_key(row):
     )
 
 
+def _dtype_class(dt) -> str:
+    """Coarse dtype class for canonicalizer-parity checks."""
+    import pandas.api.types as pt
+
+    if pt.is_float_dtype(dt):
+        # float32 vs float64 hash differently at the driver -- keep width.
+        return str(dt)
+    if pt.is_integer_dtype(dt):
+        return "int"
+    if pt.is_bool_dtype(dt):
+        return "bool"
+    if pt.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
+
+
+def canonicalizer_problems(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Emulate the DRIVER's pandas canonicalizer failure modes.
+
+    The driver converts both results to pandas, sorts, and hashes values;
+    three things r1 proved can break it even when fetchall-values match:
+      - DuckDB HUGEINT (e.g. SUM(BIGINT)) -> pandas float64 vs Spark int64;
+      - DuckDB FLOAT (float32) vs Spark double (float64);
+      - array/map cells ('unhashable type: list' during sort).
+    """
+    problems: list[str] = []
+    spdf = spark_df.toPandas()
+    ddf = con.execute(sql).df()
+    for col in sorted(set(spdf.columns) & set(ddf.columns)):
+        sc, dc = _dtype_class(spdf[col].dtype), _dtype_class(ddf[col].dtype)
+        if sc != dc and {sc, dc} != {"object"}:
+            # datetime-vs-object (dates) is benign (values normalize);
+            # int-vs-float or float-width skew is the driver hash killer.
+            if {sc, dc} <= {"datetime", "object"}:
+                continue
+            problems.append(f"col {col}: pandas dtype class spark={sc} duck={dc}")
+        for side, pdf in (("spark", spdf), ("duck", ddf)):
+            if len(pdf) and pdf[col].dtype == object:
+                v = pdf[col].iloc[0]
+                try:
+                    hash(v)
+                except TypeError:
+                    problems.append(f"col {col}: unhashable {type(v).__name__} cell ({side})")
+    return problems
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
@@ -94,4 +140,6 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
         if len(problems) > 8:
             problems.append("... (truncated)")
             break
+    if not problems:
+        problems.extend(canonicalizer_problems(spark_df, con, sql))
     return problems

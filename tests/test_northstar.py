@@ -151,6 +151,38 @@ def test_ivf_topk_recall(emb):
     assert hits / total >= 0.3, f"IVF recall@10 too low: {hits}/{total}"
 
 
+def test_lsh_neardup_recall_vs_exact(emb):
+    """Banded-LSH near-dup pairs: everything returned must BE an exact
+    pair with an identical cosine (same threshold + same exact verify =>
+    zero false positives), and recall must clear the regime's theoretical
+    bound.  The fixture's pairs all sit at cosine 0.4-0.6 (angle 53-66
+    degrees) -- the hardest band for sign-LSH: per-pair miss is
+    (1 - p^4)^12 ~ 3-12% (p = 1 - angle/pi), so the bar is >= 75% recall.
+    Production near-dup thresholds (>= 0.7) put the same config under 2%
+    miss."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        cosine_pairs_above,
+        lsh_neardup_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    assert exact, "fixture should contain near-dup embedding pairs"
+    approx = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in lsh_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, n_bands=12
+        ).collect()
+    }
+    assert set(approx) <= set(exact), "LSH produced a pair the exact operator lacks"
+    for k, v in approx.items():
+        assert abs(exact[k] - v) < 1e-12
+    missed = set(exact) - set(approx)
+    assert len(missed) <= max(1, len(exact) // 4), f"LSH missed {len(missed)}/{len(exact)}"
+
+
 def test_multimodal_decode_contract(spark, sf_dir):
     """Decode stage: stable schema, ok-status stub decodes with plausible
     dims, unknown mime and unavailable decoder produce status rows, not

@@ -59,6 +59,10 @@ def test_connected_components_bounded_storage(spark):
     out = {(r.doc, r.canonical) for r in labels.collect()}
     assert {(i, 0) for i in range(7)} <= out
     assert (11, 10) in out
+    # Superseded rounds are unpersisted explicitly inside the loop, so the
+    # only pinned storage on return is the final labels checkpoint (edges
+    # were unpersisted on exit).  A chain of 6 needs >= 3 rounds; a leak
+    # would pin one RDD per round.
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached <= 2, f"{n_cached} cached RDDs after CC -- per-iteration leak"
     spark.catalog.clearCache()
