@@ -73,13 +73,19 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, decoders: dict | None = None) -> DataFrame:
     """Arrow-batched decode over ``(doc_id, mime, content)``.
 
     Per-batch pandas loop (not per-row Python UDF); unknown mimes and
     decoder failures produce status rows instead of failing the task --
     at 100 TB some corrupt payloads are a certainty.
+
+    ``decoders`` (default: the module ``DECODERS``) is captured BY VALUE
+    in the task closure: Python workers are separate processes that
+    re-import this module, so a mutated module global would silently not
+    ship -- pass the registry explicitly to customize.
     """
+    decoders = dict(DECODERS if decoders is None else decoders)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,7 +101,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "height": None,
                     "status": "ok",
                 }
-                decoder = DECODERS.get(mime)
+                decoder = decoders.get(mime)
                 if decoder is None:
                     rec["status"] = "unknown_mime"
                 else:

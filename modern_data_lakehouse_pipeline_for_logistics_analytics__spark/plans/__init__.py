@@ -102,6 +102,7 @@ _PRIORITY = [
     "percentile_disc_prices",
     "bitwise_line_flags",
     "embedding_neardup_lsh",
+    "sample_deterministic_split",
 ]
 
 

@@ -178,6 +178,31 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_deterministic_split",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split by content-free key hash -- the
+    reproducible-sampling primitive a training pipeline needs (same doc
+    lands in the same split on every run, every engine, any partitioning;
+    ``df.sample`` is seed-AND-partitioning dependent and can never be
+    cross-engine verified).  2/16 of the md5 hex space -> 12.5% holdout."""
+    d = _t(spark, sf_dir, "documents")
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.when(shard.isin("0", "1"), "holdout").otherwise("train").alias("split"),
+    )
+
+
+@register(
     "bitwise_line_flags",
     oracle="""
     SELECT l_orderkey,

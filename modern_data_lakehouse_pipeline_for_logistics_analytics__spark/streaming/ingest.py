@@ -56,6 +56,51 @@ def stream_bronze_to_silver(
     )
 
 
+def stream_merge_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    target_path: str,
+    key: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming row-level upsert: each micro-batch MERGEs into the
+    target table via ``sources.delta.merge_into`` (native ``MERGE INTO``
+    under Delta -- txn-log exactly-once; staged parquet rewrite
+    otherwise).
+
+    This is the ``foreachBatch`` pattern that closes SURVEY T4's
+    "streaming exactly-once" claim: the checkpoint makes each source file
+    process once, and keyed MERGE makes a replayed batch idempotent
+    (same keys -> same final rows), so the sink state is correct under
+    either failure mode.  Within a batch, the latest row per key wins
+    deterministically (max by the remaining columns' struct).
+    """
+    from ..sources.delta import merge_into
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        payload = [c for c in batch_df.columns if c != key]
+        deduped = (
+            batch_df.groupBy(key)
+            .agg(F.max(F.struct(*payload)).alias("__p"))
+            .select(key, *[F.col(f"__p.{c}").alias(c) for c in payload])
+        )
+        merge_into(batch_df.sparkSession, target_path, deduped, key)
+
+    (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge)
+        .outputMode("update")
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     events_dir: str,

@@ -214,3 +214,45 @@ def test_multimodal_decode_contract(spark, sf_dir):
         assert 64 <= r.width < 256 and 64 <= r.height < 256 and r.n_bytes > 0
     for r in by_status["unknown_mime"] + by_status["decoder_unavailable"]:
         assert r.width is None and r.height is None
+
+
+def test_multimodal_decode_error_branch_and_batching(spark, sf_dir):
+    """Every status branch fires (including decode_error from a decoder
+    that raises mid-payload), and the Arrow batch size only changes HOW
+    the work is chunked, never the result -- the scale-realistic contract
+    (bounded memory per batch; corrupt payloads at 100 TB are a
+    certainty, and one must never fail a task)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import (
+        multimodal,
+    )
+
+    def _boom(payload: bytes):
+        raise ValueError("corrupt payload")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text").withColumn(
+        "mime",
+        F.when(F.col("doc_id") % 4 == 0, "image/corrupt")
+        .when(F.col("doc_id") % 4 == 1, "video/mp4")
+        .when(F.col("doc_id") % 4 == 2, "image/png")
+        .otherwise(F.col("mime")),
+    )
+    decoders = dict(multimodal.DECODERS)
+    decoders["image/corrupt"] = _boom  # by-value registry: ships in the closure
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        baseline = {
+            (r.doc_id, r.status, r.width)
+            for r in multimodal.decode_media(media, decoders).collect()
+        }
+        statuses = {s for _, s, _ in baseline}
+        assert statuses == {"ok", "unknown_mime", "decoder_unavailable", "decode_error"}
+        # tiny Arrow batches -> many decode_batches invocations, same rows
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small = {
+            (r.doc_id, r.status, r.width)
+            for r in multimodal.decode_media(media, decoders).collect()
+        }
+        assert small == baseline
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
