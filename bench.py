@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "histogram_price_buckets",
     "bitwise_line_flags",
     "window_ntile_spend_quartiles",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -250,6 +250,9 @@ def lsh_neardup_pairs(
     ``n_bands`` to push the miss probability down geometrically.
     Output: ``id_a, id_b, cos_sim`` (same schema as the exact operator).
     """
+    import numpy as np
+    import pandas as pd
+
     banded = banded_hyperplane_buckets(df, id_col, vec_col, n_bands, planes_per_band, dim)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
@@ -264,13 +267,32 @@ def lsh_neardup_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    joined = cands.join(va, "id_a").join(vb, "id_b")
+
+    # Vectorized verify: numpy row-wise dot per Arrow batch.  The
+    # interpreted zip_with/aggregate expression measured ~3x slower over
+    # the ~1M-candidate join at sf0.1 -- HOF lambdas don't codegen.
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["va"]), dtype=np.float64)
+            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            sims = np.round(
+                (A * B).sum(axis=1)
+                / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))),
+                6,
+            )
+            m = sims >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[m],
+                    "id_b": pdf["id_b"].to_numpy()[m],
+                    "cos_sim": sims[m],
+                }
+            )
+
+    return joined.mapInPandas(verify, schema="id_a long, id_b long, cos_sim double")
 
 
 def ivf_topk(

@@ -123,3 +123,49 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.array_max(tok_hashes).alias("max_tok_md5"),
         F.length(F.col(text_col)).cast("long").alias("n_chars_m"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document -- the keyword/feature-
+    extraction primitive, expressed entirely in codegen-able DataFrame
+    ops (explode -> two aggregations -> window top-k; no Python).
+
+    idf = ln((N+1)/(df_t+1)) (smoothed); score = tf * idf rounded half-up
+    at 6dp so ranking ties break identically across engines (term asc is
+    the final tie-break).  Shuffles: tokens by (doc, term), terms by term
+    for document frequency (broadcast back), docs by id for the top-k
+    window -- all map-side-combinable.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    n_docs = df.count()
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Document frequency as a COUNT OVER (PARTITION BY term) on the tf
+    # rows (each (doc, term) row is one document containing the term):
+    # one linear pipeline -- a separate dfreq aggregate + join would
+    # recompute the scan/explode/tf subtree once per branch (or force a
+    # cache of it).
+    from pyspark.sql import Window as _W
+
+    scored = tf.withColumn(
+        "df_t", F.count(F.lit(1)).over(_W.partitionBy("term"))
+    ).withColumn(
+        "score",
+        round_half_up(
+            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df_t") + 1)), 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "term", "tf", "df_t", "score", F.col("rnk").cast("long").alias("rnk")
+        )
+    )

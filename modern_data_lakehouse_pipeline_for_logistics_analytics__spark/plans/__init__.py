@@ -93,7 +93,9 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "embedding_neardup_pairs",
-    # (d) new this round
+    # (d) new this round -- oracle-backed first (a driver value-hash row
+    # is worth more than a rows-only row; entries past position 50 wait
+    # for the next round's window)
     "unpivot_lineitem_measures",
     "string_agg_names_per_segment",
     "histogram_price_buckets",
@@ -101,8 +103,9 @@ _PRIORITY = [
     "window_first_last_nth",
     "percentile_disc_prices",
     "bitwise_line_flags",
-    "embedding_neardup_lsh",
     "sample_deterministic_split",
+    "text_tfidf_top_terms",
+    "embedding_neardup_lsh",
 ]
 
 

@@ -119,3 +119,33 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-text digest + min/max token digests
     (2-hash MinHash; the rolling-hash family)."""
     return fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_t FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+             CAST(FLOOR(tf.tf * LN((n.n_docs + 1) / (dfreq.df_t + 1)) * 1000000 + 0.5)
+                  AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, df_t, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df_t, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc (keyword extraction): explode -> tf /
+    document-frequency aggregations -> broadcast idf join -> per-doc
+    top-k window.  Smoothed idf, half-up 6dp rounding, term tie-break."""
+    from ..operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
