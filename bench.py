@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
+    "tpch_q4_late_shipments",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q19_disjunctive_revenue",
     "join_range_ship_window",
     "asof_prev_error_per_event",
     "window_latest_line_per_order",

@@ -1,0 +1,111 @@
+"""Data-layout maintenance (the OPTIMIZE / ZORDER analogs a 100 TB
+lakehouse needs; SURVEY.md section 4 scale posture).
+
+Z-ordering: multi-dimensional clustering so parquet min/max row-group
+stats prune on EVERY clustered column, not just the lead sort key -- a
+plain (x, y) sort gives perfect x-skipping and zero y-skipping; the
+interleaved Morton key gives both columns ~sqrt(files) span reduction.
+
+Compaction: streaming ingest and per-date overwrites leave small files;
+read cost at scale is dominated by file-open overhead once file count
+explodes.  ``compact_path`` rewrites to a bounded file count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def morton_key(x_bucket: Column, y_bucket: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative int buckets into a
+    single Morton (Z-curve) key -- pure bitwise expressions, fully
+    codegen, no UDF."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key.bitwiseOR(
+                F.shiftleft(F.shiftright(x_bucket, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(y_bucket, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return key
+
+
+def zorder_by(df: DataFrame, col_x: str, col_y: str, bits: int = 16) -> DataFrame:
+    """Return ``df`` sorted by the Morton interleaving of the two columns'
+    equi-width buckets (bucket bounds from one cheap min/max agg at
+    plan-build time).  ``repartitionByRange`` on the key then
+    ``sortWithinPartitions`` writes files whose min/max stats are tight
+    on BOTH columns -- range-partition boundaries only affect file
+    sizing, never correctness, so per-job sampling is harmless here
+    (contrast global_ntile, where ranks must be exact)."""
+    stats = df.agg(
+        F.min(col_x).alias("xmin"),
+        F.max(col_x).alias("xmax"),
+        F.min(col_y).alias("ymin"),
+        F.max(col_y).alias("ymax"),
+    ).first()
+    n = (1 << bits) - 1
+
+    def bucket(c: str, lo, hi) -> Column:
+        span = (hi - lo) or 1
+        return F.least(
+            F.lit(n),
+            F.floor((F.col(c) - F.lit(lo)) / F.lit(span) * n).cast("long"),
+        )
+
+    key = morton_key(
+        bucket(col_x, stats["xmin"], stats["xmax"]),
+        bucket(col_y, stats["ymin"], stats["ymax"]),
+        bits,
+    )
+    return df.withColumn("__z", key).sortWithinPartitions("__z")
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` Z-ordered into ``n_files`` parquet files: range
+    partition on the Morton key (so files tile the Z-curve), sort within
+    partitions, drop the key."""
+    z = zorder_by(df, col_x, col_y, bits)
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_path(
+    spark: SparkSession,
+    path: str,
+    target_file_rows: int = 1_000_000,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet path into ceil(rows / target_file_rows) files
+    (staged sibling + swap, same pattern as the MERGE fallback).  Returns
+    the output file count.  At scale run per partition directory."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_file_rows))
+    out = df.repartition(n_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

@@ -39,6 +39,7 @@ def _load_all() -> None:
         "subqueries",
         "maintenance",
         "coverage2",
+        "tpch2",
     ):
         try:
             __import__(f"{__name__}.{mod}")

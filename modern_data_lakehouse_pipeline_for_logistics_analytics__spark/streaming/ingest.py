@@ -56,6 +56,34 @@ def stream_bronze_to_silver(
     )
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> None:
+    """Built-in streaming dedup: ``dropDuplicatesWithinWatermark`` keeps
+    one row per key while only holding state for the watermark horizon --
+    the bounded-state answer to at-least-once upstream delivery (the
+    unbounded-state ``dropDuplicates`` would OOM on an infinite stream;
+    the custom ``applyInPandasWithState`` variant in ``stateful.py`` is
+    the escape hatch when survivor choice must be deterministic)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+    (
+        deduped.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .outputMode("append")
+        .start(out_dir)
+        .awaitTermination()
+    )
+
+
 def stream_merge_upsert(
     spark: SparkSession,
     source_dir: str,

@@ -1,0 +1,60 @@
+"""Z-order clustering + compaction: the layout ops must demonstrably
+tighten per-file min/max spans on BOTH clustered columns (that's the
+entire point -- a lexicographic sort only prunes the lead column)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.layout import (
+    compact_path,
+    zorder_write,
+)
+
+
+def _file_spans(spark, path, col):
+    """(max-min) per parquet file for a column, as fraction of the full range."""
+    df = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+    spans = (
+        df.groupBy("__f")
+        .agg((F.max(col) - F.min(col)).alias("span"))
+        .collect()
+    )
+    full = df.agg(F.max(col) - F.min(col)).first()[0]
+    return [r.span / full for r in spans]
+
+
+def test_zorder_tightens_both_columns(spark, tmp_path):
+    # 64x64 uniform grid -> 4096 points, written as 16 z-ordered files
+    pts = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "z")
+    zorder_write(pts, zpath, "x", "y", n_files=16)
+
+    # baseline: lexicographic (x, y) sort into the same file count
+    lpath = str(tmp_path / "lex")
+    pts.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y").write.parquet(lpath)
+
+    zx, zy = _file_spans(spark, zpath, "x"), _file_spans(spark, zpath, "y")
+    lx, ly = _file_spans(spark, lpath, "x"), _file_spans(spark, lpath, "y")
+    # lexicographic: x prunes well but y spans ~the whole range per file
+    assert sum(ly) / len(ly) > 0.9
+    # z-order: BOTH columns' average span is bounded well below full range
+    assert sum(zx) / len(zx) < 0.5, f"x spans too wide: {sorted(zx)[-3:]}"
+    assert sum(zy) / len(zy) < 0.5, f"y spans too wide: {sorted(zy)[-3:]}"
+    # and no rows were lost or duplicated
+    assert spark.read.parquet(zpath).count() == 64 * 64
+
+
+def test_compact_path_bounds_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(1000).repartition(37).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 37
+    n = compact_path(spark, path, target_file_rows=500)
+    assert n == 2
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 2
+    assert spark.read.parquet(path).count() == 1000
