@@ -53,6 +53,38 @@ def read_json_multiline(
     return reader.json(path)
 
 
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Line-JSON scan that never drops OR fails on malformed records --
+    returns ``(good, quarantined)``.
+
+    At 100 TB some malformed records are a certainty; FAILFAST kills the
+    job on the first one and DROPMALFORMED silently loses data.
+    PERMISSIVE with ``columnNameOfCorruptRecord`` keeps the raw text of
+    every bad line so the quarantine frame can be audited/replayed.  The
+    frame is cached before splitting: Spark refuses a filter that
+    references only the corrupt column on an uncached scan (the parser
+    would need to re-run with a different required schema).
+    """
+    from pyspark.sql import functions as F
+
+    full_schema = schema.add(corrupt_col, "string")
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -50,3 +50,28 @@ def test_csv_untyped_matches_reference_behavior(spark, tmp_path_factory, sf_dir)
     write_csv(orders, root)
     back = read_csv(spark, root)
     assert all(f.dataType == StringType() for f in back.schema.fields)
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Malformed JSON lines land in the quarantine frame with their raw
+    text; good rows parse typed; nothing is dropped or fails the job."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.sources.readers import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, "name": BROKEN}\n'
+        'not json at all\n'
+    )
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    good, bad = read_jsonl_with_quarantine(spark, str(p), schema)
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    quarantined = [r[0] for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert any("BROKEN" in q for q in quarantined)
+    assert any("not json at all" in q for q in quarantined)
