@@ -296,10 +296,29 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     banded: DataFrame,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Docs sharing any (band_no, bucket) become candidate pairs.
     Self-join runs per bucket -- cost scales with sum(bucket^2), not
-    corpus^2."""
+    corpus^2.
+
+    ``max_bucket_size`` is the hot-bucket guard: a degenerate bucket
+    (e.g. millions of boilerplate-identical docs landing in one band
+    bucket) contributes size^2 pairs and dominates the join.  Buckets
+    above the cap are DROPPED from candidate generation -- a documented
+    recall trade: members of an over-full bucket are near-identical to
+    each other, so exact dedup or a re-band with more rows-per-band
+    should handle them; the default (None) keeps exact r1-compatible
+    output."""
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_no", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        banded = (
+            banded.join(sizes, ["band_no", "bucket"])
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(

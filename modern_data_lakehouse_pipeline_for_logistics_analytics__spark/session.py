@@ -47,6 +47,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE on runtime row-level filters (bloomFilter /
+        # semiJoinReduction): tempting at 100 TB, but they duplicate the
+        # join's build side as an injected subquery on the probe side --
+        # for this engine's self-joins over mapInPandas stages (LSH
+        # banding, shingles) that re-executes the Python stage and
+        # measured as a multi-minute stall at sf0.001.  Leave them at
+        # Spark's defaults; enable per-query only for pure-JVM fact
+        # joins.
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -256,3 +256,18 @@ def test_multimodal_decode_error_branch_and_batching(spark, sf_dir):
         assert small == baseline
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """The hot-bucket guard drops over-full band buckets from candidate
+    generation (size^2 blow-up control); uncapped output is unchanged."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = [(d, 0, 999) for d in range(10)] + [(100, 1, 7), (101, 1, 7)]
+    banded = spark.createDataFrame(rows, "doc long, band_no int, bucket long")
+    uncapped = lsh_candidate_pairs(banded)
+    assert uncapped.count() == 45 + 1  # C(10,2) from the hot bucket + 1
+    capped = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(banded, max_bucket_size=5).collect()}
+    assert capped == {(100, 101)}
