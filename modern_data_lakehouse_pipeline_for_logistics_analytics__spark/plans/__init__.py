@@ -106,6 +106,11 @@ _PRIORITY = [
     "bitwise_line_flags",
     "sample_deterministic_split",
     "text_tfidf_top_terms",
+    "profile_orders_columns",
+    "tpch_q4_late_shipments",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q19_disjunctive_revenue",
     "embedding_neardup_lsh",
 ]
 

@@ -178,6 +178,82 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_totalprice' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR) AS min_val,
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling (the data-quality report a training pipeline
+    runs before ingest): count / nulls / exact distinct / min / max per
+    column, emitted as one row per column.  ONE pass over the table --
+    all three columns' aggregates compute in a single HashAggregate and
+    the per-column rows are exploded from an inline array (the oracle's
+    UNION ALL formulation is the naive 3-scan version)."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            a
+            for c in ("o_totalprice", "o_orderpriority", "o_custkey")
+            for a in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            )
+        ],
+    )
+
+    def entry(c: str, mn: F.Column, mx: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n").alias("n"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            mn.alias("min_val"),
+            mx.alias("max_val"),
+        )
+
+    rows = F.array(
+        entry(
+            "o_totalprice",
+            F.round(F.col("mn_o_totalprice"), 2).cast("string"),
+            F.round(F.col("mx_o_totalprice"), 2).cast("string"),
+        ),
+        entry(
+            "o_orderpriority",
+            F.col("mn_o_orderpriority"),
+            F.col("mx_o_orderpriority"),
+        ),
+        entry(
+            "o_custkey",
+            F.col("mn_o_custkey").cast("string"),
+            F.col("mx_o_custkey").cast("string"),
+        ),
+    )
+    return agg.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@register(
     "sample_deterministic_split",
     oracle="""
     SELECT doc_id,

@@ -22,8 +22,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1994-07-01 00:00:00'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
       AND EXISTS (
         SELECT 1 FROM lineitem l
         WHERE l.l_orderkey = o.o_orderkey
@@ -32,13 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 shape: orders in a half-year window having at least one line
+    """Q4 shape: orders in a half-year window (1996H1; the fixture's orders span 1995-2001) having at least one line
     shipped >60 days after order date, counted by priority.  The
     correlated EXISTS with a date-arithmetic residual becomes one
     left-semi join; the date window is pushed into the orders scan."""
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-07-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = o.join(

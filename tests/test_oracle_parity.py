@@ -26,6 +26,10 @@ def duck(sf_dir):
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracle_parity(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
+    # A 0-row result matches a 0-row oracle trivially (caught live: a
+    # mis-aimed date window made tpch_q4 a vacuous pass) -- every
+    # registered oracle query must produce rows at every fixture scale.
+    assert df.count() > 0, f"{name}: vacuous (0 rows) at {sf_dir}"
     problems = compare(df, duck, ORACLE[name])
     assert not problems, f"{name}: " + "; ".join(problems[:10])
 
@@ -34,7 +38,7 @@ def test_oracle_parity(name, spark, sf_dir, duck):
 def test_rows_only_smoke(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: vacuous (0 rows) at {sf_dir}"
 
 
 def test_entry_smoke(spark):

@@ -27,3 +27,25 @@ def test_stratified_sample_by(spark, sf_dir_medium):
     for flag, frac in fractions.items():
         ratio = got.get(flag, 0) / base[flag]
         assert abs(ratio - frac) < 0.05, f"{flag}: {ratio} vs {frac}"
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir_medium):
+    """approx_percentile (t-digest-style sketch) must land within the
+    advertised rank-error bound of the exact percentile -- the 100 TB
+    substitute for exact per-group sorts (agg_median_stddev documents
+    exact as dim-group-only)."""
+    o = spark.read.parquet(f"{sf_dir_medium}/orders.parquet")
+    accuracy = 1000  # rank error <= n / accuracy
+    qs = [0.1, 0.5, 0.9]
+    approx = o.select(
+        F.percentile_approx("o_totalprice", qs, accuracy).alias("a")
+    ).first()["a"]
+    prices = sorted(r.o_totalprice for r in o.select("o_totalprice").collect())
+    n = len(prices)
+    import bisect
+
+    for q, a in zip(qs, approx):
+        rank = bisect.bisect_left(prices, a)
+        assert abs(rank - q * n) <= n / accuracy + 1, (
+            f"q={q}: approx {a} at rank {rank}, expected ~{q * n}"
+        )
