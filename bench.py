@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "bitwise_line_flags",
     "window_ntile_spend_quartiles",
     "text_tfidf_top_terms",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
 ]
 
 

@@ -40,6 +40,7 @@ def _load_all() -> None:
         "maintenance",
         "coverage2",
         "tpch2",
+        "product_analytics",
     ):
         try:
             __import__(f"{__name__}.{mod}")
@@ -111,6 +112,8 @@ _PRIORITY = [
     "tpch_q12_priority_by_returnflag",
     "tpch_q14_promo_revenue_share",
     "tpch_q19_disjunctive_revenue",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     "embedding_neardup_lsh",
 ]
 
