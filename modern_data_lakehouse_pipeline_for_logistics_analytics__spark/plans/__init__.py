@@ -114,6 +114,8 @@ _PRIORITY = [
     "tpch_q19_disjunctive_revenue",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "text_top_bigram_share",
+    "text_pii_pattern_counts",
     "embedding_neardup_lsh",
 ]
 

@@ -149,3 +149,101 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import tfidf_top_terms
 
     return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+@register(
+    "text_top_bigram_share",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram
+      FROM tok WHERE len(ts) >= 2),
+    counts AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    tops AS (
+      SELECT doc_id, bigram, c,
+             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rn
+      FROM counts)
+    SELECT doc_id, bigram AS top_bigram, CAST(c AS BIGINT) AS top_count, n_bigrams,
+           CAST(FLOOR((c / n_bigrams) * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
+             AS top_share
+    FROM tops WHERE rn = 1
+    """,
+)
+def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signal (pretraining quality filters flag
+    docs whose single most-frequent bigram dominates): per-doc top bigram
+    and its share of all bigram occurrences.  Integer-ratio share with
+    half-up 4dp rounding; deterministic tie-break on the bigram string.
+    One explode + one (doc, bigram) aggregate + per-doc window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenize
+    from ..operators.textstats import round_half_up
+
+    d = _docs(spark, sf_dir)
+    toks = tokenize("text")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    bg = d.filter(F.size(toks) >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    wdoc = Window.partitionBy("doc_id")
+    wtop = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bigram"))
+    return (
+        counts.withColumn("n_bigrams", F.sum("c").over(wdoc).cast("long"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("c").cast("long").alias("top_count"),
+            "n_bigrams",
+            round_half_up(F.col("c") / F.col("n_bigrams"), 4).alias("top_share"),
+        )
+    )
+
+
+@register(
+    "text_pii_pattern_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[\\w.+-]+@[\\w-]+\\.[\\w.]+')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\d{3}[-.]\\d{3,4}[-.]\\d{4}')) AS BIGINT)
+             AS n_phoneish,
+           CAST(len(regexp_extract_all(text, '\\d{4,}')) AS BIGINT) AS n_long_digit_runs
+    FROM documents
+    """,
+)
+def q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern scan (governance filter stage): per-doc counts of
+    email-shaped, phone-shaped, and long-digit-run matches -- pure
+    codegen regexp, one narrow projection.  Zero matches on clean docs
+    is the expected output, not an error (one row per doc regardless)."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+
+    def n(pattern: str) -> F.Column:
+        return F.size(F.regexp_extract_all(t, F.lit(f"({pattern})"), 1)).cast("long")
+
+    return d.select(
+        "doc_id",
+        n(r"[\w.+-]+@[\w-]+\.[\w.]+").alias("n_emails"),
+        n(r"\d{3}[-.]\d{3,4}[-.]\d{4}").alias("n_phoneish"),
+        n(r"\d{4,}").alias("n_long_digit_runs"),
+    )
