@@ -116,6 +116,7 @@ _PRIORITY = [
     "cohort_weekly_retention",
     "text_top_bigram_share",
     "text_pii_pattern_counts",
+    "topn_orders_per_customer",
     "embedding_neardup_lsh",
 ]
 

@@ -147,6 +147,32 @@ def q_lag_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topn_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-limit (top-3 orders per customer): the rank-filter shape
+    Spark rewrites into WindowGroupLimit, so each partition keeps only
+    3 rows per key BEFORE the full window sort materializes."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
     "window_ntile_spend_quartiles",
     oracle="""
     SELECT o_orderkey,

@@ -82,3 +82,12 @@ def test_narrow_queries_read_pruned_schema(spark, sf_dir, name):
     p = _plan(spark, sf_dir, name)
     read = p.split("ReadSchema:", 1)[1].splitlines()[0]
     assert len(read.split(",")) <= 6, f"scan reads too many columns: {read}"
+
+
+def test_topn_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank<=N filter must rewrite to WindowGroupLimit (partial stage
+    keeps N rows per key BEFORE the shuffle -- at scale this is the
+    difference between shuffling 3 rows/key and the whole fact table)."""
+    p = _plan(spark, sf_dir, "topn_orders_per_customer")
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p.split("WindowGroupLimit", 2)[-1] or p.count("WindowGroupLimit") >= 2
