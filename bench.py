@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "text_tfidf_top_terms",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "topn_orders_per_customer",
+    "profile_orders_columns",
+    "text_top_bigram_share",
 ]
 
 

@@ -178,27 +178,33 @@ def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs whose single most-frequent bigram dominates): per-doc top bigram
     and its share of all bigram occurrences.  Integer-ratio share with
     half-up 4dp rounding; deterministic tie-break on the bigram string.
-    One explode + one (doc, bigram) aggregate + per-doc window."""
+
+    Bigram extraction is one narrow Arrow-batched mapInPandas pass --
+    the transform/element_at higher-order-expression version is
+    interpreted (no codegen) and measured 3x slower at sf0.1, the same
+    lesson as ``operators.dedup.shingle_sets``.  Tokenization matches the
+    oracle's split(lower(trim(x)), '\\s+') exactly."""
+    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import tokenize
+    from ..operators.dedup import _spread
     from ..operators.textstats import round_half_up
 
-    d = _docs(spark, sf_dir)
-    toks = tokenize("text")
-    idx = F.sequence(F.lit(0), F.size(toks) - 2)
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, (i + 1).cast("int")),
-            F.element_at(toks, (i + 2).cast("int")),
-        ),
-    )
-    bg = d.filter(F.size(toks) >= 2).select(
-        "doc_id", F.explode(bigrams).alias("bigram")
-    )
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for doc, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.lower().strip().split()
+                ids.extend([doc] * max(0, len(toks) - 1))
+                grams.extend(
+                    " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+                )
+            yield pd.DataFrame({"doc_id": ids, "bigram": grams})
+
+    d = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
+    bg = d.mapInPandas(gen, schema="doc_id long, bigram string")
     counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
     wdoc = Window.partitionBy("doc_id")
     wtop = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bigram"))
