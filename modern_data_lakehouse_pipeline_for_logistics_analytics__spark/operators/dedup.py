@@ -339,14 +339,22 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     num_perm: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: banded bucket rows -> candidate
     pairs -> exact-Jaccard verification of the CANDIDATE PAIRS ONLY
     (``jaccard_verify_pairs``).  The verify cost is O(candidate docs x
     shingles); the full-corpus pairwise ``jaccard_pairs`` never runs --
-    that corpus^2-ish join is exactly what LSH banding exists to avoid."""
+    that corpus^2-ish join is exactly what LSH banding exists to avoid.
+
+    The hot-bucket guard is ON by default (``max_bucket_size=10_000``): a
+    degenerate corpus (millions of boilerplate-identical docs) would
+    otherwise put size^2 candidate pairs through one bucket's self-join.
+    Buckets above the cap are dropped -- the recall trade is documented on
+    ``lsh_candidate_pairs``; over-full buckets hold near-identical docs
+    that exact dedup catches upstream.  Pass ``None`` to disable."""
     banded = minhash_band_buckets(df, id_col, text_col, num_perm, bands)
-    cands = lsh_candidate_pairs(banded)
+    cands = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold)
     return verified.select("doc_a", "doc_b", "jaccard")
 
@@ -409,9 +417,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     chain converges in 3 rounds, not 8.  At billion-edge scale the same
     two primitives become the alternating large-star/small-star rounds.
 
-    Fixpoint detection costs ONE action per round: ``sum(canonical)`` is
-    a strictly-decreasing potential (labels only ever shrink), so an
-    unchanged sum == elementwise fixpoint -- no old-vs-new join.
+    Fixpoint detection costs ONE action per round: each round carries a
+    ``changed`` flag (new canonical != old canonical, computed inside the
+    round's own projection -- no old-vs-new join), and ``sum(changed)``
+    == 0 means elementwise fixpoint.  Type-agnostic: works for string doc
+    ids as well as numeric (a ``sum(canonical)`` potential would CAST-fail
+    on strings under ANSI, or silently compare None==None with ANSI off
+    and exit unconverged).
 
     Each round's labels are ``localCheckpoint``-ed (eager), which both
     pins the data AND truncates the logical plan: the new frame
@@ -435,7 +447,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("canonical", F.col("doc"))
         .localCheckpoint()
     )
-    prev_potential = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc"])
@@ -446,6 +457,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             neighbor_min, labels["doc"] == neighbor_min["src"], "left"
         ).select(
             "doc",
+            F.col("canonical").alias("__old"),
             F.least(
                 F.col("canonical"), F.coalesce(F.col("nbr_min"), F.col("canonical"))
             ).alias("canonical"),
@@ -457,24 +469,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         jump = labels.select(
             F.col("doc").alias("j_doc"), F.col("canonical").alias("j_can")
         )
+        new_canonical = F.least(
+            F.col("canonical"), F.coalesce(F.col("j_can"), F.col("canonical"))
+        )
         new_labels = (
             stepped.join(jump, stepped["canonical"] == jump["j_doc"], "left")
             .select(
                 "doc",
-                F.least(
-                    F.col("canonical"), F.coalesce(F.col("j_can"), F.col("canonical"))
-                ).alias("canonical"),
+                new_canonical.alias("canonical"),
+                (new_canonical != F.col("__old")).cast("long").alias("__changed"),
             )
             .localCheckpoint()  # eager: materializes AND cuts lineage
         )
-        potential = new_labels.agg(F.sum("canonical")).first()[0]
+        n_changed = new_labels.agg(F.sum("__changed")).first()[0]
         _unpersist_checkpoint(labels)  # successor is materialized; safe
         labels = new_labels
-        if potential == prev_potential:
+        if not n_changed:
             break
-        prev_potential = potential
     edges.unpersist()
-    return labels
+    return labels.drop("__changed")
 
 
 def _unpersist_checkpoint(df: DataFrame) -> None:

@@ -94,8 +94,19 @@ def compact_path(
     sort_within: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet path into ceil(rows / target_file_rows) files
-    (staged sibling + swap, same pattern as the MERGE fallback).  Returns
-    the output file count.  At scale run per partition directory."""
+    (staged sibling + swap).  Returns the output file count.  At scale run
+    per partition directory.
+
+    Swap order is crash-safe: write the compacted copy to a staging
+    sibling, RENAME the live table aside, promote the staging copy, then
+    delete the old copy.  There is no instant with no table at ``path``
+    whose data exists nowhere else: a crash before the promote leaves the
+    original (at ``path`` or at ``path.__compact_old``), a crash after it
+    leaves the compacted table plus a stale ``.__compact_old`` to sweep.
+    (The earlier rmtree-then-move ordering had a window where the only
+    copy was the tmp dir under a non-table name.)  Local-fs rename
+    semantics; on an object store use the table format's transactional
+    OPTIMIZE instead -- documented limitation, not a scale path."""
     import shutil
 
     df = spark.read.parquet(path)
@@ -105,7 +116,9 @@ def compact_path(
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    shutil.move(path, old)   # original intact under a recoverable name
+    shutil.move(tmp, path)   # promote the compacted copy
+    shutil.rmtree(old)       # only now is the original deleted
     return n_files

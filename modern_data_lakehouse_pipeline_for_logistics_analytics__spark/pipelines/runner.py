@@ -7,15 +7,72 @@ boundaries (each stage reads what the previous wrote -- restartable,
 idempotent) in one deterministic Python entry point; schedulers call
 ``run_medallion_day`` per date and get the reference's daily semantics
 without the 7-day rewrite.
+
+Retry/alerting parity: the reference's DAG gives every task
+``retries=2`` with a 1-minute delay (`scheduling/orchestration.py:44-45,
+124-125,137,146`) and a ``send_failure_notification`` task gated on
+``trigger_rule="one_failed"`` (`orchestration.py:150-167`).
+``run_with_retries`` reproduces both semantics engine-side: per-stage
+bounded retries with a delay, and an ``on_failure`` hook invoked ONCE
+with the failing stage's name and final exception -- the stage sequence
+stops there, exactly like a downstream-skipping DAG failure.
 """
 
 from __future__ import annotations
+
+import time
+from typing import Callable
 
 from pyspark.sql import SparkSession
 
 from .bronze import generate_bronze_day, write_bronze_json
 from .gold import build_gold_tables, write_gold
 from .silver import read_bronze, silver_transform, write_silver
+
+
+class StageFailure(RuntimeError):
+    """A stage exhausted its retries; ``.stage`` names it."""
+
+    def __init__(self, stage: str, cause: BaseException):
+        super().__init__(f"stage {stage!r} failed after retries: {cause}")
+        self.stage = stage
+        self.__cause__ = cause
+
+
+def run_with_retries(
+    stages: list[tuple[str, Callable[[], object]]],
+    retries: int = 2,
+    retry_delay_sec: float = 60.0,
+    on_failure: Callable[[str, BaseException], None] | None = None,
+    _sleep: Callable[[float], None] = time.sleep,
+) -> dict[str, object]:
+    """Run named stages in order; each gets ``retries`` re-attempts with
+    ``retry_delay_sec`` between them (Airflow ``retries``/``retry_delay``
+    parity).  On final failure the ``on_failure`` hook fires once (the
+    one_failed notification task) and ``StageFailure`` propagates --
+    downstream stages never run, matching DAG dependency semantics.
+    Returns {stage_name: result} for completed stages.  Transient
+    failures (a flaky object-store PUT, a warehouse deadlock) therefore
+    self-heal without rerunning completed stages -- each stage reads what
+    the previous one committed to the lake, so a retry re-executes only
+    its own idempotent write."""
+    results: dict[str, object] = {}
+    for name, fn in stages:
+        last_exc: BaseException | None = None
+        for attempt in range(retries + 1):
+            if attempt:
+                _sleep(retry_delay_sec)
+            try:
+                results[name] = fn()
+                last_exc = None
+                break
+            except Exception as exc:  # noqa: BLE001 -- stage boundary
+                last_exc = exc
+        if last_exc is not None:
+            if on_failure is not None:
+                on_failure(name, last_exc)
+            raise StageFailure(name, last_exc)
+    return results
 
 
 def run_medallion_day(
@@ -70,3 +127,59 @@ def run_medallion(
     each date writes only its own partitions (dynamic partition
     overwrite), so re-running any subset is safe."""
     return {d: run_medallion_day(spark, lake_root, d, n_records) for d in dates}
+
+
+def run_medallion_day_retried(
+    spark: SparkSession,
+    lake_root: str,
+    date_str: str,
+    n_records: int = 1000,
+    generate: bool = True,
+    retries: int = 2,
+    retry_delay_sec: float = 60.0,
+    on_failure=None,
+) -> dict[str, object]:
+    """``run_medallion_day`` split at the reference's task boundaries
+    (bronze / silver / gold) under ``run_with_retries``: each stage's
+    write is idempotent (dynamic partition overwrite), so a retry redoes
+    only the failed stage, and a final failure fires the notification
+    hook and skips downstream -- the full orchestration contract of
+    `scheduling/orchestration.py` without an Airflow dependency."""
+    bronze_root = f"{lake_root}/bronze"
+    silver_root = f"{lake_root}/silver"
+    gold_root = f"{lake_root}/gold/{date_str}"
+
+    def bronze() -> int:
+        if generate:
+            write_bronze_json(
+                generate_bronze_day(spark, date_str, n_records), bronze_root, date_str
+            )
+        return read_bronze(spark, f"{bronze_root}/{date_str}").count()
+
+    silver_rows = {"n": 0}
+
+    def silver() -> int:
+        df_bronze = read_bronze(spark, f"{bronze_root}/{date_str}")
+        if df_bronze.isEmpty():
+            return 0
+        write_silver(silver_transform(df_bronze, date_str), silver_root)
+        n = spark.read.parquet(silver_root).filter(f"load_date = '{date_str}'").count()
+        silver_rows["n"] = n
+        return n
+
+    def gold() -> int:
+        # Empty-input guard (T3): a date with no silver rows skips gold,
+        # mirroring run_medallion_day's early return.
+        if not silver_rows["n"]:
+            return 0
+        back = spark.read.parquet(silver_root).filter(f"load_date = '{date_str}'")
+        tables = build_gold_tables(back)
+        write_gold(tables, gold_root)
+        return len(tables)
+
+    return run_with_retries(
+        [("bronze", bronze), ("silver", silver), ("gold", gold)],
+        retries=retries,
+        retry_delay_sec=retry_delay_sec,
+        on_failure=on_failure,
+    )

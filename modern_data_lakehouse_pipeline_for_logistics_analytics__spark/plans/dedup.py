@@ -83,13 +83,71 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
 
 
-@register("dedup_clusters")  # transitive closure -> no SQL oracle (rows-only)
+# The exact-Jaccard >= 0.7 pair set, shared by the dedup_clusters oracle:
+# pairs are a ratio of integer counts (bit-identical across engines), so
+# the edge set the recursive closure runs on is engine-independent.
+_SQL_PAIRS_07 = """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1)])) AS s
+      FROM tok),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(FLOOR((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) AS BIGINT)
+              / CAST(10000.0 AS DOUBLE) >= 0.7)
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_PAIRS_07.strip().removeprefix("WITH ")},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc, edges.dst
+      FROM reach JOIN edges ON reach.r = edges.src)
+    SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup endgame: MinHash-LSH pairs collapsed into connected
-    components with a canonical (min-id) doc per cluster -- what a
-    training pipeline actually drops/keeps.  Cluster correctness
-    (transitive closure vs a union-find oracle) is proven in
+    """Dedup endgame: near-dup pairs collapsed into connected components
+    with a canonical (min-id) doc per cluster -- what a training pipeline
+    actually drops/keeps.  The edge set here is the EXACT verified pair
+    set (Jaccard >= 0.7, integer-ratio deterministic), which DuckDB can
+    reproduce and close transitively via WITH RECURSIVE -- giving the
+    iterative pointer-jumping operator a full value-hash oracle.  The
+    production-scale composition (LSH candidates -> verify -> cluster) is
+    ``dedup_clusters_lsh`` below; LSH-vs-exact pair-set equality on the
+    fixture and union-find cluster equivalence are proven in
     tests/test_northstar.py."""
+    pairs = jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
+    return connected_components(pairs)
+
+
+@register("dedup_clusters_lsh")  # xxhash-free but LSH recall-dependent -> rows-only
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB composition: MinHash-LSH candidates -> exact-Jaccard
+    verify -> connected components.  Same output as ``dedup_clusters``
+    whenever LSH recall is 1.0 (proven on the fixture in
+    tests/test_northstar.py); registered rows-only because banding recall
+    is probabilistic in general."""
     pairs = minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
     return connected_components(pairs)
 

@@ -3,8 +3,15 @@ reference defers to its warehouse (`README.md:41-43`), expressed Spark-first
 over the TPC-H-ish fixtures.
 
 Physical intent (checked with .explain("formatted")):
-  - dim chains (customer->nation->region) broadcast: fact side never
-    shuffles for enrichment.
+  - BOUNDED dims (nation 25 rows, region 5 rows -- fixed by the data
+    model at any SF) carry an explicit ``F.broadcast`` hint: they are
+    broadcast-safe forever.
+  - SF-SCALED tables (customer, supplier, part) are NEVER force-hinted:
+    an explicit hint overrides ``autoBroadcastJoinThreshold`` AND AQE's
+    runtime size check, so at sf100 (~15M customers) a forced broadcast
+    becomes an executor OOM instead of a graceful SMJ fallback.  AQE
+    (on in ``session.py``) still broadcasts them at small SF from
+    observed sizes -- same local plan, safe 100x scale-up.
   - fact<->fact (orders<->lineitem) shuffles on the join key once; AQE
     picks SMJ vs shuffled-hash by observed sizes.
 """
@@ -36,13 +43,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact -> dim-chain enrichment, every dim broadcast (fact side never
-    shuffles until the final group-by)."""
+    """Fact -> dim-chain enrichment.  nation/region (bounded) broadcast by
+    hint; customer is SF-scaled so AQE picks its strategy from observed
+    size (broadcast at this SF, SMJ at sf100)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    df = dim_join(orders, cust, on=orders["o_custkey"] == cust["c_custkey"], how="inner")
+    df = dim_join(
+        orders, cust, on=orders["o_custkey"] == cust["c_custkey"], how="inner",
+        broadcast_dim=False,
+    )
     df = dim_join(df, nation, on=df["c_nationkey"] == nation["n_nationkey"], how="inner")
     df = dim_join(df, region, on=df["n_regionkey"] == region["r_regionkey"], how="inner")
     return df.groupBy("r_name").agg(
@@ -68,8 +79,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: filtered dim broadcast + fact-fact equi-join + top-k.
-    Filters sit on the scans (pushdown); top-k is TakeOrderedAndProject."""
+    """TPC-H Q3: filtered customer join + fact-fact equi-join + top-k.
+    Filters sit on the scans (pushdown); top-k is TakeOrderedAndProject.
+    customer is SF-scaled (no forced hint); AQE broadcasts the filtered
+    single-column side while it fits, SMJ beyond."""
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
     cust = (
         _t(spark, sf_dir, "customer")
@@ -79,7 +92,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     df = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
@@ -119,9 +132,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
     df = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
@@ -193,8 +206,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     df = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -234,7 +247,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     df = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

@@ -10,7 +10,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.textstats import round_half_up, sql_round_half_up
 from .registry import register, table_path
+
+# Per-row revenue in exact integer ten-thousandths (half-up floor) -- the
+# same cross-engine posture tpch_q7 uses (plans/joins.py): summing exact
+# integers removes float-summation-order ambiguity, and the final rounding
+# uses floor(x*10^d + 0.5) on BOTH engines instead of the engines' native
+# ROUND (Spark HALF_UP decimal-string vs DuckDB binary -- the r1 q7
+# hash-FAIL knife-edge).
+_SQL_REV_E4 = "CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)"
+
+
+def _rev_e4() -> F.Column:
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,37 +101,44 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q14_promo_revenue_share",
-    oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+    oracle=f"""
+    SELECT {sql_round_half_up(
+        "100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN " + _SQL_REV_E4 + " ELSE 0 END) AS DOUBLE)"
+        " / CAST(SUM(" + _SQL_REV_E4 + ") AS DOUBLE)", 4)} AS promo_share_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
     """,
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14 shape: promotion revenue share -- ratio of conditional sums
-    over a broadcast part join; one aggregate row.  4dp rounding absorbs
-    summation-order ulps (same posture as tpch_q6)."""
+    """Q14 shape: promotion revenue share -- ratio of conditional sums over
+    a part join; one aggregate row.  Exact-integer per-row revenue + one
+    deterministic double division + half-up floor rounding on both engines
+    (the q7 playbook).  No forced broadcast: part scales with SF, so the
+    hint is left to AQE's size estimate (a forced hint would override
+    autoBroadcastJoinThreshold and OOM executors at sf100)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    promo_e4 = F.when(F.col("p_type") == "PROMO", _rev_e4()).otherwise(F.lit(0).cast("long"))
+    share = (
+        F.lit(100.0)
+        * F.sum(promo_e4).cast("double")
+        / F.sum(_rev_e4()).cast("double")
+    )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_share_pct"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(round_half_up(share, 4).alias("promo_share_pct"))
     )
 
 
 @register(
     "tpch_q19_disjunctive_revenue",
-    oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT {sql_round_half_up(
+        "CAST(SUM(" + _SQL_REV_E4 + ") AS DOUBLE) / 10000.0", 2)} AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -129,8 +151,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19 shape: OR-of-ANDs across both join sides.  Catalyst extracts
     the per-side disjunction closures (brand/size to the part scan,
-    quantity bounds to the lineitem scan) before the broadcast join --
-    the classic disjunctive-pushdown test."""
+    quantity bounds to the lineitem scan) before the join -- the classic
+    disjunctive-pushdown test.  Revenue summed as exact integer e4 then
+    half-up rounded to 2dp on both engines (q7 playbook).  part is
+    SF-scaled, so no forced broadcast -- AQE decides."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -142,11 +166,9 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            round_half_up(F.sum(_rev_e4()).cast("double") / F.lit(10000.0), 2).alias("revenue")
         )
     )

@@ -74,6 +74,8 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return (
-        out.join(F.broadcast(varying), "o_custkey")
+        # left_semi: varying is per-customer (SF-scaled) -- no forced
+        # broadcast hint; AQE picks the strategy from observed size.
+        out.join(varying, "o_custkey", "left_semi")
         .select("o_custkey", "o_orderkey", "zscore")
     )

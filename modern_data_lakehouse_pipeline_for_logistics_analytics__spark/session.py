@@ -16,6 +16,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def s3a_conf(s3a: dict) -> dict[str, str]:
+    """The S3A config block as plain data (the testable seam: the sandbox
+    ships no hadoop-aws jar or object store, so the exact key/value
+    mapping is unit-tested and the live round-trip is skip-gated in
+    tests/test_s3a.py).  Same knobs the reference sets
+    (`Silver_tranformation.py:31-37`); endpoint/credentials always come
+    from the caller -- never hardcoded."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": s3a["endpoint"],
+        "spark.hadoop.fs.s3a.access.key": s3a["access_key"],
+        "spark.hadoop.fs.s3a.secret.key": s3a["secret_key"],
+        "spark.hadoop.fs.s3a.path.style.access": "true",
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    }
+
+
 def build_session(
     app_name: str = "modern-data-lakehouse-spark",
     master: str | None = None,
@@ -61,15 +77,8 @@ def build_session(
     else:
         builder = builder.config("spark.sql.shuffle.partitions", "32")
     if s3a:
-        # Same knobs the reference sets (Silver_tranformation.py:31-37), off by
-        # default; pass endpoint/access/secret explicitly -- never hardcoded.
-        builder = (
-            builder.config("spark.hadoop.fs.s3a.endpoint", s3a["endpoint"])
-            .config("spark.hadoop.fs.s3a.access.key", s3a["access_key"])
-            .config("spark.hadoop.fs.s3a.secret.key", s3a["secret_key"])
-            .config("spark.hadoop.fs.s3a.path.style.access", "true")
-            .config("spark.hadoop.fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
-        )
+        for k, v in s3a_conf(s3a).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

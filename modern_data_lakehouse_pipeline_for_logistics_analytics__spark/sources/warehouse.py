@@ -34,12 +34,26 @@ _DDL_TYPES = {
 }
 
 
+#: Keys the writer derives from its positional arguments; a caller's
+#: ``options`` dict silently overriding one of these would redirect the
+#: load (wrong url/table/mode) with no error.
+_RESERVED_JDBC_KEYS = frozenset({"format", "mode", "url", "dbtable", "load_date"})
+
+
 def jdbc_plan(
     url: str, table: str, load_date: str, options: dict | None = None, mode: str = "append"
 ) -> dict:
     """The fully-resolved JDBC writer configuration as plain data -- the
     unit tests assert against this, keeping the untestable part of
-    ``write_jdbc`` (the driverful ``save()``) one line."""
+    ``write_jdbc`` (the driverful ``save()``) one line.  Reserved keys in
+    ``options`` are rejected loudly instead of clobbering the positional
+    arguments."""
+    clash = _RESERVED_JDBC_KEYS & set(options or {})
+    if clash:
+        raise ValueError(
+            f"options may not override reserved JDBC keys {sorted(clash)}; "
+            "pass url/table/mode as positional arguments"
+        )
     plan = {"format": "jdbc", "mode": mode, "url": url, "dbtable": table,
             "load_date": load_date}
     plan.update(options or {})

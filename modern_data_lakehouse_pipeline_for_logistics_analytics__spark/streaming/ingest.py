@@ -91,6 +91,7 @@ def stream_merge_upsert(
     target_path: str,
     key: str,
     checkpoint_dir: str,
+    ts_col: str,
 ) -> None:
     """Streaming row-level upsert: each micro-batch MERGEs into the
     target table via ``sources.delta.merge_into`` (native ``MERGE INTO``
@@ -101,8 +102,11 @@ def stream_merge_upsert(
     "streaming exactly-once" claim: the checkpoint makes each source file
     process once, and keyed MERGE makes a replayed batch idempotent
     (same keys -> same final rows), so the sink state is correct under
-    either failure mode.  Within a batch, the latest row per key wins
-    deterministically (max by the remaining columns' struct).
+    either failure mode.  Within a batch, the LATEST row per key wins:
+    ``max(struct(ts_col, payload...))`` orders by the event timestamp
+    FIRST (a bare payload struct would order by schema position and pick
+    max-by-value, not latest); equal-``ts_col`` ties break by payload
+    values, keeping the survivor deterministic under replay.
     """
     from ..sources.delta import merge_into
 
@@ -112,9 +116,12 @@ def stream_merge_upsert(
         if batch_df.isEmpty():
             return
         payload = [c for c in batch_df.columns if c != key]
+        latest = F.max(
+            F.struct(F.col(ts_col).alias("__ts"), *[F.col(c) for c in payload])
+        ).alias("__p")
         deduped = (
             batch_df.groupBy(key)
-            .agg(F.max(F.struct(*payload)).alias("__p"))
+            .agg(latest)
             .select(key, *[F.col(f"__p.{c}").alias(c) for c in payload])
         )
         merge_into(batch_df.sparkSession, target_path, deduped, key)

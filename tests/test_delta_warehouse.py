@@ -98,3 +98,17 @@ def test_delta_replace_where(spark, tmp_path):
     )
     got = {(r.k, r.load_date) for r in read_table(spark, path).collect()}
     assert got == {(1, "2024-01-01"), (9, "2024-01-02")}
+
+
+def test_jdbc_plan_rejects_reserved_keys():
+    """Caller options must not silently clobber the writer's positional
+    url/dbtable/mode (a typo'd options dict would otherwise redirect the
+    whole load)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved"):
+        jdbc_plan("jdbc:postgresql://wh/db", "gold.t", "2024-06-01",
+                  options={"url": "jdbc:postgresql://evil/db"})
+    with pytest.raises(ValueError, match="reserved"):
+        jdbc_plan("jdbc:postgresql://wh/db", "gold.t", "2024-06-01",
+                  options={"mode": "overwrite", "numPartitions": "8"})

@@ -58,3 +58,39 @@ def test_compact_path_bounds_file_count(spark, tmp_path):
     files = glob.glob(f"{path}/part-*.parquet")
     assert len(files) == 2
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_compact_path_no_staging_leftovers(spark, tmp_path):
+    path = str(tmp_path / "clean")
+    spark.range(100).write.parquet(path)
+    compact_path(spark, path, target_file_rows=1000)
+    assert glob.glob(f"{path}.__compact_*") == []
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_path_crash_window_recoverable(spark, tmp_path, monkeypatch):
+    """A crash at ANY point of the swap must leave a complete copy of the
+    data on disk.  Simulate the worst case -- dying during the final
+    cleanup -- and check the promoted table is live and the original
+    still exists under the recovery name (the pre-fix rmtree-then-move
+    ordering had already destroyed the only copy at this point)."""
+    import shutil
+
+    path = str(tmp_path / "crashy")
+    spark.range(500).repartition(9).write.parquet(path)
+
+    real_rmtree = shutil.rmtree
+
+    def dying_rmtree(p, *a, **kw):
+        raise OSError("simulated crash during old-copy cleanup")
+
+    monkeypatch.setattr(shutil, "rmtree", dying_rmtree)
+    try:
+        compact_path(spark, path, target_file_rows=500)
+    except OSError:
+        pass
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    # Promoted table is live and complete...
+    assert spark.read.parquet(path).count() == 500
+    # ...and the original survives under the recovery name.
+    assert spark.read.parquet(f"{path}.__compact_old").count() == 500

@@ -271,3 +271,55 @@ def test_lsh_hot_bucket_cap(spark):
     assert uncapped.count() == 45 + 1  # C(10,2) from the hot bucket + 1
     capped = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(banded, max_bucket_size=5).collect()}
     assert capped == {(100, 101)}
+
+
+def test_connected_components_string_ids(spark):
+    """String doc ids must converge to the lexicographic-min canonical --
+    the old sum(canonical) fixpoint either CAST-crashed on strings (ANSI)
+    or silently exited after one round unconverged (None == None).  The
+    length-8 chain needs >1 propagation round, so an early exit would
+    leave the tail pointing at an intermediate label."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(f"d{i}", f"d{i+1}") for i in range(7)]
+    pairs = spark.createDataFrame(chain + [("x", "y")], "doc_a string, doc_b string")
+    got = {r.doc: r.canonical for r in connected_components(pairs).collect()}
+    assert got == {**{f"d{i}": "d0" for i in range(8)}, "x": "x", "y": "x"}
+
+
+def test_minhash_lsh_degenerate_corpus_bounded(spark):
+    """A boilerplate corpus (hundreds of identical docs -> every band
+    bucket holds them all) must complete with a bounded candidate count:
+    the flagship ``minhash_lsh_dedup`` wires the hot-bucket guard in BY
+    DEFAULT, dropping over-full buckets.  The dropped docs are byte-equal,
+    which exact dedup upstream collapses -- that's the documented recall
+    trade."""
+    import inspect
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_dedup,
+    )
+
+    # Guard is on by default in the flagship entry point.
+    default = inspect.signature(minhash_lsh_dedup).parameters["max_bucket_size"].default
+    assert default is not None and default > 0
+
+    boiler = [(i, "the same boilerplate text repeated for every single doc here") for i in range(300)]
+    near = [
+        (1000, "a genuinely unique document about spark execution plans and shuffles"),
+        (1001, "a genuinely unique document about spark execution plans and exchanges"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5, max_bucket_size=100).collect()
+    }
+    # The 300-doc hot bucket contributes zero of its C(300,2) pairs; the
+    # genuine near-dup pair survives in its own small bucket.
+    assert pairs == {(1000, 1001)}
+    # ...and exact dedup still collapses the boilerplate docs.
+    groups = exact_dedup_groups(docs, "doc_id", "text")
+    assert groups.filter(F.col("n_copies") == 300).count() == 1
