@@ -19,6 +19,13 @@ signature frames; Spark's CacheManager matches by logical plan), so runs
 2-3 legitimately reuse them -- the median therefore reflects the
 compute-once-reuse pattern a pipeline sees, and that policy is identical
 for every query and every round.
+
+NOTE for cross-round comparison: r4 numbers are a ONE-TIME LEVEL SHIFT
+up from r1-r3 -- median-of-3 is by construction >= min-of-2 on the same
+machine, and r4 also adds dedup_clusters_lsh (the old dedup_clusters
+measurement) while dedup_clusters itself now times the exact-pair
+composition.  Compare r4 against r4+ only; per-query deltas vs r3 mix
+the policy change with real plan changes.
 """
 
 from __future__ import annotations
@@ -53,6 +60,10 @@ BENCH_QUERIES = [
     "tpch_q12_priority_by_returnflag",
     "tpch_q14_promo_revenue_share",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_suppliers",
     "join_range_ship_window",
     "asof_prev_error_per_event",
     "window_latest_line_per_order",

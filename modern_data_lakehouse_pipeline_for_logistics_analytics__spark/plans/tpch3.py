@@ -1,0 +1,362 @@
+"""Third TPC-H batch (r4): optimizer shapes batches 1-2 lacked --
+conditional-join count distribution (Q13), max-of-aggregate selection
+(Q15), NOT-IN + count-distinct grouping (Q16), correlated per-group
+scalar threshold (Q17), HAVING-driven semi join on a fact aggregate
+(Q18), double-negated existential self-joins (Q21), global-scalar
+anti-join aggregation (Q22), and value-concentration HAVING against a
+global total (Q11, partsupp adapted to lineitem).
+
+The reference ships no joins at all (SURVEY J0, `README.md:41-43`);
+these queries are pure engine surface.  Float posture: every value that
+crosses an equality/threshold/hash boundary is exact-integer (quantities
+are integral, money in half-up-floored e2/e4 units -- the q7 playbook),
+so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, table_path
+from .tpch2 import _SQL_REV_E4, _rev_e4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+@register(
+    "tpch_q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer distribution by (conditionally joined) order
+    count.  The join predicate lives in the LEFT JOIN's ON clause -- a
+    WHERE would silently turn it inner and drop zero-order customers.
+    Two aggregations, both integer-exact; AQE picks the join strategy
+    (customer is SF-scaled, no hint)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({_SQL_REV_E4.replace('l.', '')}) AS BIGINT) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT l_suppkey AS s_suppkey, total_e4
+    FROM rev WHERE total_e4 = (SELECT MAX(total_e4) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum half-year revenue --
+    an aggregate compared against the max of the same aggregate.  Exact
+    integer-e4 revenue makes the max-equality test safe (double revenue
+    would make 'equal to the max' engine-dependent).  The max is a 1-row
+    aggregate broadcast back -- never a global window over all
+    suppliers (that would sort every supplier on one task at scale)."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_e4()).cast("long").alias("total_e4"))
+    )
+    mx = rev.agg(F.max("total_e4").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_e4"] == mx["__mx"])
+        .select(F.col("l_suppkey").alias("s_suppkey"), "total_e4")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#23'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts by part attributes with a
+    NOT IN exclusion.  s_suppkey is non-null so NOT IN == anti join (a
+    nullable NOT IN column would need the null-aware single-join plan);
+    the part attribute filters push to the part scan."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#23")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS small_qty_revenue_e4
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: lines below 20% of their part's average quantity.  The
+    correlated scalar subquery decorrelates into one per-part average
+    joined back.  The threshold compare is deterministic: quantities are
+    integral, so the per-part sum (and hence AVG and 0.2*AVG) is the
+    same IEEE double on both engines regardless of summation order."""
+    brand_parts = (
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    avg_q = li.groupBy("p_partkey").agg(F.avg("l_quantity").alias("__avg"))
+    price_e4 = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        li.join(avg_q, "p_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg"))
+        .agg(F.sum(price_e4).cast("long").alias("small_qty_revenue_e4"))
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume orders -- an IN over a HAVING aggregate
+    becomes a semi join from orders to the qualifying order keys; top-100
+    is TakeOrderedAndProject.  total_qty sums integral quantities as
+    longs (exact); the o_orderkey tiebreak makes the limit
+    deterministic."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select(F.col("l_orderkey").alias("__big_ok"))
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("__big_ok"), "left_semi"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    df = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+    )
+    return df.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY l_suppkey
+    ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (receiptdate adapted to shipdate-vs-orderdate+60): the
+    sole late supplier in multi-supplier finished orders.  EXISTS -> one
+    left-semi on (order, other supplier); NOT EXISTS -> one left-anti on
+    the late-line set itself -- the classic double-negation that planners
+    mis-decorrelate.  Both auxiliary joins key on l_orderkey with a
+    non-equi supplier residual, so no cartesian appears."""
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_ok"), F.col("l_suppkey").alias("o2_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_ok"), F.col("l_suppkey").alias("o3_sk")
+    )
+    sole_late = (
+        late.join(
+            other,
+            (F.col("o2_ok") == F.col("l_orderkey")) & (F.col("o2_sk") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("o3_ok") == F.col("l_orderkey")) & (F.col("o3_sk") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    df = sole_late.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    return df.orderBy(F.desc("numwait"), F.asc("s_suppkey")).limit(20)
+
+
+@register(
+    "tpch_q22_lapsed_customers",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer),
+    avgpos AS (
+      SELECT AVG(CAST(bal_c AS DOUBLE)) AS a FROM cents WHERE bal_c > 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+    FROM cents, avgpos
+    WHERE CAST(bal_c AS DOUBLE) > a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = cents.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (country-code prefix adapted to mktsegment; 'no orders'
+    adapted to 'no orders since 2000' -- every fixture customer has some
+    order): above-average-balance customers gone quiet.  The global
+    average is a 1-row broadcast scalar; the NOT EXISTS is a left-anti
+    against date-filtered orders (filter pushed to the scan).  Balances
+    in exact half-up cents: integer-valued doubles sum exactly in any
+    order, so the AVG threshold is bit-identical across engines."""
+    cents = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_c"),
+    )
+    avgpos = cents.filter(F.col("bal_c") > 0).agg(
+        F.avg(F.col("bal_c").cast("double")).alias("__a")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    lapsed = cents.join(recent, cents["c_custkey"] == recent["o_custkey"], "left_anti")
+    return (
+        lapsed.crossJoin(F.broadcast(avgpos))
+        .filter(F.col("bal_c").cast("double") > F.col("__a"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_c").cast("long").alias("totacctbal_c"),
+        )
+    )
+
+
+@register(
+    "tpch_q11_value_concentration",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_e4
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, value_e4
+    FROM val
+    WHERE CAST(value_e4 AS DOUBLE) >
+          (SELECT CAST(SUM(value_e4) AS DOUBLE) * CAST(1.5 AS DOUBLE) / COUNT(*) FROM val)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (partsupp value adapted to lineitem revenue): parts
+    holding more than 1.5x the MEAN part value -- a per-group aggregate
+    filtered against a scalar derived from the global total of the SAME
+    aggregate.  (TPC-H's fixed 0.01%% fraction is vacuous on the
+    near-uniform fixture -- 0 rows at every SF, which would pass the
+    oracle trivially; the mean-relative cut keeps ~1%% of parts at any
+    scale.)  The total is a 1-row broadcast; per-part values are exact
+    e4 integers, and both engines evaluate the identical double
+    expression (sum * 1.5 / count, all three operands exact), so the cut
+    is deterministic."""
+    price_e4 = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("long")
+    val = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(price_e4).cast("long").alias("value_e4"))
+    )
+    tot = val.agg(
+        (F.sum("value_e4").cast("double") * F.lit(1.5) / F.count(F.lit(1))).alias("__t")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_e4").cast("double") > F.col("__t"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_e4")
+    )
