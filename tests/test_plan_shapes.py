@@ -135,3 +135,30 @@ def test_topn_per_group_uses_window_group_limit(spark, sf_dir):
     p = _plan(spark, sf_dir, "topn_orders_per_customer")
     assert "WindowGroupLimit" in p
     assert "Partial" in p.split("WindowGroupLimit", 2)[-1] or p.count("WindowGroupLimit") >= 2
+
+
+def test_tpch_q18_topk_and_semi(spark, sf_dir):
+    """The IN-over-HAVING subquery must plan as a semi join against the
+    aggregated order keys, and top-100 as TakeOrderedAndProject (never a
+    global sort)."""
+    p = _plan(spark, sf_dir, "tpch_q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in p
+    assert "LeftSemi" in p
+
+
+def test_tpch_q21_no_nested_loop(spark, sf_dir):
+    """Both existential self-joins carry the l_orderkey equi key, so the
+    non-equi supplier residual must stay a residual on a hash/SMJ join --
+    a BNLJ/cartesian here is quadratic in lines-per-order at scale."""
+    p = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_tpch_q16_not_in_is_anti_join(spark, sf_dir):
+    """NOT IN over the non-null s_suppkey column must plan as a left-anti
+    join (not a null-aware nested loop)."""
+    p = _plan(spark, sf_dir, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
