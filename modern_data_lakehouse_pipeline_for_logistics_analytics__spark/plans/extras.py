@@ -152,3 +152,32 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "skew_salted_event_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through ``operators.skew.salted_aggregate``:
+    event_type has single-digit cardinality, so an unsalted groupBy puts
+    each key's entire volume through one reducer task -- the canonical
+    skew shape at 100 TB.  The two-phase (key, salt) -> key plan bounds
+    any task at rows/buckets.  Salting is invisible in the result (sums
+    of exact integer cents re-aggregate associatively), so a plain
+    GROUP BY oracle verifies it -- the driver row proves the salted plan
+    is value-identical, not just pytest-equivalent."""
+    from ..operators.skew import salted_aggregate
+    from .registry import read_events
+
+    e = read_events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
+    )
+    return salted_aggregate(e, "event_type", ["value_cents"], buckets=8)
