@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "topn_orders_per_customer",
     "profile_orders_columns",
     "text_top_bigram_share",
+    "skew_salted_event_counts",
+    "docs_training_prep",
 ]
 
 

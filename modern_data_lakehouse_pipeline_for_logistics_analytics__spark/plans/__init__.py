@@ -52,10 +52,11 @@ def _load_all() -> None:
 
 
 # Names that must land inside the driver's verification window, in order.
-# r5 NOTE: the eight tpch3 queries (q11/q13/q15/q16/q17/q18/q21/q22) and
-# skew_salted_event_counts are new in r4 and register past position 50 --
-# rotate them into the window next round (all pre-flighted green at
-# sf0.001, sf0.01 AND sf0.1 with scripts/check_oracle.py).
+# r5 NOTE: the eight tpch3 queries (q11/q13/q15/q16/q17/q18/q21/q22),
+# skew_salted_event_counts, and docs_training_prep are new in r4 and
+# register past position 50 -- rotate them into the window next round
+# (all pre-flighted green at sf0.001, sf0.01 AND sf0.1 with
+# scripts/check_oracle.py).
 _PRIORITY = [
     # (a) never had a driver CORRECTNESS row (past position 50 in r2/r3);
     # all 12 pre-flighted green with scripts/check_oracle.py at sf0.01

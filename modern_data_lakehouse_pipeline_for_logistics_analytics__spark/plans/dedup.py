@@ -152,6 +152,98 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "docs_training_prep",
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN (SELECT MIN(doc_id) AS k FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 40
+            GROUP BY md5(lower(trim(text)))) s ON s.k = d.doc_id),
+    tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM src),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1)])) AS s
+      FROM tok),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(FLOOR((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) AS BIGINT)
+              / CAST(10000.0 AS DOUBLE) >= 0.7),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+    labels AS (SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc),
+    kept AS (
+      SELECT s.doc_id FROM src s
+      LEFT JOIN labels l ON l.doc = s.doc_id
+      WHERE l.canonical IS NULL OR l.canonical = s.doc_id)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM (SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                      THEN 'holdout' ELSE 'train' END AS split
+          FROM kept)
+    GROUP BY split
+    """,
+)
+def q_docs_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep, composed from the verified
+    primitives: (1) quality gate (>= 40 whitespace tokens -- filters ~1/3
+    of the fixture), (2) exact dedup with min-id survivor, (3) near-dup
+    removal -- connected components over exact Jaccard >= 0.7 pairs, keep
+    only cluster canonicals, (4) deterministic md5 train/holdout split,
+    reported as per-split doc counts + an id-sum invariant.  Every stage
+    is engine-deterministic, so DuckDB replays the ENTIRE pipeline
+    (including the transitive closure, WITH RECURSIVE) and the driver
+    hash-verifies the composition -- the north-star 'what survives into
+    training' number, not just its pieces.  At 100 TB the near-dup stage
+    swaps in the LSH candidate path (``dedup_clusters_lsh``); pytest
+    proves LSH==exact pairs on the fixture."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    d1 = docs.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 40
+    ).select("doc_id", "text")
+    survivors = (
+        d1.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d2 = d1.join(survivors, "doc_id", "left_semi")
+    labels = connected_components(jaccard_pairs(d2, "doc_id", "text", threshold=0.7))
+    dupes = labels.filter(F.col("canonical") != F.col("doc")).select(
+        F.col("doc").alias("doc_id")
+    )
+    kept = d2.join(dupes, "doc_id", "left_anti")
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        kept.select(
+            "doc_id",
+            F.when(shard.isin("0", "1"), "holdout").otherwise("train").alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+        )
+    )
+
+
 @register("dedup_simhash_candidates")  # xxhash64-derived -> rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) signatures banded into 4x16-bit chunks; same-chunk
