@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "tpch_q12_priority_by_returnflag",
     "tpch_q14_promo_revenue_share",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q13_order_count_distribution",
     "tpch_q16_supplier_cnt",
     "tpch_q18_large_volume_customers",

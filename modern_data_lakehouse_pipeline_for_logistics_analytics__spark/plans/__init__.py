@@ -52,10 +52,10 @@ def _load_all() -> None:
 
 
 # Names that must land inside the driver's verification window, in order.
-# r5 NOTE: the eight tpch3 queries (q11/q13/q15/q16/q17/q18/q21/q22),
-# skew_salted_event_counts, and docs_training_prep are new in r4 and
-# register past position 50 -- rotate them into the window next round
-# (all pre-flighted green at sf0.001, sf0.01 AND sf0.1 with
+# r5 NOTE: the ten tpch3 queries (q8/q9/q11/q13/q15/q16/q17/q18/q21/
+# q22), skew_salted_event_counts, and docs_training_prep are new in r4
+# and register past position 50 -- rotate them into the window next
+# round (all pre-flighted green at sf0.001, sf0.01 AND sf0.1 with
 # scripts/check_oracle.py).
 _PRIORITY = [
     # (a) never had a driver CORRECTNESS row (past position 50 in r2/r3);

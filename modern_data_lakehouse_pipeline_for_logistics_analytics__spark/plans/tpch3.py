@@ -360,3 +360,116 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_e4").cast("double") > F.col("__t"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_e4")
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT order_year,
+           {{share}} AS mkt_share_pct
+    FROM (
+      SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
+             SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_SQL_REV_E4} ELSE 0 END)
+               AS nat_e4,
+             SUM({_SQL_REV_E4}) AS tot_e4
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY YEAR(o.o_orderdate))
+    """.format(
+        share="CAST(FLOOR((100.0 * CAST(nat_e4 AS DOUBLE) / CAST(tot_e4 AS DOUBLE))"
+        " * 10000 + 0.5) AS BIGINT) / 10000.0"
+    ),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one supplier nation's share of a region's yearly revenue
+    -- nation joined under two roles (customer side filters the region,
+    supplier side tags the share numerator), then a ratio of conditional
+    sums per year.  Exact-e4 numerator/denominator + half-up floor at
+    4dp, identical double expression both engines.  Hints only on the
+    bounded nation/region dims; customer/supplier stay AQE-planned."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    region = (
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    df = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_reg") == region["r_regionkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
+    )
+    nat_e4 = F.when(F.col("supp_nation") == "NATION_3", _rev_e4()).otherwise(
+        F.lit(0).cast("long")
+    )
+    yearly = df.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        F.sum(nat_e4).alias("nat_e4"), F.sum(_rev_e4()).alias("tot_e4")
+    )
+    share = F.lit(100.0) * F.col("nat_e4").cast("double") / F.col("tot_e4").cast("double")
+    from ..operators.textstats import round_half_up
+
+    return yearly.select("order_year", round_half_up(share, 4).alias("mkt_share_pct"))
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)
+                    - CAST(FLOOR(p.p_retailprice * l.l_quantity * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS profit_e4
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_type = 'STANDARD'
+    GROUP BY sn.n_name, YEAR(o.o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year over a 5-way
+    join (retailprice*quantity stands in for the missing
+    ps_supplycost*quantity).  Per-row revenue and cost each floor to
+    exact e4 before the subtraction, so the grouped sums are exact
+    integers on both engines.  part/supplier un-hinted (SF-scaled);
+    nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_retailprice")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost_e4 = F.floor(F.col("p_retailprice") * F.col("l_quantity") * 10000 + F.lit(0.5)).cast(
+        "long"
+    )
+    df = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    )
+    return df.groupBy(
+        F.col("n_name").alias("supp_nation"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    ).agg(F.sum(_rev_e4() - cost_e4).cast("long").alias("profit_e4"))
