@@ -36,10 +36,18 @@ def tokenize(text_col: str) -> F.Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to full parallelism before a Python (mapInPandas)
-    stage: small corpora often arrive as one parquet file = one
-    partition = one Python worker.  The shuffle moves only raw text --
-    cheap relative to serial shingling/hashing."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    stage -- but ONLY when the input is under-partitioned.  Small corpora
+    often arrive as one parquet file = one partition = one Python worker,
+    and there the shuffle (raw text only) is cheap relative to serial
+    shingling/hashing.  A 100 TB corpus already has thousands of
+    partitions; repartitioning it would full-shuffle the raw text for
+    nothing, so inputs at >= half of default parallelism pass through
+    unchanged (no Exchange added -- pinned by
+    tests/test_northstar.py::test_spread_skips_wide_input)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def word_shingles(tokens: F.Column, n: int = 3) -> F.Column:

@@ -107,7 +107,25 @@ def compact_path(
     copy was the tmp dir under a non-table name.)  Local-fs rename
     semantics; on an object store use the table format's transactional
     OPTIMIZE instead -- documented limitation, not a scale path."""
+    import os
     import shutil
+
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    # Start from a clean state: leftovers of a prior crashed run must be
+    # resolved BEFORE the rename-aside, or move(path, old) would NEST the
+    # live table inside the stale dir and the final rmtree would delete
+    # the recovery copy.  A stale tmp is always safe to discard (the live
+    # table never moved); a stale old means a prior run crashed between
+    # rename-aside and promote -- that copy may be the ONLY copy, so
+    # refuse and make the operator decide.
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"stale {old} exists (prior compact crashed mid-swap); "
+            "verify/restore the table at the live path, then remove it"
+        )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
     df = spark.read.parquet(path)
     n_rows = df.count()
@@ -115,8 +133,6 @@ def compact_path(
     out = df.repartition(n_files)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
     out.write.mode("overwrite").parquet(tmp)
     shutil.move(path, old)   # original intact under a recoverable name
     shutil.move(tmp, path)   # promote the compacted copy

@@ -91,6 +91,7 @@ def stream_merge_upsert(
     target_path: str,
     key: str,
     checkpoint_dir: str,
+    *,
     ts_col: str,
 ) -> None:
     """Streaming row-level upsert: each micro-batch MERGEs into the
@@ -107,6 +108,12 @@ def stream_merge_upsert(
     FIRST (a bare payload struct would order by schema position and pick
     max-by-value, not latest); equal-``ts_col`` ties break by payload
     values, keeping the survivor deterministic under replay.
+
+    API note (r4): ``ts_col`` is a required keyword-only parameter.  It
+    replaced the old implicit payload-struct max, which silently picked
+    max-by-VALUE, not latest -- callers must name the event-time column
+    explicitly; keyword-only prevents positional misbinding against
+    ``checkpoint_dir``.
     """
     from ..sources.delta import merge_into
 

@@ -26,14 +26,6 @@ TABLES = [
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def key(row):
-        out = []
-        for i in order:
-            v = row[i]
-            out.append((v is None, str(type(v)), str(v)))
-        return out
-
     canon = []
     for row in rows:
         vals = []

@@ -94,3 +94,27 @@ def test_compact_path_crash_window_recoverable(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(path).count() == 500
     # ...and the original survives under the recovery name.
     assert spark.read.parquet(f"{path}.__compact_old").count() == 500
+
+
+def test_compact_path_refuses_stale_old_sweeps_stale_tmp(spark, tmp_path):
+    """Leftovers of a crashed run must be resolved at entry: a stale
+    __compact_old may be the only copy (refuse loudly); a stale
+    __compact_tmp never is (sweep it and proceed)."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+
+    # Stale tmp: swept, compact proceeds normally.
+    os.makedirs(path + ".__compact_tmp/junk")
+    assert compact_path(spark, path, target_file_rows=50) == 2
+    assert not os.path.exists(path + ".__compact_tmp")
+    assert spark.read.parquet(path).count() == 100
+
+    # Stale old: refuse before touching anything.
+    os.makedirs(path + ".__compact_old")
+    with pytest.raises(RuntimeError, match="__compact_old"):
+        compact_path(spark, path, target_file_rows=50)
+    assert spark.read.parquet(path).count() == 100

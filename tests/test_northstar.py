@@ -323,3 +323,24 @@ def test_minhash_lsh_degenerate_corpus_bounded(spark):
     # ...and exact dedup still collapses the boilerplate docs.
     groups = exact_dedup_groups(docs, "doc_id", "text")
     assert groups.filter(F.col("n_copies") == 300).count() == 1
+
+
+def test_spread_skips_wide_input(spark):
+    """_spread must NOT add an Exchange when the input already has enough
+    partitions -- at 100 TB the corpus arrives with thousands, and a
+    forced repartition would full-shuffle the raw text for nothing.  An
+    under-partitioned input (one file/partition) still gets spread."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        _spread,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, numPartitions=par).selectExpr(
+        "id as doc", "cast(id as string) as text"
+    )
+    assert _spread(wide) is wide  # pass-through: no new plan node at all
+
+    narrow = spark.range(0, 1000, 1, numPartitions=1).selectExpr(
+        "id as doc", "cast(id as string) as text"
+    )
+    assert _spread(narrow).rdd.getNumPartitions() == par
