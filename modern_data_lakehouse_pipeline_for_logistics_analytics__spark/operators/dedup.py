@@ -34,18 +34,38 @@ def tokenize(text_col: str) -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Repartition to full parallelism before a Python (mapInPandas)
     stage -- but ONLY when the input is under-partitioned.  Small corpora
     often arrive as one parquet file = one partition = one Python worker,
     and there the shuffle (raw text only) is cheap relative to serial
     shingling/hashing.  A 100 TB corpus already has thousands of
     partitions; repartitioning it would full-shuffle the raw text for
-    nothing, so inputs at >= half of default parallelism pass through
-    unchanged (no Exchange added -- pinned by
-    tests/test_northstar.py::test_spread_skips_wide_input)."""
+    nothing, so wide inputs pass through unchanged (no Exchange added --
+    pinned by tests/test_northstar.py::test_spread_skips_wide_input).
+
+    Width is estimated WITHOUT touching ``df.rdd``: under AQE that
+    materializes the adaptive plan and eagerly executes upstream shuffle
+    stages, so the probe itself cost more than the shuffle it avoided
+    (r5 bench regression).  Estimate order:
+
+    1. explicit ``n_partitions`` caller hint;
+    2. leaf-scan file count via ``df.inputFiles()`` -- plan inspection
+       only, no job; a lower bound on scan partitions (large files split
+       further), so it can only over-spread, never under-spread;
+    3. no file scan in the plan (in-memory relation or post-shuffle
+       frame) -> assume already wide and pass through: a post-shuffle
+       frame has ~``spark.sql.shuffle.partitions`` partitions, and
+       callers holding a known-narrow in-memory frame pass the hint.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, target // 2):
+    width = n_partitions
+    if width is None:
+        files = df.inputFiles()
+        if not files:
+            return df
+        width = len(files)
+    if width >= max(2, target // 2):
         return df
     return df.repartition(target)
 
@@ -510,15 +530,42 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
         pass  # best-effort: a leak here degrades memory, not correctness
 
 
+# The signatures cache from the most recent simhash_candidate_pairs call.
+# Bounds pinned executor memory to ONE signatures frame per session in
+# long-running use: a new call over a DIFFERENT input unpersists the
+# superseded cache (CC-loop discipline); a repeat call over the SAME
+# logical plan keeps it, preserving CacheManager reuse across calls.
+_last_sig_cache: DataFrame | None = None
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """Catalyst ``sameResult`` on the analyzed plans -- the equivalence
+    CacheManager itself uses; plan inspection only, no job."""
+    try:
+        qa = a._jdf.queryExecution().analyzed()
+        qb = b._jdf.queryExecution().analyzed()
+        return bool(qa.sameResult(qb))
+    except Exception:
+        return False
+
+
 def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame:
     """Band the 64-bit simhash into ``chunks`` equal chunks; pairs agreeing
     on any chunk are Hamming-near candidates.  By pigeonhole, any pair with
     Hamming distance < chunks is guaranteed caught (8 chunks -> distance
     <= 7 always recovered; planted near-dups measure distance 0-9 on the
     fixture)."""
+    global _last_sig_cache
     # Four plan branches read the signatures (both join sides + both
     # verification lookups) -- cache so the signature pass runs once.
+    # Age out the previous call's cache first (see _last_sig_cache).
+    if _last_sig_cache is not None and not _same_plan(_last_sig_cache, signatures):
+        try:
+            _last_sig_cache.unpersist()
+        except Exception:
+            pass  # best-effort: a leak here degrades memory, not correctness
     signatures = signatures.cache()
+    _last_sig_cache = signatures
     cols = [
         (
             F.shiftright(F.col("simhash"), i * (64 // chunks))

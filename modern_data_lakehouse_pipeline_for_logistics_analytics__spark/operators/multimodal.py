@@ -53,13 +53,28 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
 
 
 def _decode_real(payload: bytes) -> tuple[int, int]:
-    raise NotImplementedError(
-        "real image decode requires PIL/pillow; not available in this environment"
-    )
+    """Real image decode via PIL when installed; otherwise degrade to a
+    ``decoder_unavailable`` status row (soft import -- PIL is absent from
+    this sandbox but present on real clusters, and the import resolves
+    independently inside each Python worker process)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "real image decode requires PIL/pillow; not installed"
+        ) from None
+    with Image.open(io.BytesIO(payload)) as img:
+        return int(img.width), int(img.height)
 
 
 #: Pluggable decoder registry; tests and prod differ only here.
-DECODERS = {"image/fake": _decode_image_stub, "image/png": _decode_real}
+DECODERS = {
+    "image/fake": _decode_image_stub,
+    "image/png": _decode_real,
+    "image/jpeg": _decode_real,
+}
 
 
 def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -4,16 +4,31 @@ Importing this package registers every query module; ``QUERIES`` /
 ``ORACLE`` are the registries the driver contract reads.
 
 Registration ORDER is part of the driver contract: the driver verifies
-exactly the first 50 registered queries, so queries that most need a fresh
-CORRECTNESS entry must register first.  ``_PRIORITY`` front-loads (r4) (a)
-the 12 queries that sat past position 50 in r2/r3 and have never had a
-driver CORRECTNESS row, (b) queries whose plan changed this round
-(un-forced SF-scaled broadcasts; dedup_clusters' new recursive oracle;
-the zscore semi-join), and (c) the r1-only greens, stalest first, to
-refresh their evidence.  Rows-only queries (no oracle -> weak driver row;
-pytest covers them) and r3-green unchanged queries follow outside the
-window in original order.
+exactly the first 50 registered queries each round.
+
+STANDING ROTATION POLICY (r6, mechanical -- replaces the hand-edited
+``_PRIORITY`` list that went stale in r5):
+
+1. Oracle-backed queries register stalest-first: never-driver-verified
+   queries first, then ascending last-verified round, ties broken by
+   name for determinism.
+2. Rows-only queries (registered in ``QUERIES`` but not ``ORACLE``)
+   NEVER occupy window slots -- a rows-only query burns a slot on a
+   permanent ``no_oracle`` row; pytest recall/property tests cover them.
+3. Last-verified rounds are read from the ``CORRECTNESS_r*.json`` files
+   the driver writes at the repo root (a query counts as verified in
+   round N iff its row has ``hash_match: true``).  No hand-maintained
+   dict: the next round's window is derived from the previous round's
+   evidence automatically, so a forgotten rotation cannot recur.
+
+With 106+ oracle-backed queries and a 50-slot window, stalest-first
+guarantees every oracle-backed query re-verifies at least once every
+ceil(n/50) = 3 rounds.
 """
+
+import json
+import re
+from pathlib import Path
 
 from .registry import ORACLE, QUERIES, register
 
@@ -51,82 +66,42 @@ def _load_all() -> None:
             raise ImportError(f"query module {__name__}.{mod} failed to import: {exc}") from exc
 
 
-# Names that must land inside the driver's verification window, in order.
-# r5 NOTE: the ten tpch3 queries (q8/q9/q11/q13/q15/q16/q17/q18/q21/
-# q22), skew_salted_event_counts, and docs_training_prep are new in r4
-# and register past position 50 -- rotate them into the window next
-# round (all pre-flighted green at sf0.001, sf0.01 AND sf0.1 with
-# scripts/check_oracle.py).
-_PRIORITY = [
-    # (a) never had a driver CORRECTNESS row (past position 50 in r2/r3);
-    # all 12 pre-flighted green with scripts/check_oracle.py at sf0.01
-    # (embedding_neardup_lsh is rows-only by design).
-    "text_tfidf_top_terms",
-    "profile_orders_columns",
-    "tpch_q4_late_shipments",
-    "tpch_q12_priority_by_returnflag",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q19_disjunctive_revenue",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "text_top_bigram_share",
-    "text_pii_pattern_counts",
-    "topn_orders_per_customer",
-    "embedding_neardup_lsh",
-    # (b) plan changed this round -> re-verify: dedup_clusters gained the
-    # WITH RECURSIVE oracle (was rows-only); the TPC-H joins dropped
-    # forced broadcasts of SF-scaled tables; zscore now semi-joins.
-    "dedup_clusters",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "join_broadcast_region_revenue",
-    "apply_in_pandas_zscore",
-    # (c) r1-only greens, unchanged since r1 but last verified two rounds
-    # ago -- refresh their evidence (fills the window to 50; the final
-    # two scalar variants land just outside and stay r1-green).
-    "courier_metrics",
-    "pricing_summary",
-    "project_normalize",
-    "filter_isin_case",
-    "fillna_defaults",
-    "dim_ordered_key",
-    "dim_hashed_key_unique",
-    "dedup_first_order",
-    "rollup_status_priority",
-    "cube_status_priority",
-    "topk_orders",
-    "union_fold",
-    "intersect_custkeys",
-    "except_custkeys",
-    "global_count",
-    "tpch_q6_forecast_revenue",
-    "join_semi_urgent_customers",
-    "join_anti_no_finished",
-    "join_range_ship_window",
-    "window_latest_line_per_order",
-    "window_rank_priorities",
-    "window_days_between_orders",
-    "window_ntile_spend_quartiles",
-    "scalar_datetime",
-    "scalar_strings",
-    "scalar_json",
-    "scalar_math",
-    "scalar_conditionals",
-    "array_stats_per_vec",
-    "higherorder_array_ops",
-    "dedup_exact_groups",
-    "scalar_strings2",
-    "scalar_datetime2",
-]
+def _last_verified_rounds() -> dict[str, int]:
+    """name -> latest round with a ``hash_match: true`` driver row.
+
+    Read from the ``CORRECTNESS_r*.json`` files the driver commits at the
+    repo root.  Absent name (or no files at all, e.g. an installed
+    package without the driver artifacts) means never verified -> 0,
+    which front-loads the query.  Malformed files are skipped: a corrupt
+    artifact must not break ``queries()`` imports.
+    """
+    last: dict[str, int] = {}
+    repo_root = Path(__file__).resolve().parents[2]
+    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _reorder() -> None:
-    missing = [n for n in _PRIORITY if n not in QUERIES]
-    if missing:
-        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
-    ordered = _PRIORITY + [n for n in QUERIES if n not in set(_PRIORITY)]
+    """Apply the standing rotation policy (module docstring): oracle-backed
+    stalest-first (never-verified -> round 0), name tie-break; rows-only
+    queries after ALL oracle-backed ones, in registration order."""
+    last = _last_verified_rounds()
+    oracle_backed = sorted(
+        (n for n in QUERIES if n in ORACLE), key=lambda n: (last.get(n, 0), n)
+    )
+    rows_only = [n for n in QUERIES if n not in ORACLE]
+    ordered = oracle_backed + rows_only
     for registry in (QUERIES, ORACLE):
         snapshot = dict(registry)
         registry.clear()

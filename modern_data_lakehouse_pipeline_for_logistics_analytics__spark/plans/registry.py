@@ -38,16 +38,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL).  Read
-    nanos as long (runtime conf) and truncate to microsecond timestamps --
-    the same truncation Python's datetime applies to DuckDB's TIMESTAMP_NS,
-    so oracle comparisons stay exact."""
+    """Load the ``events`` fixture with ``ts`` as a microsecond timestamp,
+    whatever physical type the fixture generation used.  Fixtures have
+    shipped ``ts`` two ways across rounds:
+
+    - parquet TIMESTAMP(MICROS): Spark reads it as a timestamp directly --
+      pass through.
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      (PARQUET_TYPE_ILLEGAL), so read nanos as long (runtime conf) and
+      truncate to microseconds -- the same truncation Python's datetime
+      applies to DuckDB's TIMESTAMP_NS, so oracle comparisons stay exact.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    # Integral `div`, NOT float division: ns values ~1.7e18 lose their last
-    # digits in a double, rounding some timestamps up 1us vs DuckDB's
-    # truncation.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # Integral `div`, NOT float division: ns values ~1.7e18 lose their
+        # last digits in a double, rounding some timestamps up 1us vs
+        # DuckDB's truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -363,6 +363,154 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(MIN(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cost_e4
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    esupp AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name,
+             CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    ep AS (
+      SELECT p.p_partkey, pr.l_suppkey, pr.cost_e4
+      FROM pairs pr
+      JOIN part p ON pr.l_partkey = p.p_partkey
+      JOIN esupp e ON pr.l_suppkey = e.s_suppkey
+      WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'),
+    minc AS (SELECT p_partkey, MIN(cost_e4) AS min_e4 FROM ep GROUP BY p_partkey)
+    SELECT e.bal_c, e.s_name, e.n_name, ep.p_partkey, ep.cost_e4
+    FROM ep
+    JOIN minc ON ep.p_partkey = minc.p_partkey AND ep.cost_e4 = minc.min_e4
+    JOIN esupp e ON ep.l_suppkey = e.s_suppkey
+    ORDER BY e.bal_c DESC, e.s_name, ep.p_partkey LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (partsupp supply cost adapted to the cheapest observed
+    line price per part-supplier pair): for each qualifying part, the
+    region-eligible supplier(s) achieving the minimum cost -- the
+    correlated MIN subquery decorrelated into a per-part min joined back.
+    Costs/balances are exact integers (e4 / cents) so the min-equality
+    test is engine-independent; (s_name, p_partkey) makes the top-100
+    order total.  nation/region broadcast (bounded); supplier/part stay
+    AQE-planned (SF-scaled)."""
+    price_e4 = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("long")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(price_e4).cast("long").alias("cost_e4"))
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = (
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    )
+    esupp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_c"),
+        )
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    ep = (
+        pairs.join(parts, pairs["l_partkey"] == parts["p_partkey"])
+        .join(esupp.select("s_suppkey"), pairs["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        .select("p_partkey", "l_suppkey", "cost_e4")
+    )
+    minc = ep.groupBy(F.col("p_partkey").alias("__pk")).agg(F.min("cost_e4").alias("__min_e4"))
+    df = (
+        ep.join(minc, (ep["p_partkey"] == F.col("__pk")) & (ep["cost_e4"] == F.col("__min_e4")))
+        .join(esupp, ep["l_suppkey"] == esupp["s_suppkey"])
+        .select("bal_c", "s_name", "n_name", "p_partkey", "cost_e4")
+    )
+    return df.orderBy(F.desc("bal_c"), F.asc("s_name"), F.asc("p_partkey")).limit(100)
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    WITH sm AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    pairq AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_1996
+      FROM lineitem JOIN sm ON l_partkey = sm.p_partkey
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_name, CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM pairq WHERE 5 * qty_1996 > qty_total)
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (availqty-vs-shipped adapted to 1996-concentration: a
+    part-supplier pair qualifies when 1996 shipments exceed 20%% of its
+    all-time total -- a minority, mirroring Q20's rare-pass threshold):
+    the quantity-threshold semi-join chain part -> pair aggregate ->
+    supplier, then a bounded region filter.  Integral quantities sum as
+    longs and the threshold is cross-multiplied (5*q96 > total), so no
+    division touches the cut.  Two conditional sums in ONE pass over the
+    pair groups -- never two scans of lineitem."""
+    sm = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    in_1996 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    qty = F.col("l_quantity").cast("long")
+    pair_ok = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(sm, F.col("l_partkey") == sm["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).cast("long").alias("qty_total"),
+            F.sum(F.when(in_1996, qty).otherwise(F.lit(0))).cast("long").alias("qty_1996"),
+        )
+        .filter(F.lit(5) * F.col("qty_1996") > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = (
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    df = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(pair_ok, F.col("s_suppkey") == pair_ok["l_suppkey"], "left_semi")
+        .select(
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_c"),
+        )
+    )
+    return df.orderBy("s_name")
+
+
+@register(
     "tpch_q8_market_share",
     oracle=f"""
     SELECT order_year,

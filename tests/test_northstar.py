@@ -183,19 +183,29 @@ def test_lsh_neardup_recall_vs_exact(emb):
     assert len(missed) <= max(1, len(exact) // 4), f"LSH missed {len(missed)}/{len(exact)}"
 
 
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def test_multimodal_decode_contract(spark, sf_dir):
     """Decode stage: stable schema, ok-status stub decodes with plausible
     dims, unknown mime and unavailable decoder produce status rows, not
-    task failures."""
+    task failures.  image/png payloads here are fake text bytes, so the
+    expected status depends on the environment: PIL absent ->
+    decoder_unavailable (soft import degrades); PIL present ->
+    decode_error (real decoder rejects non-PNG bytes)."""
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.multimodal import (
         DECODED_SCHEMA,
         attach_binary_payload,
         decode_media,
     )
 
+    png_status = "decode_error" if _pil_available() else "decoder_unavailable"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     media = attach_binary_payload(docs, "doc_id", "text")
-    # Mix in an unknown mime and a real-codec mime (stubbed unavailable).
+    # Mix in an unknown mime and a real-codec mime (fed fake bytes).
     media = media.withColumn(
         "mime",
         F.when(F.col("doc_id") % 10 == 0, "video/mp4")
@@ -209,11 +219,36 @@ def test_multimodal_decode_contract(spark, sf_dir):
     by_status = {}
     for r in rows:
         by_status.setdefault(r.status, []).append(r)
-    assert "ok" in by_status and "unknown_mime" in by_status and "decoder_unavailable" in by_status
+    assert "ok" in by_status and "unknown_mime" in by_status and png_status in by_status
     for r in by_status["ok"]:
         assert 64 <= r.width < 256 and 64 <= r.height < 256 and r.n_bytes > 0
-    for r in by_status["unknown_mime"] + by_status["decoder_unavailable"]:
+    for r in by_status["unknown_mime"] + by_status[png_status]:
         assert r.width is None and r.height is None
+
+
+def test_multimodal_real_png_decode(spark):
+    """Skip-gated: with PIL installed, the image/png decoder resolves PIL
+    inside the Python worker and returns real dimensions for a real PNG."""
+    import pytest
+
+    if not _pil_available():
+        pytest.skip("PIL not installed in this environment")
+    import base64
+
+    # Smallest valid 1x1 PNG (public-domain bytes, RGBA).
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.multimodal import (
+        decode_media,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(png_1x1))], "doc_id long, mime string, content binary"
+    )
+    row = decode_media(media).collect()[0]
+    assert row.status == "ok" and row.width == 1 and row.height == 1
 
 
 def test_multimodal_decode_error_branch_and_batching(spark, sf_dir):
@@ -229,16 +264,20 @@ def test_multimodal_decode_error_branch_and_batching(spark, sf_dir):
     def _boom(payload: bytes):
         raise ValueError("corrupt payload")
 
+    def _absent(payload: bytes):
+        raise NotImplementedError("codec not installed")
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     media = multimodal.attach_binary_payload(docs, "doc_id", "text").withColumn(
         "mime",
         F.when(F.col("doc_id") % 4 == 0, "image/corrupt")
         .when(F.col("doc_id") % 4 == 1, "video/mp4")
-        .when(F.col("doc_id") % 4 == 2, "image/png")
+        .when(F.col("doc_id") % 4 == 2, "image/uninstalled")
         .otherwise(F.col("mime")),
     )
     decoders = dict(multimodal.DECODERS)
     decoders["image/corrupt"] = _boom  # by-value registry: ships in the closure
+    decoders["image/uninstalled"] = _absent  # env-independent unavailable branch
     prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     try:
         baseline = {
@@ -325,22 +364,67 @@ def test_minhash_lsh_degenerate_corpus_bounded(spark):
     assert groups.filter(F.col("n_copies") == 300).count() == 1
 
 
-def test_spread_skips_wide_input(spark):
-    """_spread must NOT add an Exchange when the input already has enough
-    partitions -- at 100 TB the corpus arrives with thousands, and a
-    forced repartition would full-shuffle the raw text for nothing.  An
-    under-partitioned input (one file/partition) still gets spread."""
+def test_simhash_cache_ages_out(spark):
+    """The signatures cache is bounded to ONE frame per session: a call
+    over a different input unpersists the superseded cache, while a
+    repeat call over the same plan keeps it (CacheManager reuse)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import (
+        dedup as dmod,
+    )
+
+    docs_a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs_b = spark.createDataFrame(
+        [(i, f"epsilon zeta eta theta doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    sigs_a = dmod.simhash_signatures(docs_a, "doc_id", "text")
+    dmod.simhash_candidate_pairs(sigs_a).count()
+    first = dmod._last_sig_cache
+    assert first is not None and first.storageLevel.useMemory
+
+    # Same logical plan -> cache kept (no unpersist, reuse preserved).
+    dmod.simhash_candidate_pairs(sigs_a).count()
+    assert first.storageLevel.useMemory
+
+    # Different input -> superseded cache released.
+    sigs_b = dmod.simhash_signatures(docs_b, "doc_id", "text")
+    dmod.simhash_candidate_pairs(sigs_b).count()
+    assert not first.storageLevel.useMemory
+    assert dmod._last_sig_cache.storageLevel.useMemory
+
+
+def test_spread_skips_wide_input(spark, tmp_path):
+    """_spread must NOT add an Exchange when the input is already wide --
+    at 100 TB the corpus arrives as thousands of files, and a forced
+    repartition would full-shuffle the raw text for nothing.  A narrow
+    scan (one file) still gets spread.  The width probe must be pure plan
+    inspection: no .rdd access (materializes AQE stages), no job."""
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
         _spread,
     )
 
     par = spark.sparkContext.defaultParallelism
-    wide = spark.range(0, 1000, 1, numPartitions=par).selectExpr(
-        "id as doc", "cast(id as string) as text"
-    )
-    assert _spread(wide) is wide  # pass-through: no new plan node at all
 
-    narrow = spark.range(0, 1000, 1, numPartitions=1).selectExpr(
+    # Non-scan frames (in-memory / post-shuffle) pass through untouched.
+    mem = spark.range(0, 1000, 1, numPartitions=par).selectExpr(
         "id as doc", "cast(id as string) as text"
     )
+    assert _spread(mem) is mem  # pass-through: no new plan node at all
+
+    # A single-file parquet scan is under-partitioned -> spread to target.
+    p = str(tmp_path / "narrow")
+    mem.coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert len(narrow.inputFiles()) == 1
     assert _spread(narrow).rdd.getNumPartitions() == par
+
+    # Projections above the scan must not hide the leaf file count.
+    assert _spread(narrow.select("doc", "text")).rdd.getNumPartitions() == par
+
+    # Explicit caller hint overrides plan inspection both ways.
+    assert _spread(mem, n_partitions=1).rdd.getNumPartitions() == par
+    assert _spread(narrow, n_partitions=par) is narrow
