@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
+    "dedup_minhash_portable",
     "dedup_simhash_candidates",
     "text_quality_scores",
     "embedding_neardup_pairs",
@@ -89,6 +90,7 @@ BENCH_QUERIES = [
     "sql_exists_correlated",
     "dedup_clusters",
     "dedup_clusters_lsh",
+    "dedup_clusters_portable",
     "embedding_neardup_lsh",
     "unpivot_lineitem_measures",
     "histogram_price_buckets",

@@ -387,6 +387,101 @@ def minhash_lsh_dedup(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+#: Mersenne prime 2^31 - 1: the modulus of the PORTABLE universal-hash
+#: family.  Everything stays under 2^62 (a, h0 < p  ->  a*h0 + b < 2^62),
+#: i.e. exactly representable in the signed-64-bit integer arithmetic of
+#: ANY SQL engine -- which is the whole point: the same signatures can be
+#: recomputed in plain SQL for cross-engine verification.
+PORTABLE_P = 2_147_483_647
+
+
+def portable_minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash parameters mod PORTABLE_P,
+    derived from sha256 exactly like ``_minhash_params`` but reduced into
+    [1, p) / [0, p).  Shared single source for the Spark operator AND the
+    SQL-oracle builder (``plans/dedup.py``), so the two can never drift."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        d = hashlib.sha256(f"minhash-portable:{i}".encode()).digest()
+        a = int.from_bytes(d[:8], "big") % (PORTABLE_P - 1) + 1
+        b = int.from_bytes(d[8:16], "big") % PORTABLE_P
+        out.append((a, b))
+    return out
+
+
+def portable_base_hash(col: F.Column) -> F.Column:
+    """60-bit base hash with a bit-identical SQL twin:
+
+    Spark:   CAST(conv(substring(md5(s), 2, 15), 16, 10) AS BIGINT)
+    DuckDB:  CAST('0x' || substring(md5(s), 2, 15) AS BIGINT)
+
+    15 hex digits = 60 bits < 2^63, so no engine saturates or wraps."""
+    return F.conv(F.substring(F.md5(col), 2, 15), 16, 10).cast("long")
+
+
+def minhash_portable_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band_no, bucket) MinHash-LSH banding built ONLY from JVM
+    built-ins (md5/conv/mod/min/concat_ws) -- slightly more work per row
+    than the numpy ``minhash_band_buckets`` kernel, but every intermediate
+    is reproducible in plain SQL, which turns the whole LSH pipeline from
+    a rows-only check into an exact cross-engine oracle.
+
+    Shape: shingle rows -> base-hash mod p -> ``num_perm`` min-aggregates
+    in ONE groupBy (partial aggregation map-side; the shuffle carries one
+    row per doc, never per shingle) -> per-band digest via stack.  The
+    bucket is itself the 60-bit portable hash of the band's min values,
+    so the banding self-join shuffles a long, not a concat string."""
+    params = portable_minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    sh = shingle_sets(df, id_col, text_col, n)
+    hx = sh.select("doc", (portable_base_hash(F.col("s")) % PORTABLE_P).alias("h0"))
+    sig = hx.groupBy("doc").agg(
+        *[
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % PORTABLE_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    stack_args = []
+    for bnd in range(bands):
+        cols = ", ".join(f"m{bnd * rows_per_band + j}" for j in range(rows_per_band))
+        stack_args.append(
+            f"{bnd}, CAST(conv(substring(md5(concat_ws(',', {cols})), 2, 15), 16, 10) AS BIGINT)"
+        )
+    return sig.selectExpr(
+        "doc", f"stack({bands}, {', '.join(stack_args)}) AS (band_no, bucket)"
+    )
+
+
+def minhash_portable_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """``minhash_lsh_dedup`` with the portable hash family: banding ->
+    candidate pairs (hot-bucket guard on) -> exact-Jaccard verification of
+    candidates only.  Same 100 TB cost shape (sum bucket^2, never
+    corpus^2); the difference is that a SQL engine can replay every stage
+    bit-for-bit, so the driver's DuckDB oracle hash-verifies the output
+    instead of recording a rows-only row."""
+    banded = minhash_portable_band_buckets(df, id_col, text_col, num_perm, bands)
+    cands = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
+    verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold)
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """64-bit SimHash per doc over distinct word-``n``-gram shingles: per
     bit position, sign of the sum of (+1/-1) contributions from each

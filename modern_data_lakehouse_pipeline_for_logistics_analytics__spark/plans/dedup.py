@@ -11,10 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    PORTABLE_P,
     connected_components,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_dedup,
+    minhash_portable_lsh,
+    portable_minhash_params,
     simhash_candidate_pairs,
     simhash_signatures,
 )
@@ -81,6 +84,118 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     at >= 0.7.  The 100 TB dedup path: cost ~ sum(bucket^2), not corpus^2.
     tests/test_northstar.py proves its recall against brute-force Jaccard."""
     return minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
+
+
+def _portable_minhash_sql(
+    threshold: float = 0.7, num_perm: int = 32, bands: int = 8
+) -> str:
+    """DuckDB replay of the ENTIRE portable MinHash-LSH pipeline: shingles
+    -> 60-bit md5 base hash -> the same (a, b) universal-hash family
+    (literals injected from ``portable_minhash_params`` -- single source
+    with the Spark operator) -> per-band bucket digests -> hot-bucket
+    guard -> bucket self-join candidates -> exact-Jaccard verify."""
+    params = portable_minhash_params(num_perm)
+    rpb = num_perm // bands
+    mins = ",\n             ".join(
+        f"MIN(({a} * h0 + {b}) % {PORTABLE_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {bnd} AS band_no, "
+        "CAST(CONCAT('0x', substring(md5(concat_ws(',', {cols})), 2, 15)) AS BIGINT)"
+        " AS bucket FROM sig".format(
+            bnd=bnd, cols=", ".join(f"m{bnd * rpb + j}" for j in range(rpb))
+        )
+        for bnd in range(bands)
+    )
+    # Shared CTE chain ending in vpairs(doc_a, doc_b, jaccard): the pair
+    # query selects from it directly; the clusters oracle appends the
+    # recursive closure.
+    return f"""tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1)])) AS s
+      FROM tok),
+    hx AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substring(md5(s), 2, 15)) AS BIGINT) % {PORTABLE_P} AS h0
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hx GROUP BY doc_id),
+    bnd AS (
+      {band_selects}),
+    bsz AS (SELECT band_no, bucket, COUNT(*) AS n FROM bnd GROUP BY 1, 2),
+    bnd_ok AS (
+      SELECT bnd.doc_id, bnd.band_no, bnd.bucket
+      FROM bnd JOIN bsz ON bnd.band_no = bsz.band_no AND bnd.bucket = bsz.bucket
+      WHERE bsz.n <= 10000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bnd_ok a JOIN bnd_ok b
+        ON a.band_no = b.band_no AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2),
+    vpairs AS (
+      SELECT doc_a, doc_b,
+             CAST(FLOOR((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) AS BIGINT)
+               / CAST(10000.0 AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(FLOOR((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) AS BIGINT)
+               / CAST(10000.0 AS DOUBLE) >= {threshold})"""
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=f"WITH {_portable_minhash_sql()}\n    SELECT doc_a, doc_b, jaccard FROM vpairs",
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup dedup with the PORTABLE hash family
+    (md5-60bit base hash, mod-(2^31-1) universal hashes -- every
+    intermediate fits SQL BIGINT arithmetic): unlike ``dedup_minhash_lsh``
+    (blake2b/numpy, rows-only), DuckDB replays signature generation,
+    banding, the hot-bucket guard, candidate pairing AND the exact-Jaccard
+    verify, so the driver hash-verifies the full LSH pipeline end-to-end.
+    Same scale posture: candidate cost ~ sum(bucket^2), never corpus^2."""
+    return minhash_portable_lsh(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
+
+
+@register(
+    "dedup_clusters_portable",
+    oracle=f"""
+    WITH RECURSIVE {_portable_minhash_sql()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+    SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc
+    """,
+)
+def q_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB composition (LSH candidates -> exact-Jaccard verify ->
+    connected components), hash-verified END-TO-END: the portable hash
+    family makes the candidate set engine-deterministic, so DuckDB
+    replays banding AND the transitive closure (WITH RECURSIVE) and the
+    driver value-checks the pointer-jumping CC operator on LSH edges --
+    closing the evidence gap that kept ``dedup_clusters_lsh`` rows-only
+    (its blake2b banding can't run in SQL; recall equivalence of the two
+    pipelines is pinned in tests/test_northstar.py)."""
+    pairs = minhash_portable_lsh(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
+    return connected_components(pairs)
 
 
 # The exact-Jaccard >= 0.7 pair set, shared by the dedup_clusters oracle:

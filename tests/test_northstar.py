@@ -42,6 +42,63 @@ def test_minhash_lsh_recall(docs):
     assert len(missed) <= max(1, len(truth) // 10), f"LSH missed {len(missed)}/{len(truth)}"
 
 
+def test_portable_minhash_recall_and_determinism(docs):
+    """The portable (SQL-replicable) MinHash variant must recover planted
+    near-dups like the blake2b variant -- same 32/8 banding, so the same
+    P(miss) bound -- and must be run-to-run deterministic (its whole point
+    is that an external engine can recompute it bit-for-bit)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_portable_lsh,
+    )
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_portable_lsh(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    missed = truth - found
+    assert len(missed) <= max(1, len(truth) // 10), f"LSH missed {len(missed)}/{len(truth)}"
+
+    again = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_portable_lsh(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert found == again
+
+
+def test_portable_band_buckets_jvm_only_after_shingles(spark):
+    """Everything past shingling in the portable pipeline is JVM built-ins:
+    exactly ONE Python stage (the shingle mapInPandas) appears in the
+    physical plan -- the signature aggregation, banding and bucket digests
+    must not add Arrow round-trips.  Uses a fresh in-memory frame so a
+    sibling test's cached shingle frame (whose InMemoryRelation text also
+    says MapInPandas) can't distort the count."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        minhash_portable_band_buckets,
+    )
+
+    fresh = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta plan shape doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        minhash_portable_band_buckets(fresh, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+    # One shuffle total: the signature groupBy(doc).  Banding is a
+    # Generate over the aggregated row -- no second Exchange.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_simhash_recovers_planted_neardups(docs):
     """Planted near-dups (Jaccard >= 0.9) have near-identical token sets,
     so their SimHashes agree on at least one 16-bit chunk almost surely."""
