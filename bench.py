@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_simhash_candidates",
+    "dedup_simhash_portable",
     "text_quality_scores",
     "embedding_neardup_pairs",
     "ann_bruteforce_topk",

@@ -477,9 +477,94 @@ def minhash_portable_lsh(
     bit-for-bit, so the driver's DuckDB oracle hash-verifies the output
     instead of recording a rows-only row."""
     banded = minhash_portable_band_buckets(df, id_col, text_col, num_perm, bands)
+    # Three plan branches read the banded rows (bucket sizes + both join
+    # sides); cache so the 32-aggregate signature pass runs once.
+    banded = _cache_aged("minhash_portable", banded)
     cands = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold)
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_portable_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 60
+) -> DataFrame:
+    """(doc, simhash) SimHash built ONLY from JVM built-ins over the
+    60-bit portable base hash -- the SQL-replicable twin of
+    ``simhash_signatures`` (whose blake2b/numpy bit-voting cannot run in
+    SQL).  Per bit position: sign of the sum of +-1 votes across the
+    doc's shingle hashes; ties (sum == 0) set the bit, an integer
+    comparison both engines agree on.
+
+    Shape: shingle rows -> ``bits`` conditional-sum aggregates in ONE
+    groupBy (partial map-side; the shuffle carries one row per doc) ->
+    bit assembly as a sum of power-of-two terms.  60 bits < 2^62: the
+    signature and every vote fit BIGINT arithmetic in any engine."""
+    from functools import reduce
+    from operator import add
+
+    sh = shingle_sets(df, id_col, text_col, n)
+    h = portable_base_hash(F.col("s"))
+    votes = sh.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    assembled = reduce(
+        add,
+        [
+            F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(bits)
+        ],
+    )
+    return votes.select("doc", assembled.alias("simhash"))
+
+
+def simhash_portable_candidates(
+    signatures: DataFrame,
+    chunks: int = 6,
+    bits: int = 60,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Chunk-banded SimHash candidates with in-plan Hamming verification,
+    all JVM built-ins (shiftright/mod/xor/bit_count) with bit-identical
+    SQL twins.  ``chunks`` equal chunks of ``bits // chunks`` bits; by
+    pigeonhole any pair with Hamming distance < ``chunks`` shares a
+    chunk, so distance <= 5 is guaranteed caught at 6 chunks; the
+    ``max_hamming`` filter then keeps verified near-dups.  Output:
+    ``doc_a, doc_b, hamming`` -- deterministic, so an external engine
+    reproduces the exact candidate set."""
+    rpb = bits // chunks
+    band_exprs = ", ".join(
+        f"{j}, shiftright(simhash, {j * rpb}) % {1 << rpb}" for j in range(chunks)
+    )
+    # Both self-join sides read the signatures; without a cache the whole
+    # 60-aggregate signature pass executes twice (a broadcast side defeats
+    # exchange reuse).  Aged like every other signature cache.
+    signatures = _cache_aged("simhash_portable", signatures)
+    bnd = signatures.selectExpr(
+        "doc", "simhash", f"stack({chunks}, {band_exprs}) AS (chunk_no, chunk_val)"
+    )
+    a, b = bnd.alias("a"), bnd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")  # DuckDB bit_count yields TINYINT; pin long both sides
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -625,12 +710,12 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
         pass  # best-effort: a leak here degrades memory, not correctness
 
 
-# The signatures cache from the most recent simhash_candidate_pairs call.
-# Bounds pinned executor memory to ONE signatures frame per session in
+# Per-operator signature caches (key -> most recently cached frame).
+# Bounds pinned executor memory to ONE frame per operator per session in
 # long-running use: a new call over a DIFFERENT input unpersists the
 # superseded cache (CC-loop discipline); a repeat call over the SAME
 # logical plan keeps it, preserving CacheManager reuse across calls.
-_last_sig_cache: DataFrame | None = None
+_sig_caches: dict[str, DataFrame] = {}
 
 
 def _same_plan(a: DataFrame, b: DataFrame) -> bool:
@@ -644,23 +729,30 @@ def _same_plan(a: DataFrame, b: DataFrame) -> bool:
         return False
 
 
+def _cache_aged(key: str, df: DataFrame) -> DataFrame:
+    """Cache ``df`` under ``key``, unpersisting the previous holder of the
+    key when it came from a different logical plan (see ``_sig_caches``)."""
+    prev = _sig_caches.get(key)
+    if prev is not None and not _same_plan(prev, df):
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # best-effort: a leak here degrades memory, not correctness
+    df = df.cache()
+    _sig_caches[key] = df
+    return df
+
+
 def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame:
     """Band the 64-bit simhash into ``chunks`` equal chunks; pairs agreeing
     on any chunk are Hamming-near candidates.  By pigeonhole, any pair with
     Hamming distance < chunks is guaranteed caught (8 chunks -> distance
     <= 7 always recovered; planted near-dups measure distance 0-9 on the
     fixture)."""
-    global _last_sig_cache
     # Four plan branches read the signatures (both join sides + both
-    # verification lookups) -- cache so the signature pass runs once.
-    # Age out the previous call's cache first (see _last_sig_cache).
-    if _last_sig_cache is not None and not _same_plan(_last_sig_cache, signatures):
-        try:
-            _last_sig_cache.unpersist()
-        except Exception:
-            pass  # best-effort: a leak here degrades memory, not correctness
-    signatures = signatures.cache()
-    _last_sig_cache = signatures
+    # verification lookups) -- cache so the signature pass runs once,
+    # aging out any previous call's cache (see _sig_caches).
+    signatures = _cache_aged("simhash64", signatures)
     cols = [
         (
             F.shiftright(F.col("simhash"), i * (64 // chunks))

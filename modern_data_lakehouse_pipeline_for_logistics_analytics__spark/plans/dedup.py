@@ -19,6 +19,8 @@ from ..operators.dedup import (
     minhash_portable_lsh,
     portable_minhash_params,
     simhash_candidate_pairs,
+    simhash_portable_candidates,
+    simhash_portable_signatures,
     simhash_signatures,
 )
 from .registry import register, table_path
@@ -365,3 +367,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are Hamming-near candidates."""
     sigs = simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
     return simhash_candidate_pairs(sigs)
+
+
+def _portable_simhash_sql(bits: int = 60, chunks: int = 6, max_hamming: int = 8) -> str:
+    """DuckDB replay of the portable SimHash pipeline: shingles -> 60-bit
+    md5 base hash -> per-bit +-1 vote sums -> sign-assembled signature ->
+    chunk banding -> same-chunk join -> bit_count(xor) Hamming verify.
+    Every operation (>>, &, %, xor, bit_count) was probed to agree
+    bit-for-bit between Spark and DuckDB on BIGINT."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    terms = "\n               + ".join(
+        f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    rpb = bits // chunks
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {j} AS chunk_no,"
+        f" (simhash >> {j * rpb}) % {1 << rpb} AS chunk_val FROM sig"
+        for j in range(chunks)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1)])) AS s
+      FROM tok),
+    hx AS (
+      SELECT doc_id, CAST(CONCAT('0x', substring(md5(s), 2, 15)) AS BIGINT) AS h
+      FROM sh),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hx GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {terms} AS simhash
+      FROM votes),
+    bnd AS (
+      {band_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bnd a JOIN bnd b
+      ON a.chunk_no = b.chunk_no AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_portable", oracle=_portable_simhash_sql())
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates with the PORTABLE hash family: 60-bit
+    signatures from per-bit vote sums over the md5 base hash, 6x10-bit
+    chunk banding (pigeonhole: Hamming <= 5 guaranteed caught), in-plan
+    ``bit_count(xor)`` verification at <= 8.  Unlike
+    ``dedup_simhash_candidates`` (blake2b bit-voting, rows-only), every
+    stage replays in DuckDB, so the driver hash-verifies the signature
+    math, the banding AND the Hamming filter end-to-end."""
+    sigs = simhash_portable_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return simhash_portable_candidates(sigs)

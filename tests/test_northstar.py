@@ -99,6 +99,35 @@ def test_portable_band_buckets_jvm_only_after_shingles(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_portable_simhash_recovers_planted_neardups(docs):
+    """Portable SimHash: planted near-dups (Jaccard >= 0.9 -> tiny
+    Hamming distance on shared-shingle votes) must surface as verified
+    candidates, and the candidate set must be run-to-run deterministic
+    (the property its SQL oracle depends on)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        jaccard_pairs,
+        simhash_portable_candidates,
+        simhash_portable_signatures,
+    )
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    sigs = simhash_portable_signatures(docs, "doc_id", "text")
+    found = {
+        (r.doc_a, r.doc_b) for r in simhash_portable_candidates(sigs).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    missed = truth - found
+    assert len(missed) <= max(1, len(truth) // 4), f"missed {len(missed)}/{len(truth)}"
+
+    again = {
+        (r.doc_a, r.doc_b) for r in simhash_portable_candidates(sigs).collect()
+    }
+    assert found == again
+
+
 def test_simhash_recovers_planted_neardups(docs):
     """Planted near-dups (Jaccard >= 0.9) have near-identical token sets,
     so their SimHashes agree on at least one 16-bit chunk almost surely."""
@@ -440,7 +469,7 @@ def test_simhash_cache_ages_out(spark):
 
     sigs_a = dmod.simhash_signatures(docs_a, "doc_id", "text")
     dmod.simhash_candidate_pairs(sigs_a).count()
-    first = dmod._last_sig_cache
+    first = dmod._sig_caches["simhash64"]
     assert first is not None and first.storageLevel.useMemory
 
     # Same logical plan -> cache kept (no unpersist, reuse preserved).
@@ -451,7 +480,7 @@ def test_simhash_cache_ages_out(spark):
     sigs_b = dmod.simhash_signatures(docs_b, "doc_id", "text")
     dmod.simhash_candidate_pairs(sigs_b).count()
     assert not first.storageLevel.useMemory
-    assert dmod._last_sig_cache.storageLevel.useMemory
+    assert dmod._sig_caches["simhash64"].storageLevel.useMemory
 
 
 def test_spread_skips_wide_input(spark, tmp_path):
