@@ -102,6 +102,26 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan (beyond §2: interchange with Hive/Trino stacks
+    whose warehouses are ORC-native).  Same pushdown story as parquet --
+    Spark's vectorized ORC reader honors filter pushdown and column
+    pruning (verify with .explain -> PushedFilters / ReadSchema)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Raw text ingestion for document corpora (beyond §2; the
+    training-data path often starts from plain .txt shards).  Default is
+    one row per LINE (splittable -> parallelism from file blocks, the
+    100 TB-safe mode); ``whole_file=True`` gives one row per FILE
+    (parallelism = file count, same caveat as multiline JSON -- use only
+    when documents are files).  NOTE: must be the ``wholetext`` kwarg of
+    ``.text()`` -- ``.option("wholetext", ...)`` is silently ignored by
+    this reader (verified against pyspark 4.1)."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load driver fixture tables from ``sf_dir`` (defaults to all ten)."""
     use = names or TABLE_NAMES

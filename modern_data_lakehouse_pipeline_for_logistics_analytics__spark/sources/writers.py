@@ -33,3 +33,28 @@ def write_parquet_partitioned(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Header CSV egress (S5) -- export only, not a storage layer."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_orc_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned ORC sink (beyond §2) -- for egress into Hive/Trino
+    stacks whose warehouses are ORC-native.  Same dynamic-partition
+    overwrite semantics as the parquet sink (session factory sets
+    ``partitionOverwriteMode=dynamic``)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.orc(path)
+
+
+def write_text(df: DataFrame, path: str, column: str, mode: str = "overwrite") -> None:
+    """One-column raw text sink (document-corpus egress).  ``column`` is
+    cast to string; Spark requires exactly one value column for .text."""
+    from pyspark.sql import functions as F
+
+    df.select(F.col(column).cast("string").alias("value")).write.mode(mode).text(path)
