@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dedup_clusters_lsh",
     "dedup_clusters_portable",
     "embedding_neardup_lsh",
+    "embedding_neardup_portable",
     "unpivot_lineitem_measures",
     "histogram_price_buckets",
     "bitwise_line_flags",

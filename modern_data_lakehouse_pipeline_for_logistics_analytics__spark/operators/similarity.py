@@ -295,6 +295,109 @@ def lsh_neardup_pairs(
     return joined.mapInPandas(verify, schema="id_a long, id_b long, cos_sim double")
 
 
+def portable_planes(n_planes: int = 48, dim: int = 64, scale: int = 1000) -> list[list[int]]:
+    """Deterministic INTEGER hyperplane coefficients in [-scale, scale],
+    derived from sha256 -- single source for the Spark operator and the
+    SQL-oracle builder (``plans/similarity.py``).  Integer coefficients
+    (not floats) are the point: the sign of an integer dot product over
+    integer-quantized vectors is bit-identical in any engine, so the LSH
+    bucket assignment -- normally the unverifiable part of the pipeline --
+    becomes exactly replayable in SQL."""
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(hashlib.sha256(f"plane:{p}:{i}".encode()).digest()[:8], "big")
+            % (2 * scale + 1)
+            - scale
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_planes: int = 48,
+    bands: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """``lsh_neardup_pairs`` with engine-deterministic banding: embeddings
+    are quantized to integers (``floor(float64(v) * 1e6)`` -- exact IEEE
+    double ops, identical everywhere), each plane's dot product is pure
+    BIGINT arithmetic (|q| <= ~2^21, |c| <= 1000, 64 dims -> < 2^38, no
+    overflow), the sign bits assemble a ``n_planes``-bit signature, and
+    ``bands`` chunks band it for the bucket self-join.  Exact float64
+    cosine (6dp rounding, the proven cross-engine formulation) verifies
+    candidates only.  Same scale posture as the numpy variant (cost ~
+    sum bucket^2); what changes is that a SQL engine can replay bucket
+    assignment bit-for-bit, so the driver hash-verifies the whole
+    pipeline instead of recording a rows-only row.
+
+    Plumbing: posexplode to (vec_id, i, q) rows -> broadcast-join the
+    (p, i, c) plane table -> groupBy (vec_id, p) partial-aggregated dot
+    -> groupBy vec_id signature assembly.  Row volume is corpus x dim x
+    n_planes after the join -- bounded, shuffle-free until the per-vector
+    aggregations, and all JVM codegen."""
+    spark = df.sparkSession
+    planes = portable_planes(n_planes, dim)
+    pl = spark.createDataFrame(
+        [(p, i, c) for p, row in enumerate(planes) for i, c in enumerate(row)],
+        "p int, i int, c long",
+    )
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("i", "v")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    dots = (
+        e.join(F.broadcast(pl), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("q") * F.col("c")).alias("d"))
+    )
+    # 2^p via pow (exact in double for p <= 53; n_planes <= 48 here).
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("d") >= 0, F.pow(F.lit(2.0), F.col("p")).cast("long")
+            ).otherwise(F.lit(0))
+        ).alias("sig")
+    )
+    rpb = n_planes // bands
+    band_exprs = ", ".join(
+        f"{j}, shiftright(sig, {j * rpb}) % {1 << rpb}" for j in range(bands)
+    )
+    bnd = sig.selectExpr("vec_id", f"stack({bands}, {band_exprs}) AS (band_no, val)")
+    a, b = bnd.alias("a"), bnd.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     cosine_pairs_above,
     cosine_topk,
+    hyperplane_portable_pairs,
     ivf_topk,
     lsh_neardup_pairs,
     lsh_topk,
+    portable_planes,
 )
 from .registry import register, table_path
 
@@ -59,6 +61,78 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_northstar.py."""
     return lsh_neardup_pairs(
         _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4, n_bands=12
+    )
+
+
+def _portable_hyperplane_sql(
+    threshold: float = 0.4, n_planes: int = 48, bands: int = 12, dim: int = 64
+) -> str:
+    """DuckDB replay of the portable hyperplane-LSH pipeline: integer
+    quantization -> integer plane dots (coefficients injected from
+    ``portable_planes``, single source with the Spark operator; NOTE the
+    +1 on the dimension index -- generate_subscripts is 1-based where
+    posexplode is 0-based) -> sign-bit signature -> chunk banding ->
+    bucket self-join -> exact float64 cosine at 6dp on candidates."""
+    planes = portable_planes(n_planes, dim)
+    values = ",\n        ".join(
+        ", ".join(f"({p}, {i + 1}, {c})" for i, c in enumerate(row))
+        for p, row in enumerate(planes)
+    )
+    rpb = n_planes // bands
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {j} AS band_no, (sig >> {j * rpb}) % {1 << rpb} AS val FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+    WITH pl(p, i, c) AS (
+      VALUES {values}),
+    e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, i, CAST(FLOOR(v * 1000000) AS BIGINT) AS qv FROM e),
+    dots AS (
+      SELECT q.vec_id, pl.p, SUM(q.qv * pl.c) AS d
+      FROM q JOIN pl ON q.i = pl.i
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM dots GROUP BY 1),
+    bnd AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band_no = b.band_no AND a.val = b.val AND a.vec_id < b.vec_id),
+    nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM e GROUP BY 1),
+    dot AS (
+      SELECT c.id_a, c.id_b, SUM(a.v * b.v) AS d
+      FROM cand c
+      JOIN e a ON a.vec_id = c.id_a
+      JOIN e b ON b.vec_id = c.id_b AND b.i = a.i
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(d / (na.n * nb.n), 6) AS cos_sim
+    FROM dot
+    JOIN nrm na ON na.vec_id = id_a
+    JOIN nrm nb ON nb.vec_id = id_b
+    WHERE ROUND(d / (na.n * nb.n), 6) >= {threshold}
+    """
+
+
+@register("embedding_neardup_portable", oracle=_portable_hyperplane_sql())
+def q_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup with ENGINE-DETERMINISTIC bucket
+    assignment: integer-quantized vectors x integer sha256-derived plane
+    coefficients make every sign bit exact BIGINT arithmetic, so DuckDB
+    replays banding bit-for-bit and the driver hash-verifies the full
+    LSH pipeline (unlike ``embedding_neardup_lsh``, whose float-plane
+    buckets are rows-only).  Candidates verify with the proven 6dp
+    float64 cosine."""
+    return hyperplane_portable_pairs(
+        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4
     )
 
 

@@ -128,6 +128,44 @@ def test_portable_simhash_recovers_planted_neardups(docs):
     assert found == again
 
 
+def test_portable_hyperplane_recall_and_determinism(emb):
+    """Portable hyperplane LSH mirrors the float-plane variant's bar: the
+    fixture's pairs sit at cosine 0.4-0.6 (the hardest band for sign-LSH;
+    48 planes / 12 bands of 4 -> per-pair miss ~3-13%), so recall must be
+    >= 75%, every returned pair must BE an exact pair with identical 6dp
+    cosine, and the result must be run-to-run deterministic (the property
+    its SQL oracle relies on)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        cosine_pairs_above,
+        hyperplane_portable_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    assert exact, "fixture should contain near-dup embedding pairs"
+    found = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in hyperplane_portable_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert set(found) <= set(exact), "portable LSH produced a non-exact pair"
+    for k, v in found.items():
+        assert abs(exact[k] - v) < 1e-12
+    missed = set(exact) - set(found)
+    assert len(missed) <= max(1, len(exact) // 4), f"missed {len(missed)}/{len(exact)}"
+
+    again = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_portable_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert set(found) == again
+
+
 def test_simhash_recovers_planted_neardups(docs):
     """Planted near-dups (Jaccard >= 0.9) have near-identical token sets,
     so their SimHashes agree on at least one 16-bit chunk almost surely."""
