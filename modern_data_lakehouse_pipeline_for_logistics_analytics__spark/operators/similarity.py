@@ -265,13 +265,24 @@ def lsh_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return _verify_cosine_pairs(df, cands, id_col, vec_col, threshold)
+
+
+def _verify_cosine_pairs(
+    df: DataFrame, cands: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact-cosine verify of candidate pairs: join vectors back, then a
+    numpy row-wise dot per Arrow batch.  The interpreted zip_with/
+    aggregate expression measured ~3x slower over the ~1M-candidate join
+    at sf0.1 -- HOF lambdas don't codegen.  np.round(float64, 6) is the
+    same 6dp formulation the SQL oracles use, so results hash-match."""
+    import numpy as np
+    import pandas as pd
+
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     joined = cands.join(va, "id_a").join(vb, "id_b")
 
-    # Vectorized verify: numpy row-wise dot per Arrow batch.  The
-    # interpreted zip_with/aggregate expression measured ~3x slower over
-    # the ~1M-candidate join at sf0.1 -- HOF lambdas don't codegen.
     def verify(batches):
         for pdf in batches:
             if not len(pdf):
@@ -328,46 +339,45 @@ def hyperplane_portable_pairs(
     """``lsh_neardup_pairs`` with engine-deterministic banding: embeddings
     are quantized to integers (``floor(float64(v) * 1e6)`` -- exact IEEE
     double ops, identical everywhere), each plane's dot product is pure
-    BIGINT arithmetic (|q| <= ~2^21, |c| <= 1000, 64 dims -> < 2^38, no
-    overflow), the sign bits assemble a ``n_planes``-bit signature, and
-    ``bands`` chunks band it for the bucket self-join.  Exact float64
-    cosine (6dp rounding, the proven cross-engine formulation) verifies
-    candidates only.  Same scale posture as the numpy variant (cost ~
-    sum bucket^2); what changes is that a SQL engine can replay bucket
-    assignment bit-for-bit, so the driver hash-verifies the whole
-    pipeline instead of recording a rows-only row.
+    64-bit-integer arithmetic (|q| <= ~2^21, |c| <= 1000, 64 dims ->
+    < 2^38, no overflow), the sign bits assemble a ``n_planes``-bit
+    signature, and ``bands`` chunks band it for the bucket self-join.
+    Exact float64 cosine (6dp rounding, the proven cross-engine
+    formulation) verifies candidates only.  Same scale posture as the
+    float-plane variant (cost ~ sum bucket^2); what changes is that a SQL
+    engine can replay bucket assignment bit-for-bit, so the driver
+    hash-verifies the whole pipeline instead of recording a rows-only row.
 
-    Plumbing: posexplode to (vec_id, i, q) rows -> broadcast-join the
-    (p, i, c) plane table -> groupBy (vec_id, p) partial-aggregated dot
-    -> groupBy vec_id signature assembly.  Row volume is corpus x dim x
-    n_planes after the join -- bounded, shuffle-free until the per-vector
-    aggregations, and all JVM codegen."""
+    The signature stage is ONE narrow mapInPandas pass with an int64
+    numpy matmul -- numpy int64 ops have exactly BIGINT semantics, so
+    portability is untouched.  (A first cut posexploded to corpus x dim
+    rows and broadcast-joined the plane table: corpus x dim x n_planes
+    post-join rows through two shuffled aggregations measured ~10x
+    slower at sf0.1 than this kernel, and the r5 verdict's rule applies
+    -- the banding math is per-row and vectorizable, so it belongs in an
+    Arrow batch, not in a shuffle.)"""
+    import numpy as np
+    import pandas as pd
+
     spark = df.sparkSession
-    planes = portable_planes(n_planes, dim)
-    pl = spark.createDataFrame(
-        [(p, i, c) for p, row in enumerate(planes) for i, c in enumerate(row)],
-        "p int, i int, c long",
-    )
-    e = df.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("i", "v")
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("q"),
-    )
-    dots = (
-        e.join(F.broadcast(pl), "i")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("q") * F.col("c")).alias("d"))
-    )
-    # 2^p via pow (exact in double for p <= 53; n_planes <= 48 here).
-    sig = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("d") >= 0, F.pow(F.lit(2.0), F.col("p")).cast("long")
-            ).otherwise(F.lit(0))
-        ).alias("sig")
-    )
+    C = np.array(portable_planes(n_planes, dim), dtype=np.int64)
+    W = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((C, W))
+
+    def signatures(batches):
+        C_, W_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["v"]), dtype=np.float64)
+            q = np.floor(v * 1_000_000.0).astype(np.int64)
+            bits = (q @ C_.T) >= 0  # int64 matmul: exact BIGINT semantics
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "sig": (bits * W_).sum(axis=1)}
+            )
+
+    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    sig = src.mapInPandas(signatures, schema="vec_id long, sig long")
     rpb = n_planes // bands
     band_exprs = ", ".join(
         f"{j}, shiftright(sig, {j * rpb}) % {1 << rpb}" for j in range(bands)
@@ -384,18 +394,7 @@ def hyperplane_portable_pairs(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return _verify_cosine_pairs(df, cands, id_col, vec_col, threshold)
 
 
 def ivf_topk(
