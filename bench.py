@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_portable_topk",
     "scalar_datetime",
     "pivot_status_by_priority",
     "agg_median_stddev",

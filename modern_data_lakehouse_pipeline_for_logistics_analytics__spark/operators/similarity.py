@@ -356,6 +356,28 @@ def hyperplane_portable_pairs(
     slower at sf0.1 than this kernel, and the r5 verdict's rule applies
     -- the banding math is per-row and vectorizable, so it belongs in an
     Arrow batch, not in a shuffle.)"""
+    bnd = _portable_band_rows(df, id_col, vec_col, n_planes, bands, dim)
+    a, b = bnd.alias("a"), bnd.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_cosine_pairs(df, cands, id_col, vec_col, threshold)
+
+
+def _portable_band_rows(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, bands: int, dim: int
+) -> DataFrame:
+    """(vec_id, band_no, val) banded portable signatures -- the shared
+    front half of ``hyperplane_portable_pairs`` and
+    ``lsh_portable_topk``: one narrow mapInPandas int64-matmul pass
+    (exact BIGINT semantics -> SQL-replicable), then chunk banding."""
     import numpy as np
     import pandas as pd
 
@@ -382,19 +404,62 @@ def hyperplane_portable_pairs(
     band_exprs = ", ".join(
         f"{j}, shiftright(sig, {j * rpb}) % {1 << rpb}" for j in range(bands)
     )
-    bnd = sig.selectExpr("vec_id", f"stack({bands}, {band_exprs}) AS (band_no, val)")
-    a, b = bnd.alias("a"), bnd.alias("b")
+    return sig.selectExpr("vec_id", f"stack({bands}, {band_exprs}) AS (band_no, val)")
+
+
+def lsh_portable_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 48,
+    bands: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k over portable LSH buckets: a query's candidates are the
+    corpus vectors sharing ANY band bucket with it -- engine-deterministic
+    (integer signatures), so a SQL engine reproduces the exact candidate
+    set and the driver hash-verifies the ANN path end-to-end (the
+    float-plane ``lsh_topk`` is rows-only).  Candidates score with the
+    6dp float64 cosine and rank with an id tie-break; recall vs brute
+    force is bounded by bucket recall, measured in tests.  Output:
+    ``query_id, neighbor_id, cos_sim, rank`` (rank <= k)."""
+    from pyspark.sql import Window
+
+    corpus_bnd = _portable_band_rows(df, id_col, vec_col, n_planes, bands, dim)
+    query_bnd = _portable_band_rows(queries, id_col, vec_col, n_planes, bands, dim)
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        query_bnd.alias("q")
+        .join(
+            corpus_bnd.alias("c"),
+            (F.col("q.band_no") == F.col("c.band_no"))
+            & (F.col("q.val") == F.col("c.val"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .select(
+            F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id")
+        )
         .distinct()
     )
-    return _verify_cosine_pairs(df, cands, id_col, vec_col, threshold)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
 
 
 def ivf_topk(

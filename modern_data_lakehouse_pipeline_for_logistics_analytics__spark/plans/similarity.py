@@ -16,6 +16,7 @@ from ..operators.similarity import (
     hyperplane_portable_pairs,
     ivf_topk,
     lsh_neardup_pairs,
+    lsh_portable_topk,
     lsh_topk,
     portable_planes,
 )
@@ -64,15 +65,14 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _portable_hyperplane_sql(
-    threshold: float = 0.4, n_planes: int = 48, bands: int = 12, dim: int = 64
-) -> str:
-    """DuckDB replay of the portable hyperplane-LSH pipeline: integer
-    quantization -> integer plane dots (coefficients injected from
-    ``portable_planes``, single source with the Spark operator; NOTE the
-    +1 on the dimension index -- generate_subscripts is 1-based where
-    posexplode is 0-based) -> sign-bit signature -> chunk banding ->
-    bucket self-join -> exact float64 cosine at 6dp on candidates."""
+def _portable_sig_ctes(n_planes: int = 48, bands: int = 12, dim: int = 64) -> str:
+    """Shared CTE chain pl/e/q/dots/sig/bnd for the portable hyperplane
+    oracles: integer quantization -> integer plane dots (coefficients
+    injected from ``portable_planes``, single source with the Spark
+    operator; NOTE the +1 on the dimension index -- generate_subscripts
+    is 1-based where posexplode is 0-based) -> sign-bit signature ->
+    chunk banding.  Ends with bnd(vec_id, band_no, val); e/nrm remain
+    available for the exact-cosine verify downstream."""
     planes = portable_planes(n_planes, dim)
     values = ",\n        ".join(
         ", ".join(f"({p}, {i + 1}, {c})" for i, c in enumerate(row))
@@ -83,8 +83,7 @@ def _portable_hyperplane_sql(
         f"SELECT vec_id, {j} AS band_no, (sig >> {j * rpb}) % {1 << rpb} AS val FROM sig"
         for j in range(bands)
     )
-    return f"""
-    WITH pl(p, i, c) AS (
+    return f"""pl(p, i, c) AS (
       VALUES {values}),
     e AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -103,11 +102,21 @@ def _portable_hyperplane_sql(
       FROM dots GROUP BY 1),
     bnd AS (
       {band_selects}),
+    nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM e GROUP BY 1)"""
+
+
+def _portable_hyperplane_sql(
+    threshold: float = 0.4, n_planes: int = 48, bands: int = 12, dim: int = 64
+) -> str:
+    """DuckDB replay of the full portable near-dup pipeline: the shared
+    sig/banding CTEs -> bucket self-join -> exact float64 cosine at 6dp
+    on candidates."""
+    return f"""
+    WITH {_portable_sig_ctes(n_planes, bands, dim)},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bnd a JOIN bnd b
         ON a.band_no = b.band_no AND a.val = b.val AND a.vec_id < b.vec_id),
-    nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM e GROUP BY 1),
     dot AS (
       SELECT c.id_a, c.id_b, SUM(a.v * b.v) AS d
       FROM cand c
@@ -174,6 +183,44 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, queries, "vec_id", "embedding", k=10, n_planes=8)
+
+
+@register(
+    "ann_portable_topk",
+    oracle=f"""
+    WITH {_portable_sig_ctes()},
+    qb AS (SELECT * FROM bnd WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qb q JOIN bnd c
+        ON q.band_no = c.band_no AND q.val = c.val AND q.vec_id <> c.vec_id),
+    dot AS (
+      SELECT cd.query_id, cd.neighbor_id, SUM(a.v * b.v) AS d
+      FROM cand cd
+      JOIN e a ON a.vec_id = cd.query_id
+      JOIN e b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND(d / (nq.n * nc.n), 6) AS cos_sim
+      FROM dot JOIN nrm nq ON nq.vec_id = query_id
+               JOIN nrm nc ON nc.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 over PORTABLE LSH buckets (queries: vec_id < 5):
+    integer signatures make the candidate set engine-deterministic, so
+    DuckDB replays bucketing, exact 6dp cosine scoring and the
+    rank-with-id-tie-break window -- the first hash-verified ANN scale
+    path (``ann_lsh_topk``'s float-plane buckets are rows-only)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_portable_topk(emb, queries, "vec_id", "embedding", k=10)
 
 
 @register("ann_ivf_topk")  # KMeans-derived buckets -> rows-only

@@ -166,6 +166,44 @@ def test_portable_hyperplane_recall_and_determinism(emb):
     assert set(found) == again
 
 
+def test_portable_ann_topk_subset_of_bruteforce(emb):
+    """Portable LSH ANN: every (query, neighbor) it returns must appear in
+    the brute-force result with the SAME cosine, per-query results are
+    capped at k, and the output is run-to-run deterministic.  (Recall is
+    bucket-bound by construction; correctness here is subset+value
+    fidelity -- the SQL oracle pins the exact candidate set.)"""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        cosine_topk,
+        lsh_portable_topk,
+    )
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", k=1000).collect()
+    }
+    approx = [
+        r for r in lsh_portable_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    ]
+    assert approx, "portable ANN returned nothing"
+    per_query: dict = {}
+    for r in approx:
+        per_query.setdefault(r.query_id, []).append(r)
+        key = (r.query_id, r.neighbor_id)
+        assert key in brute and abs(brute[key] - r.cos_sim) < 1e-12
+    for rows in per_query.values():
+        assert len(rows) <= 10
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+    again = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in lsh_portable_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in approx} == again
+
+
 def test_simhash_recovers_planted_neardups(docs):
     """Planted near-dups (Jaccard >= 0.9) have near-identical token sets,
     so their SimHashes agree on at least one 16-bit chunk almost surely."""
