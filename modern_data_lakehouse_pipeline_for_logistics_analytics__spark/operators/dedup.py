@@ -643,9 +643,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     py4j holds the plan objects), so at most [edges + 2 label frames] are
     pinned regardless of round count; edges are unpersisted on exit.
     """
+    # Both edge directions from ONE scan of `pairs` (explode, not a
+    # two-branch union): the input is typically an uncached multi-stage
+    # pipeline (LSH banding -> verify), and a union would execute it
+    # twice before the cache materializes -- measured 2x the pipeline
+    # cost on the portable-minhash composition.
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
