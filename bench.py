@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "text_top_bigram_share",
     "skew_salted_event_counts",
     "docs_training_prep",
+    "docs_training_prep_lsh",
 ]
 
 

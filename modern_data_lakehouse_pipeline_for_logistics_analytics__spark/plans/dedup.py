@@ -89,7 +89,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _portable_minhash_sql(
-    threshold: float = 0.7, num_perm: int = 32, bands: int = 8
+    threshold: float = 0.7, num_perm: int = 32, bands: int = 8,
+    source: str = "documents",
 ) -> str:
     """DuckDB replay of the ENTIRE portable MinHash-LSH pipeline: shingles
     -> 60-bit md5 base hash -> the same (a, b) universal-hash family
@@ -115,7 +116,7 @@ def _portable_minhash_sql(
     # recursive closure.
     return f"""tok AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
-      FROM documents),
+      FROM {source}),
     sh AS (
       SELECT doc_id,
              unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
@@ -343,6 +344,79 @@ def q_docs_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d2 = d1.join(survivors, "doc_id", "left_semi")
     labels = connected_components(jaccard_pairs(d2, "doc_id", "text", threshold=0.7))
+    dupes = labels.filter(F.col("canonical") != F.col("doc")).select(
+        F.col("doc").alias("doc_id")
+    )
+    kept = d2.join(dupes, "doc_id", "left_anti")
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        kept.select(
+            "doc_id",
+            F.when(shard.isin("0", "1"), "holdout").otherwise("train").alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+        )
+    )
+
+
+@register(
+    "docs_training_prep_lsh",
+    oracle=f"""
+    WITH RECURSIVE src AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN (SELECT MIN(doc_id) AS k FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 40
+            GROUP BY md5(lower(trim(text)))) s ON s.k = d.doc_id),
+    {_portable_minhash_sql(source="src")},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+    labels AS (SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc),
+    kept AS (
+      SELECT s.doc_id FROM src s
+      LEFT JOIN labels l ON l.doc = s.doc_id
+      WHERE l.canonical IS NULL OR l.canonical = s.doc_id)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM (SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                      THEN 'holdout' ELSE 'train' END AS split
+          FROM kept)
+    GROUP BY split
+    """,
+)
+def q_docs_training_prep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_training_prep`` with the near-dup stage on the ACTUAL 100 TB
+    path: portable MinHash-LSH candidates (not the all-pairs exact join)
+    feed the connected-components removal.  Because the portable hash
+    family is engine-deterministic, DuckDB replays the ENTIRE scale-path
+    composition -- quality gate, exact dedup, LSH banding, hot-bucket
+    guard, candidate verify, recursive closure, split -- and the driver
+    hash-verifies it.  The exact-pair flagship (``docs_training_prep``)
+    stays as the recall reference; this is the plan a petabyte corpus
+    would run."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    d1 = docs.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 40
+    ).select("doc_id", "text")
+    survivors = (
+        d1.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d2 = d1.join(survivors, "doc_id", "left_semi")
+    labels = connected_components(
+        minhash_portable_lsh(d2, "doc_id", "text", threshold=0.7)
+    )
     dupes = labels.filter(F.col("canonical") != F.col("doc")).select(
         F.col("doc").alias("doc_id")
     )

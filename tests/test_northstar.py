@@ -204,6 +204,24 @@ def test_portable_ann_topk_subset_of_bruteforce(emb):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in approx} == again
 
 
+def test_training_prep_lsh_matches_exact_path(spark, sf_dir):
+    """The LSH-path training prep must produce the SAME splits as the
+    exact-pair flagship on the fixture: portable MinHash-LSH recall is
+    1.0 for the planted near-dups here (pinned by the recall tests), so
+    the two compositions remove identical duplicate sets."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.plans import QUERIES
+
+    exact = {
+        (r.split, r.n_docs, r.sum_doc_ids)
+        for r in QUERIES["docs_training_prep"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.split, r.n_docs, r.sum_doc_ids)
+        for r in QUERIES["docs_training_prep_lsh"](spark, sf_dir).collect()
+    }
+    assert exact == lsh
+
+
 def test_simhash_recovers_planted_neardups(docs):
     """Planted near-dups (Jaccard >= 0.9) have near-identical token sets,
     so their SimHashes agree on at least one 16-bit chunk almost surely."""
