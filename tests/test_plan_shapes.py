@@ -49,6 +49,9 @@ _HINT_AUDIT_QUERIES = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue_share",
     "tpch_q19_disjunctive_revenue",
+    # r6: the partsupp-family adaptations hint only nation/region too.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_promotion_suppliers",
 ]
 
 #: Columns that prove a hinted relation is one of the bounded dims.
@@ -162,3 +165,28 @@ def test_tpch_q16_not_in_is_anti_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "tpch_q16_supplier_cnt")
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q2_min_join_no_cartesian(spark, sf_dir):
+    """Q2's decorrelated per-part MIN must come back as an equi join on
+    (partkey, cost) -- a nested-loop/cartesian re-join of the min table
+    is quadratic in suppliers-per-part at scale.  The region restriction
+    must reach suppliers as a semi join or broadcast equi join."""
+    p = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p  # top-100, never a global sort
+
+
+def test_tpch_q20_threshold_semi_chain(spark, sf_dir):
+    """Q20's quantity-threshold chain must stay semi joins end-to-end
+    (part filter -> pair aggregate -> supplier): a regular inner join
+    would duplicate suppliers per qualifying pair and break the
+    one-row-per-supplier output, and lineitem must be scanned ONCE (the
+    two conditional sums share a single aggregate)."""
+    p = _plan(spark, sf_dir, "tpch_q20_promotion_suppliers")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    # ONE lineitem scan: count scans whose ReadSchema mentions l_quantity.
+    scans = [seg for seg in p.split("FileScan parquet")[1:] if "l_quantity" in seg.split("ReadSchema", 1)[-1][:400]]
+    assert len(scans) <= 2, f"lineitem scanned {len(scans)} times"
