@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "tpch_q16_supplier_cnt",
     "tpch_q18_large_volume_customers",
     "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_promotion_suppliers",
     "join_range_ship_window",
     "asof_prev_error_per_event",
     "window_latest_line_per_order",

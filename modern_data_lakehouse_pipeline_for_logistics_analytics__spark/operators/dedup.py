@@ -131,8 +131,10 @@ def jaccard_pairs(
     """
     # Cached: the shingle frame feeds three plan branches (sizes + both
     # sides of the self-join); without caching Spark recomputes the
-    # tokenize/window subtree per branch.
-    sh = shingle_sets(df, id_col, text_col, n).cache()
+    # tokenize/window subtree per branch.  Keyed/aged (not a bare
+    # .cache()): successive calls over different inputs would otherwise
+    # accumulate pinned shingle frames for the life of the session.
+    sh = _cache_aged("jaccard_sh", shingle_sets(df, id_col, text_col, n))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -177,16 +179,18 @@ def jaccard_verify_pairs(
     candidate pairs ever materialize.  Output: ``doc_a, doc_b, n_common,
     n_a, n_b, jaccard``.
     """
-    cands = cands.select("doc_a", "doc_b").distinct().cache()
+    # Keyed/aged caches (see _sig_caches): both frames feed multiple plan
+    # branches within this call, and aging stops superseded copies from
+    # pinning executor memory across calls.
+    cands = _cache_aged("verify_cands", cands.select("doc_a", "doc_b").distinct())
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc"))
         .union(cands.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sh = (
-        shingle_sets(df, id_col, text_col, n)
-        .join(cand_docs, "doc", "left_semi")
-        .cache()
+    sh = _cache_aged(
+        "verify_sh",
+        shingle_sets(df, id_col, text_col, n).join(cand_docs, "doc", "left_semi"),
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_doc"), F.col("s").alias("s_a"))
