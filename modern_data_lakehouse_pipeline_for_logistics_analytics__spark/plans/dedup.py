@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
     PORTABLE_P,
+    _cache_aged,
     connected_components,
     exact_dedup_groups,
     jaccard_pairs,
@@ -342,7 +343,9 @@ def q_docs_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    d2 = d1.join(survivors, "doc_id", "left_semi")
+    # d2 feeds shingling, the candidate verify and the kept join; the
+    # aged cache stops 3-4 recomputations of the gate+dedup shuffles.
+    d2 = _cache_aged("prep_d2", d1.join(survivors, "doc_id", "left_semi"))
     labels = connected_components(jaccard_pairs(d2, "doc_id", "text", threshold=0.7))
     dupes = labels.filter(F.col("canonical") != F.col("doc")).select(
         F.col("doc").alias("doc_id")
@@ -413,7 +416,9 @@ def q_docs_training_prep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    d2 = d1.join(survivors, "doc_id", "left_semi")
+    # Same aged d2 cache as the exact-path flagship (identical plan, so
+    # the two queries share one cached frame).
+    d2 = _cache_aged("prep_d2", d1.join(survivors, "doc_id", "left_semi"))
     labels = connected_components(
         minhash_portable_lsh(d2, "doc_id", "text", threshold=0.7)
     )
