@@ -577,6 +577,30 @@ def test_simhash_cache_ages_out(spark):
     assert dmod._sig_caches["simhash64"].storageLevel.useMemory
 
 
+def test_jaccard_shingle_cache_ages_out(spark):
+    """jaccard_pairs' shingle cache is bounded to ONE frame per session:
+    a call over a different corpus releases the superseded cache instead
+    of pinning shingle frames forever (the pre-r6 bench leak)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import (
+        dedup as dmod,
+    )
+
+    docs_a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs_b = spark.createDataFrame(
+        [(i, f"zeta eta theta iota kappa doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dmod.jaccard_pairs(docs_a, "doc_id", "text", threshold=0.5).count()
+    first = dmod._sig_caches["jaccard_sh"]
+    assert first.storageLevel.useMemory
+    dmod.jaccard_pairs(docs_b, "doc_id", "text", threshold=0.5).count()
+    assert not first.storageLevel.useMemory
+    assert dmod._sig_caches["jaccard_sh"].storageLevel.useMemory
+
+
 def test_spread_skips_wide_input(spark, tmp_path):
     """_spread must NOT add an Exchange when the input is already wide --
     at 100 TB the corpus arrives as thousands of files, and a forced
