@@ -128,6 +128,10 @@ def main() -> None:
     # Warmup: run the flagship once to absorb JVM/codegen startup.
     queries["courier_metrics"](spark, sf_dir).count()
 
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        release_caches,
+    )
+
     def _median3(name: str) -> float:
         runs = []
         for _ in range(3):
@@ -136,14 +140,35 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(sorted(runs)[1], 4)
 
+    def _timed(name: str) -> float:
+        t = _median3(name)
+        # Release the per-operator signature caches BETWEEN queries (not
+        # between a query's 3 runs -- intra-query reuse is the documented
+        # policy above).  Without this the dedup family leaves up to ~7
+        # pinned sf-scale frames that squeeze the execution memory of the
+        # embeddings/ANN queries that run right after it (r6 measured
+        # ann_* ~2x slower under that pressure).
+        release_caches()
+        return t
+
     # Median of 3 runs per query (see module docstring for the policy).
-    timings: dict[str, float] = {name: _median3(name) for name in names}
+    timings: dict[str, float] = {name: _timed(name) for name in names}
 
     # Regression gate: per-query budgets (BENCH_BUDGET.json = r4 medians
     # x1.5).  Breaches go to STDERR (stdout stays one JSON line) and the
     # exit code goes non-zero so a regression cannot ship silently (the
     # r4->r5 1.37x regression did).  Only enforced at the canonical bench
     # scale -- budgets were measured at sf0.1 and mean nothing elsewhere.
+    #
+    # EFFECTIVE BAR, stated plainly: the budget is already r4-median x1.5,
+    # and the breach test multiplies by another 1.5x (times the run's
+    # contention ratio), so a query may regress up to 2.25x vs its r4
+    # median on a quiet host before the gate trips.  That slack is
+    # deliberate -- this VM's CPU steal swings whole-bench totals ~1.6x on
+    # byte-identical code -- and the tradeoff is documented here rather
+    # than hidden in the arithmetic.  Both the original and the
+    # confirmation-retry medians are recorded in the output ("retries"),
+    # so the published number's optimism under contention is auditable.
     #
     # The gate must separate CODE regressions from HOST contention: this
     # box is a VM with bursty CPU steal (~13% of user time cumulative;
@@ -160,6 +185,7 @@ def main() -> None:
     budget_path = os.path.join(REPO_ROOT, "BENCH_BUDGET.json")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     breaches: dict[str, tuple[float, float]] = {}
+    retries: dict[str, dict[str, float]] = {}
     if sf == "0.1" and os.path.exists(budget_path):
         with open(budget_path) as fh:
             budgets = json.load(fh)["budgets"]
@@ -174,7 +200,8 @@ def main() -> None:
             for n, t in timings.items():
                 if n not in budgets or t / budgets[n] <= bar:
                     continue
-                retry = _median3(n)  # confirmation re-measure
+                retry = _timed(n)  # confirmation re-measure
+                retries[n] = {"original": t, "retry": retry}
                 timings[n] = min(t, retry)
                 if timings[n] / budgets[n] > bar:
                     out[n] = (timings[n], round(budgets[n] * bar, 4))
@@ -182,17 +209,37 @@ def main() -> None:
 
         breaches = _confirmed_breaches()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if retries:
+        payload["retries"] = retries
+    print(json.dumps(payload))
+
+    # Also persist the COMPLETE per-query map in-repo: the driver's
+    # BENCH_r{N}.json artifact head-truncates long lines (the `tail`
+    # field loses the first ~11 queries), so round-over-round history was
+    # silently dropping courier_metrics..tpch_q5.  N = next round after
+    # the newest driver artifact present.
+    try:
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(REPO_ROOT)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n_round = (max(rounds) if rounds else 0) + 1
+        with open(os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{n_round:02d}.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception as exc:  # the bench result itself must still print
+        print(f"bench: could not write BENCH_LOCAL json: {exc}", file=sys.stderr)
+
     spark.stop()
 
     if breaches:

@@ -735,7 +735,36 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
 # long-running use: a new call over a DIFFERENT input unpersists the
 # superseded cache (CC-loop discipline); a repeat call over the SAME
 # logical plan keeps it, preserving CacheManager reuse across calls.
+#
+# Single-threaded assumption: this is a module-global registry with no
+# lock.  Two pipelines interleaving calls over DIFFERENT inputs from
+# separate threads would thrash each other's keyed entry -- correctness
+# is unaffected (cache() is an optimization), but the promised reuse is
+# silently defeated.  Long-lived sessions that finish a batch of dedup/
+# similarity work should call release_caches() to return the pinned
+# storage memory to the execution pool.
 _sig_caches: dict[str, DataFrame] = {}
+
+
+def release_caches() -> int:
+    """Unpersist every frame held by the per-operator signature cache
+    registry and clear it; returns the number of entries released.
+
+    The registry bounds pinned memory to one frame per key, but with ~7
+    keys a long bench/batch session can still accumulate several pinned
+    sf-scale frames that compete with later queries' execution memory
+    (unified memory manager: storage borrows from execution).  Call this
+    at composition exit or between unrelated workloads.  Caching within
+    one query's repeated runs remains the documented policy -- callers
+    that want reuse simply don't release between those runs."""
+    n = len(_sig_caches)
+    for df in _sig_caches.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # best-effort: a leak here degrades memory, not correctness
+    _sig_caches.clear()
+    return n
 
 
 def _same_plan(a: DataFrame, b: DataFrame) -> bool:

@@ -232,40 +232,49 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape (receiptdate adapted to shipdate-vs-orderdate+60): the
-    sole late supplier in multi-supplier finished orders.  EXISTS -> one
-    left-semi on (order, other supplier); NOT EXISTS -> one left-anti on
-    the late-line set itself -- the classic double-negation that planners
-    mis-decorrelate.  Both auxiliary joins key on l_orderkey with a
-    non-equi supplier residual, so no cartesian appears."""
+    sole late supplier in multi-supplier finished orders.
+
+    Single-scan aggregate shape: instead of decorrelating EXISTS/NOT
+    EXISTS into a semi + anti join chain (three lineitem passes -- the
+    r6 plan), both quantifiers collapse into per-order counts over ONE
+    lineitem scan: EXISTS another supplier == n_supp > 1, NOT EXISTS
+    another LATE supplier == n_late_supp == 1 (l1 itself is late, so
+    "no other late supplier" means exactly one).  Because all lateness
+    is then attributable to that single supplier, numwait is the sum of
+    the order's late LINES credited to max(late suppkey).
+
+    Two-level aggregate keeps everything partial-agg friendly: per
+    (order, supplier) first -- map-side combine collapses multi-line
+    suppliers before the shuffle -- then per order.  At 100x the triple
+    scan + two non-equi joins were the dominant cost; this is one scan,
+    two narrow shuffles, and a final aggregate over only the qualifying
+    orders."""
     o_f = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late = li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"]).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    ).select("l_orderkey", "l_suppkey")
-    other = li.select(
-        F.col("l_orderkey").alias("o2_ok"), F.col("l_suppkey").alias("o2_sk")
+    lines = li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("long")
+        .alias("is_late"),
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o3_ok"), F.col("l_suppkey").alias("o3_sk")
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("any_late"),
+        F.sum("is_late").alias("late_lines"),
     )
-    sole_late = (
-        late.join(
-            other,
-            (F.col("o2_ok") == F.col("l_orderkey")) & (F.col("o2_sk") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("o3_ok") == F.col("l_orderkey")) & (F.col("o3_sk") != F.col("l_suppkey")),
-            "left_anti",
-        )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+        F.max(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias("s_suppkey"),
+        F.sum("late_lines").alias("n_late_lines"),
     )
-    df = sole_late.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
-        F.count(F.lit(1)).cast("long").alias("numwait")
+    sole = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    df = sole.groupBy("s_suppkey").agg(
+        F.sum("n_late_lines").cast("long").alias("numwait")
     )
     return df.orderBy(F.desc("numwait"), F.asc("s_suppkey")).limit(20)
 

@@ -149,14 +149,23 @@ def test_tpch_q18_topk_and_semi(spark, sf_dir):
     assert "LeftSemi" in p
 
 
-def test_tpch_q21_no_nested_loop(spark, sf_dir):
-    """Both existential self-joins carry the l_orderkey equi key, so the
-    non-equi supplier residual must stay a residual on a hash/SMJ join --
-    a BNLJ/cartesian here is quadratic in lines-per-order at scale."""
+def test_tpch_q21_single_scan_aggregate(spark, sf_dir):
+    """r7 single-scan shape: both EXISTS/NOT EXISTS quantifiers collapse
+    into per-order counts, so lineitem must be scanned exactly ONCE (the
+    r6 semi+anti chain read it three times) and no self-join of any kind
+    remains -- the only join is lineitem-to-filtered-orders."""
     p = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "LeftSemi" in p and "LeftAnti" in p
+    # ONE lineitem scan: count scans whose ReadSchema mentions l_suppkey.
+    scans = [
+        seg
+        for seg in p.split("FileScan parquet")[1:]
+        if "l_suppkey" in seg.split("ReadSchema", 1)[-1][:400]
+    ]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)} times"
+    # the two-level aggregate must partial-aggregate before each shuffle
+    assert "partial" in p.lower()
 
 
 def test_tpch_q16_not_in_is_anti_join(spark, sf_dir):
@@ -188,5 +197,8 @@ def test_tpch_q20_threshold_semi_chain(spark, sf_dir):
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
     # ONE lineitem scan: count scans whose ReadSchema mentions l_quantity.
+    # _plan concatenates the simple executedPlan dump AND the formatted
+    # dump; only the simple dump renders "FileScan parquet ... ReadSchema"
+    # inline, so the count below sees each physical scan exactly once.
     scans = [seg for seg in p.split("FileScan parquet")[1:] if "l_quantity" in seg.split("ReadSchema", 1)[-1][:400]]
-    assert len(scans) <= 2, f"lineitem scanned {len(scans)} times"
+    assert len(scans) == 1, f"lineitem scanned {len(scans)} times"
