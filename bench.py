@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_portable_topk",
+    "ann_ivf_portable_topk",
     "scalar_datetime",
     "pivot_status_by_priority",
     "agg_median_stddev",

@@ -537,6 +537,115 @@ def ivf_topk(
     )
 
 
+#: Knuth multiplicative hash constant -- deterministic pseudo-random
+#: order both engines reproduce with exact BIGINT arithmetic.
+_KNUTH = 2654435761
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    """(id, qv) with qv = floor(v * scale) per element as array<long> --
+    the exact-integer vector form shared by every portable operator."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+        ).alias("qv"),
+    )
+
+
+def _int_d2(a: F.Column, b: F.Column) -> F.Column:
+    """Exact BIGINT squared-L2 distance of two array<long> columns (JVM
+    fold; |qv| <= 1e6 and dim 64 bound the sum by ~2.6e14 -- no overflow)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_portable_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF ANN with an ENGINE-DETERMINISTIC coarse quantizer: centroids
+    are a Knuth-hash pseudo-random corpus sample (no Lloyd iterations --
+    the k-means fit of ``ivf_topk`` is float/engine-specific, so its
+    buckets can never hash-match another engine), vectors quantize to
+    integers, and both cluster assignment (argmin exact BIGINT squared-L2,
+    centroid-id tie-break) and query probing (nprobe nearest centroids by
+    the same metric) are arithmetic a SQL engine replays bit-for-bit.
+    Exact 6dp float64 cosine scores the probed candidates; rank with an
+    id tie-break.
+
+    Same inverted-list scale shape as ``ivf_topk`` -- per-query work ~
+    corpus * nprobe / n_clusters, centroid table broadcast -- traded
+    against a weaker (unlearned) quantizer.  Output:
+    ``query_id, neighbor_id, cos_sim, rank`` (rank <= k).
+    """
+    qc = _quantized(df, id_col, vec_col, scale)
+    # Deterministic pseudo-random sample of n_clusters corpus vectors;
+    # the source id doubles as the cluster label.
+    cents = (
+        qc.select(
+            F.col("id").alias("cluster"), F.col("qv").alias("cent_qv"),
+            ((F.col("id").cast("long") * F.lit(_KNUTH)) % F.lit(2**31)).alias("h"),
+        )
+        .orderBy("h", "cluster")
+        .limit(n_clusters)
+        .drop("h")
+    )
+    assigned = (
+        qc.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _int_d2(F.col("qv"), F.col("cent_qv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias("neighbor_id"), "cluster")
+    )
+    probes = (
+        _quantized(queries, id_col, vec_col, scale)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", _int_d2(F.col("qv"), F.col("cent_qv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("id").alias("query_id"), "cluster")
+    )
+    # Assignment is unique per corpus vector and probe clusters are
+    # distinct per query, so candidate pairs need no dedup.
+    cands = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv_ = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv_f"))
+    cv_ = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv_f"))
+    scored = (
+        cands.join(F.broadcast(qv_), "query_id")
+        .join(cv_, "neighbor_id")
+        .withColumn("cos_sim", cosine(F.col("qv_f"), F.col("cv_f")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -14,6 +14,7 @@ from ..operators.similarity import (
     cosine_pairs_above,
     cosine_topk,
     hyperplane_portable_pairs,
+    ivf_portable_topk,
     ivf_topk,
     lsh_neardup_pairs,
     lsh_portable_topk,
@@ -230,3 +231,73 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_clusters=16, nprobe=4)
+
+
+@register(
+    "ann_ivf_portable_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, i, CAST(FLOOR(v * 1000000) AS BIGINT) AS qv FROM e),
+    nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM e GROUP BY 1),
+    cent_ids AS (
+      SELECT vec_id AS cluster FROM embeddings
+      ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+      LIMIT 16),
+    centq AS (
+      SELECT c.cluster, q.i, q.qv AS cqv
+      FROM cent_ids c JOIN q ON q.vec_id = c.cluster),
+    d2 AS (
+      SELECT q.vec_id, c.cluster,
+             CAST(SUM((q.qv - c.cqv) * (q.qv - c.cqv)) AS BIGINT) AS d2
+      FROM q JOIN centq c ON q.i = c.i
+      GROUP BY 1, 2),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM d2)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM d2 WHERE vec_id < 5)
+      WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, a.neighbor_id
+      FROM probes p JOIN assigned a USING (cluster)
+      WHERE p.query_id <> a.neighbor_id),
+    dot AS (
+      SELECT cd.query_id, cd.neighbor_id, SUM(a.v * b.v) AS d
+      FROM cand cd
+      JOIN e a ON a.vec_id = cd.query_id
+      JOIN e b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND(d / (nq.n * nc.n), 6) AS cos_sim
+      FROM dot JOIN nrm nq ON nq.vec_id = query_id
+               JOIN nrm nc ON nc.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 with an ENGINE-DETERMINISTIC coarse quantizer
+    (queries: vec_id < 5): Knuth-hash corpus-sampled centroids + exact
+    BIGINT squared-L2 assignment/probing make the inverted lists
+    SQL-replayable, closing the hash-verification gap ``ann_ivf_topk``'s
+    float KMeans buckets cannot (rows-only by construction).  Candidates
+    score with the proven 6dp float64 cosine."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_portable_topk(
+        emb, queries, "vec_id", "embedding", k=10, n_clusters=16, nprobe=4
+    )

