@@ -32,6 +32,8 @@ from pyspark.sql.types import (
 )
 
 #: Output schema of the decode stage -- stable regardless of decoder.
+#: Modality-specific fields are nullable: images fill width/height,
+#: audio fills channels/sample_rate/duration_ms, video fills all five.
 DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -40,9 +42,15 @@ DECODED_SCHEMA = StructType(
         StructField("sha256_8", StringType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("duration_ms", LongType()),
         StructField("status", StringType()),
     ]
 )
+
+#: Metadata keys a decoder may return (dict form).
+_META_FIELDS = ("width", "height", "channels", "sample_rate", "duration_ms")
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
@@ -69,11 +77,46 @@ def _decode_real(payload: bytes) -> tuple[int, int]:
         return int(img.width), int(img.height)
 
 
-#: Pluggable decoder registry; tests and prod differ only here.
+def _decode_wav(payload: bytes) -> dict:
+    """REAL audio decode via the stdlib ``wave`` module (no dependency):
+    channel count, sample rate, and duration from the container header.
+    Sample data is never materialized -- header-only, so cost per payload
+    is independent of audio length.  Compressed codecs (mp3/ogg) would
+    follow the PIL soft-import pattern instead."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate = w.getframerate()
+        frames = w.getnframes()
+        return {
+            "channels": w.getnchannels(),
+            "sample_rate": rate,
+            "duration_ms": (frames * 1000) // rate if rate else None,
+        }
+
+
+def _decode_video_stub(payload: bytes) -> dict:
+    """Deterministic fake video decode (dims + duration from the digest).
+    STUB: no video codec exists in this sandbox; a real implementation
+    would soft-import ffmpeg/pyav exactly like ``_decode_real`` does PIL
+    and read the container header only."""
+    d = hashlib.sha256(payload).digest()
+    return {
+        "width": 160 + d[0] % 352,
+        "height": 120 + d[1] % 264,
+        "duration_ms": 1000 + int.from_bytes(d[2:4], "big"),
+    }
+
+
+#: Pluggable decoder registry; tests and prod differ only here.  A decoder
+#: returns either an (width, height) tuple or a dict over _META_FIELDS.
 DECODERS = {
     "image/fake": _decode_image_stub,
     "image/png": _decode_real,
     "image/jpeg": _decode_real,
+    "audio/wav": _decode_wav,
+    "video/fake": _decode_video_stub,
 }
 
 
@@ -112,8 +155,7 @@ def decode_media(df: DataFrame, decoders: dict | None = None) -> DataFrame:
                     "mime": mime,
                     "n_bytes": len(payload),
                     "sha256_8": hashlib.sha256(payload).hexdigest()[:8],
-                    "width": None,
-                    "height": None,
+                    **{f: None for f in _META_FIELDS},
                     "status": "ok",
                 }
                 decoder = decoders.get(mime)
@@ -121,7 +163,11 @@ def decode_media(df: DataFrame, decoders: dict | None = None) -> DataFrame:
                     rec["status"] = "unknown_mime"
                 else:
                     try:
-                        rec["width"], rec["height"] = decoder(payload)
+                        meta = decoder(payload)
+                        if isinstance(meta, dict):
+                            rec.update({f: meta.get(f) for f in _META_FIELDS if f in meta})
+                        else:
+                            rec["width"], rec["height"] = meta
                     except NotImplementedError:
                         rec["status"] = "decoder_unavailable"
                     except Exception:

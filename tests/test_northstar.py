@@ -468,6 +468,37 @@ def test_multimodal_real_png_decode(spark):
     assert row.status == "ok" and row.width == 1 and row.height == 1
 
 
+def test_multimodal_wav_decode(spark):
+    """REAL audio decode (stdlib wave -- always available, no skip gate):
+    a generated 8 kHz stereo WAV yields channels/sample_rate/duration_ms
+    from the header while image fields stay null; truncated WAV bytes hit
+    the decode_error branch instead of failing the task."""
+    import io
+    import wave
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.multimodal import (
+        decode_media,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 2 * 4000)  # 4000 stereo frames = 500 ms
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav)), (2, "audio/wav", bytearray(wav[:16]))],
+        "doc_id long, mime string, content binary",
+    )
+    rows = {r.doc_id: r for r in decode_media(media).collect()}
+    ok = rows[1]
+    assert ok.status == "ok"
+    assert ok.channels == 2 and ok.sample_rate == 8000 and ok.duration_ms == 500
+    assert ok.width is None and ok.height is None
+    assert rows[2].status == "decode_error"
+
+
 def test_multimodal_decode_error_branch_and_batching(spark, sf_dir):
     """Every status branch fires (including decode_error from a decoder
     that raises mid-payload), and the Arrow batch size only changes HOW
