@@ -50,17 +50,32 @@ def _spread(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     (r5 bench regression).  Estimate order:
 
     1. explicit ``n_partitions`` caller hint;
-    2. leaf-scan file count via ``df.inputFiles()`` -- plan inspection
+    2. shuffle-producing node (join/aggregate/window/repartition/dedup)
+       anywhere in the OPTIMIZED LOGICAL plan -- such a frame is already
+       at ~``spark.sql.shuffle.partitions`` width regardless of how many
+       files its leaf scan has, so pass through (plan string inspection
+       only, no job; this closes the r6 over-spread where a cached
+       aggregate over a single-file scan reported width 1 and ate a
+       redundant full repartition);
+    3. leaf-scan file count via ``df.inputFiles()`` -- plan inspection
        only, no job; a lower bound on scan partitions (large files split
        further), so it can only over-spread, never under-spread;
-    3. no file scan in the plan (in-memory relation or post-shuffle
-       frame) -> assume already wide and pass through: a post-shuffle
-       frame has ~``spark.sql.shuffle.partitions`` partitions, and
-       callers holding a known-narrow in-memory frame pass the hint.
+    4. no file scan in the plan (in-memory relation) -> assume already
+       wide and pass through; callers holding a known-narrow in-memory
+       frame pass the hint.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     width = n_partitions
     if width is None:
+        try:
+            lp = df._jdf.queryExecution().optimizedPlan().toString()
+            if any(
+                tok in lp
+                for tok in ("Join", "Aggregate", "Window", "Repartition", "Deduplicate")
+            ):
+                return df
+        except Exception:
+            pass  # estimate falls through to the file count
         files = df.inputFiles()
         if not files:
             return df
@@ -254,6 +269,11 @@ def minhash_band_buckets(
     import numpy as np
     import pandas as pd
 
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must divide evenly into bands ({bands}): "
+            "an inexact split silently drops trailing permutations"
+        )
     A, B = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
 
@@ -444,6 +464,12 @@ def minhash_portable_band_buckets(
     row per doc, never per shingle) -> per-band digest via stack.  The
     bucket is itself the 60-bit portable hash of the band's min values,
     so the banding self-join shuffles a long, not a concat string."""
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must divide evenly into bands ({bands}): "
+            "an inexact split would silently drop trailing permutations AND "
+            "desync this operator from its generated SQL oracle"
+        )
     params = portable_minhash_params(num_perm)
     rows_per_band = num_perm // bands
     sh = shingle_sets(df, id_col, text_col, n)
@@ -540,6 +566,12 @@ def simhash_portable_candidates(
     ``max_hamming`` filter then keeps verified near-dups.  Output:
     ``doc_a, doc_b, hamming`` -- deterministic, so an external engine
     reproduces the exact candidate set."""
+    if bits % chunks:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into chunks ({chunks}): an "
+            "inexact split silently drops trailing signature bits AND "
+            "desyncs this operator from its generated SQL oracle"
+        )
     rpb = bits // chunks
     band_exprs = ", ".join(
         f"{j}, shiftright(simhash, {j * rpb}) % {1 << rpb}" for j in range(chunks)
@@ -798,6 +830,11 @@ def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame
     Hamming distance < chunks is guaranteed caught (8 chunks -> distance
     <= 7 always recovered; planted near-dups measure distance 0-9 on the
     fixture)."""
+    if 64 % chunks:
+        raise ValueError(
+            f"chunks ({chunks}) must divide the 64-bit signature evenly: "
+            "an inexact split silently drops the trailing bits"
+        )
     # Four plan branches read the signatures (both join sides + both
     # verification lookups) -- cache so the signature pass runs once,
     # aging out any previous call's cache (see _sig_caches).

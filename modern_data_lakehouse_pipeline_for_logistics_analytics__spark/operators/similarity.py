@@ -381,6 +381,13 @@ def _portable_band_rows(
     import numpy as np
     import pandas as pd
 
+    if n_planes % bands:
+        raise ValueError(
+            f"n_planes ({n_planes}) must divide evenly into bands ({bands}): "
+            "an inexact split silently drops trailing sign bits AND desyncs "
+            "this operator from its generated SQL oracle"
+        )
+
     spark = df.sparkSession
     C = np.array(portable_planes(n_planes, dim), dtype=np.int64)
     W = np.array([1 << p for p in range(n_planes)], dtype=np.int64)

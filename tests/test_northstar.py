@@ -669,6 +669,91 @@ def test_jaccard_shingle_cache_ages_out(spark):
     assert dmod._sig_caches["jaccard_sh"].storageLevel.useMemory
 
 
+def _scenario_jaccard(dmod, docs):
+    dmod.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+
+
+def _scenario_simhash64(dmod, docs):
+    dmod.simhash_candidate_pairs(dmod.simhash_signatures(docs, "doc_id", "text")).count()
+
+
+def _scenario_simhash_portable(dmod, docs):
+    dmod.simhash_portable_candidates(
+        dmod.simhash_portable_signatures(docs, "doc_id", "text")
+    ).count()
+
+
+def _scenario_minhash_portable(dmod, docs):
+    # Also exercises verify_cands / verify_sh via jaccard_verify_pairs.
+    dmod.minhash_portable_lsh(docs, "doc_id", "text", threshold=0.3).count()
+
+
+@pytest.mark.parametrize(
+    "scenario",
+    [
+        _scenario_jaccard,
+        _scenario_simhash64,
+        _scenario_simhash_portable,
+        _scenario_minhash_portable,
+    ],
+    ids=["jaccard_sh", "simhash64", "simhash_portable", "minhash_portable+verify"],
+)
+def test_sig_caches_age_on_new_corpus(spark, scenario):
+    """EVERY keyed signature cache ages: running an operator family over
+    corpus A then corpus B must unpersist each superseded keyed frame and
+    pin the replacement -- the generalization of the r5/r6 per-key leak
+    regressions to the whole ``_sig_caches`` registry (a new key added
+    without aging discipline fails here as soon as a scenario covers
+    it)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import (
+        dedup as dmod,
+    )
+
+    docs_a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs_b = spark.createDataFrame(
+        [(i, f"zeta eta theta iota kappa doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    scenario(dmod, docs_a)
+    snap = dict(dmod._sig_caches)
+    assert snap, "scenario populated no signature caches"
+    scenario(dmod, docs_b)
+    superseded = [
+        k
+        for k, prev in snap.items()
+        if dmod._sig_caches.get(k) is not None and dmod._sig_caches[k] is not prev
+    ]
+    assert superseded, "corpus B superseded no cache entries"
+    for k in superseded:
+        assert not snap[k].storageLevel.useMemory, f"{k}: superseded frame still pinned"
+        assert dmod._sig_caches[k].storageLevel.useMemory, f"{k}: replacement not cached"
+
+
+def test_release_caches_unpins_everything(spark):
+    """release_caches() (the bench/batch-session boundary) unpersists and
+    clears every registry entry so pinned storage returns to the
+    execution pool between unrelated workloads."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import (
+        dedup as dmod,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"lambda mu nu xi omicron doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dmod.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    held = dict(dmod._sig_caches)
+    assert held
+    released = dmod.release_caches()
+    assert released == len(held)
+    assert not dmod._sig_caches
+    for k, df in held.items():
+        assert not df.storageLevel.useMemory, f"{k} still pinned after release"
+
+
 def test_spread_skips_wide_input(spark, tmp_path):
     """_spread must NOT add an Exchange when the input is already wide --
     at 100 TB the corpus arrives as thousands of files, and a forced
@@ -700,3 +785,11 @@ def test_spread_skips_wide_input(spark, tmp_path):
     # Explicit caller hint overrides plan inspection both ways.
     assert _spread(mem, n_partitions=1).rdd.getNumPartitions() == par
     assert _spread(narrow, n_partitions=par) is narrow
+
+    # A shuffle-producing node above a narrow scan means the frame is
+    # already at shuffle width -- no redundant repartition (r6 ADVICE:
+    # the file-count estimate alone would report width 1 here).
+    agged = narrow.groupBy("text").count()
+    assert _spread(agged) is agged
+    joined = narrow.join(mem.select("doc"), "doc")
+    assert _spread(joined) is joined
