@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "profile_orders_columns",
     "text_top_bigram_share",
     "skew_salted_event_counts",
+    "train_decontaminate_ngrams",
+    "train_quality_gates",
+    "train_span_dedup",
+    "train_chunk_documents",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

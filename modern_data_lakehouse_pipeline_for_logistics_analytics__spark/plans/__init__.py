@@ -59,6 +59,7 @@ def _load_all() -> None:
         "tpch2",
         "tpch3",
         "product_analytics",
+        "trainprep",
     ):
         try:
             __import__(f"{__name__}.{mod}")

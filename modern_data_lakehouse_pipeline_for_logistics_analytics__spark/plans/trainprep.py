@@ -1,0 +1,190 @@
+"""Training-corpus preparation plans over the ``documents`` fixture
+(north-star extension): benchmark decontamination, Gopher-style quality
+gates, C4-style span dedup, fixed-size chunking.
+
+Every query has an exact DuckDB oracle: all arithmetic is integer counts
+or 4dp half-up ratios, all hashes are the shared 60-bit portable md5
+family, and boolean gates are cast to BIGINT 0/1 on both sides (the
+driver canonicalizer compares numbers, not engine bool types).
+
+The deterministic benchmark split (``doc_id % 23 = 0`` as the eval set)
+stands in for a real benchmark table; the fixture's planted near-dup
+families guarantee nonzero contamination hits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.trainprep import (
+    chunk_documents,
+    decontaminate_ngrams,
+    quality_gates,
+    span_dedup,
+)
+from .registry import register, table_path
+
+#: Shared SQL prelude: whitespace tokens per doc.
+_TOK = """
+    tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@register(
+    "train_decontaminate_ngrams",
+    oracle=f"""
+    WITH {_TOK},
+    csh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(ts[i:i+4], ' ')
+                                   for i in range(1, len(ts) - 3)])) AS s
+      FROM tok WHERE doc_id % 23 <> 0 AND len(ts) >= 5),
+    bsh AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5(unnest(list_distinct(
+               [array_to_string(ts[i:i+4], ' ') for i in range(1, len(ts) - 3)]
+             ))), 2, 15) AS BIGINT) AS h
+      FROM tok WHERE doc_id % 23 = 0 AND len(ts) >= 5),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM (SELECT doc_id,
+                   CAST('0x' || substring(md5(s), 2, 15) AS BIGINT) AS h
+            FROM csh)
+      WHERE h IN (SELECT h FROM bsh)
+      GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 23 <> 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus (doc_id % 23 <> 0) vs eval set
+    (doc_id % 23 = 0), distinct word 5-gram overlap via broadcast of the
+    benchmark's portable-hash set.  The training-data hygiene gate: at
+    100 TB the benchmark side stays tiny and broadcastable, the corpus
+    pass shuffles 8-byte hashes once for the per-doc count."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 23 == 0)
+    out = decontaminate_ngrams(corpus, benchmark, "doc_id", "text", n=5)
+    return out.select(
+        "doc_id", "n_overlap", F.col("contaminated").cast("long").alias("contaminated")
+    )
+
+
+@register(
+    "train_quality_gates",
+    oracle=f"""
+    WITH {_TOK},
+    feats AS (
+      SELECT t.doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(((length(d.text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE))
+                        * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
+               AS mean_tok_len,
+             CAST(FLOOR(((length(d.text)
+                          - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                         / CAST(length(d.text) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+               / CAST(10000.0 AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_intersect(list_distinct(ts),
+                  ['the', 'a', 'of', 'to', 'and', 'in', 'is'])) AS BIGINT)
+               AS n_stop_hits
+      FROM tok t JOIN documents d ON d.doc_id = t.doc_id)
+    SELECT doc_id, n_tokens, mean_tok_len, symbol_ratio, n_stop_hits,
+           CAST(CASE WHEN n_tokens BETWEEN 40 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS gate_len,
+           CAST(CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS BIGINT) AS gate_tok_len,
+           CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS gate_symbols,
+           CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS gate_stops,
+           CAST(CASE WHEN n_tokens BETWEEN 40 AND 100000
+                      AND mean_tok_len BETWEEN 2.0 AND 12.0
+                      AND symbol_ratio <= 0.1
+                      AND n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM feats
+    """,
+)
+def q_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates, one boolean column per gate (cast to
+    0/1 for the cross-engine hash) -- narrow, zero shuffles, pipelines
+    into the scan."""
+    out = quality_gates(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "symbol_ratio",
+        "n_stop_hits",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in ("gate_len", "gate_tok_len", "gate_symbols", "gate_stops", "passes")
+        ],
+    )
+
+
+@register(
+    "train_span_dedup",
+    oracle=f"""
+    WITH {_TOK},
+    sp AS (
+      SELECT doc_id,
+             generate_subscripts(spans, 1) - 1 AS span_no,
+             unnest(spans) AS span_text
+      FROM (SELECT doc_id,
+                   [array_to_string(ts[(i-1)*10+1:i*10], ' ')
+                    for i in range(1, CAST(CEIL(len(ts) / 10.0) AS BIGINT) + 1)]
+                     AS spans
+            FROM tok)),
+    ranked AS (
+      SELECT doc_id, span_no, span_text,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST('0x' || substring(md5(span_text), 2, 15) AS BIGINT)
+               ORDER BY doc_id, span_no) AS rn
+      FROM sp),
+    kept AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(span_text, ' ' ORDER BY span_no) AS kept_text
+      FROM ranked WHERE rn = 1 GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(CEIL(len(ts) / 10.0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.kept_text, '') AS kept_text
+    FROM tok t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup (10-token spans, first occurrence
+    survives): the shuffle carries span hashes, survivors reassemble per
+    doc in position order.  The fixture's planted near-dup families lose
+    their repeated spans here."""
+    return span_dedup(_docs(spark, sf_dir), "doc_id", "text", span=10)
+
+
+@register(
+    "train_chunk_documents",
+    oracle=f"""
+    WITH {_TOK}
+    SELECT doc_id,
+           generate_subscripts(chunks, 1) - 1 AS chunk_no,
+           CAST(len(unnest(chunks)) AS BIGINT) AS n_tokens,
+           array_to_string(unnest(chunks), ' ') AS chunk_text
+    FROM (SELECT doc_id,
+                 [ts[(i-1)*16+1:i*16]
+                  for i in range(1, CAST(CEIL(len(ts) / 16.0) AS BIGINT) + 1)]
+                   AS chunks
+          FROM tok)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 16-token chunking (trailing partial kept) -- the
+    shard-preparation step; ZERO shuffles, chunk_no is per-document so
+    the plan stays narrow end-to-end."""
+    return chunk_documents(_docs(spark, sf_dir), "doc_id", "text", chunk_tokens=16)
