@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "train_quality_gates",
     "train_span_dedup",
     "train_chunk_documents",
+    "train_pack_sequences",
+    "train_token_budget_sample",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

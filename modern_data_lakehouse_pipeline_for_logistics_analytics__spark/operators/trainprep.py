@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import portable_base_hash, tokenize, word_shingles
+from .similarity import _KNUTH
 
 
 def _safe_shingles(toks: F.Column, n: int) -> F.Column:
@@ -172,6 +173,147 @@ def span_dedup(
         "n_spans",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate all documents' tokens in
+    ``id_col`` order and cut the stream into fixed ``window_tokens``
+    context windows; emit each (window, doc) overlap span.
+
+    The global token offset per document is an ordered prefix sum -- a
+    bare ``Window.orderBy`` would funnel the corpus through ONE task, so
+    this uses the ``global_ntile`` two-phase scheme: approximate
+    percentile splits of ``id_col`` range-partition the docs as a PURE
+    function of the id (split accuracy affects only load balance, never
+    results), per-partition token totals (P tiny rows) collect to exact
+    broadcast base offsets, and the within-partition cumsum is an
+    ordinary partitioned window.  Output: ``window_id, doc_id,
+    tok_start, n_toks`` where ``tok_start`` indexes into the DOCUMENT's
+    tokens and ``n_toks`` is the span length inside that window.
+    """
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(text_col)).cast("long").alias("n_toks"),
+    )
+    qs = [j / P for j in range(1, P)]
+    splits_row = src.agg(F.percentile_approx("doc_id", qs, 10000).alias("s")).first()
+    splits = sorted(set(splits_row["s"] or []))
+    v = F.col("doc_id")
+    pid_expr = F.lit(0)
+    if splits:
+        chain = F.when(v <= F.lit(splits[0]), 0)
+        for i, s in enumerate(splits[1:], start=1):
+            chain = chain.when(v <= F.lit(s), i)
+        pid_expr = chain.otherwise(len(splits))
+    ranged = src.withColumn("__pid", pid_expr.cast("int"))
+    sums = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __base long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "__off", F.col("__base") + F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+        )
+        .drop("__pid", "__base")
+    )
+    W_ = F.lit(window_tokens)
+    first_w = F.floor(F.col("__off") / W_)
+    last_w = F.floor((F.col("__off") + F.col("n_toks") - 1) / W_)
+    spans = placed.select(
+        "doc_id",
+        "n_toks",
+        "__off",
+        F.explode(F.sequence(first_w, last_w)).alias("window_id"),
+    )
+    lo = F.greatest(F.col("__off"), F.col("window_id") * W_)
+    hi = F.least(F.col("__off") + F.col("n_toks"), (F.col("window_id") + 1) * W_)
+    return spans.select(
+        F.col("window_id").cast("long").alias("window_id"),
+        "doc_id",
+        (lo - F.col("__off")).cast("long").alias("tok_start"),
+        (hi - lo).cast("long").alias("n_toks"),
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget_tokens: int,
+    hash_buckets: int = 64,
+) -> DataFrame:
+    """Per-group token-budget sampling (data-mixing quotas): within each
+    group (language/source/domain), take documents in deterministic
+    pseudo-random order (Knuth hash of the id) until the group's token
+    budget is reached; a doc is selected iff it STARTS before the budget
+    line, so every group overshoots by at most one document.
+
+    Scale shape: a per-group ``Window.orderBy`` would serialize each
+    group through one task (10 languages over 100 TB = 10 TB tasks), so
+    the hash order is split into ``hash_buckets`` STATIC equal ranges --
+    bucket index is a pure function of the hash, buckets are ordered, so
+    (bucket, hash, id) is the same total order -- with per-(group,
+    bucket) token sums (tiny) collected into exact broadcast base
+    offsets and an ordinary partitioned window inside each bucket.
+    Output: ``doc_id, group, n_toks, cum_before, selected`` (0/1).
+    """
+    spark = df.sparkSession
+    h = (F.col("doc_id").cast("long") * F.lit(_KNUTH)) % F.lit(2**31)
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        F.size(tokenize(text_col)).cast("long").alias("n_toks"),
+    ).withColumn("__h", h)
+    bucket_width = (2**31) // hash_buckets + 1
+    src = src.withColumn("__b", F.floor(F.col("__h") / F.lit(bucket_width)).cast("int"))
+    sums = (
+        src.groupBy("group", "__b").agg(F.sum("n_toks").alias("t")).collect()
+    )
+    per_group: dict = {}
+    for r in sums:
+        per_group.setdefault(r["group"], []).append((r["__b"], r["t"]))
+    offsets = []
+    for g, pairs in per_group.items():
+        acc = 0
+        for b, t in sorted(pairs):
+            offsets.append((g, b, acc))
+            acc += t
+    off_df = spark.createDataFrame(offsets or [("", 0, 0)], "group string, __b int, __base long")
+    w = (
+        Window.partitionBy("group", "__b")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = src.join(F.broadcast(off_df), ["group", "__b"]).withColumn(
+        "cum_before", F.col("__base") + F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    return placed.select(
+        "doc_id",
+        "group",
+        "n_toks",
+        F.col("cum_before").cast("long").alias("cum_before"),
+        (F.col("cum_before") < budget_tokens).cast("long").alias("selected"),
     )
 
 

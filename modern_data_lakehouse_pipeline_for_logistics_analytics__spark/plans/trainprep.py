@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from ..operators.trainprep import (
     chunk_documents,
     decontaminate_ngrams,
+    pack_sequences,
     quality_gates,
     span_dedup,
+    token_budget_sample,
 )
 from .registry import register, table_path
 
@@ -188,3 +190,65 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-preparation step; ZERO shuffles, chunk_no is per-document so
     the plan stays narrow end-to-end."""
     return chunk_documents(_docs(spark, sf_dir), "doc_id", "text", chunk_tokens=16)
+
+
+@register(
+    "train_pack_sequences",
+    oracle=f"""
+    WITH {_TOK},
+    feats AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks FROM tok),
+    off AS (
+      SELECT doc_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+      FROM feats),
+    spans AS (
+      SELECT doc_id, n_toks, o,
+             unnest(range(o // 64, (o + n_toks - 1) // 64 + 1)) AS window_id
+      FROM off)
+    SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+           CAST(GREATEST(o, window_id * 64) - o AS BIGINT) AS tok_start,
+           CAST(LEAST(o + n_toks, (window_id + 1) * 64)
+                - GREATEST(o, window_id * 64) AS BIGINT) AS n_toks
+    FROM spans
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing into 64-token context windows: the oracle is
+    ONE global cumsum window (fine for DuckDB single-node); the Spark
+    side computes the identical offsets with the two-phase
+    range-partitioned prefix sum -- no single-task window anywhere."""
+    return pack_sequences(_docs(spark, sf_dir), "doc_id", "text", window_tokens=64)
+
+
+@register(
+    "train_token_budget_sample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    feats AS (
+      SELECT doc_id, lang AS "group", CAST(len(ts) AS BIGINT) AS n_toks,
+             (CAST(doc_id AS BIGINT) * 2654435761) % 2147483648 AS h
+      FROM tok),
+    placed AS (
+      SELECT doc_id, "group", n_toks,
+             COALESCE(SUM(n_toks) OVER (PARTITION BY "group"
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM feats)
+    SELECT doc_id, "group", n_toks, CAST(cum_before AS BIGINT) AS cum_before,
+           CAST(CASE WHEN cum_before < 2000 THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM placed
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling (2000 tokens/language in
+    Knuth-hash pseudo-random order): the data-mixing quota step.  The
+    oracle's per-group window is replaced on the Spark side by static
+    hash-range buckets + broadcast base offsets, so no language ever
+    serializes through one task."""
+    return token_budget_sample(
+        _docs(spark, sf_dir), "doc_id", "text", "lang", budget_tokens=2000
+    )

@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
     chunk_documents,
     decontaminate_ngrams,
+    pack_sequences,
     quality_gates,
     span_dedup,
+    token_budget_sample,
 )
 
 
@@ -75,6 +77,65 @@ def test_span_dedup_removes_repeats(spark):
     assert out[1].kept_text == f"{span_a} {span_b}"
     assert out[2].n_spans == 2 and out[2].n_kept == 1
     assert out[2].kept_text == span_c
+
+
+def test_pack_sequences_covers_stream_exactly(spark):
+    """The emitted spans tile the concatenated token stream with no gaps
+    or overlaps: every window except the last carries exactly
+    window_tokens tokens, per-doc spans cover each document once, and the
+    distributed offsets match a locally computed cumsum."""
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(5 + (i * 7) % 23))) for i in range(40)]
+    docs = _docs(spark, rows)
+    W = 16
+    out = pack_sequences(docs, "doc_id", "text", window_tokens=W).collect()
+    # per-window totals: every window full except possibly the last
+    per_window: dict = {}
+    per_doc: dict = {}
+    for r in out:
+        per_window[r.window_id] = per_window.get(r.window_id, 0) + r.n_toks
+        per_doc.setdefault(r.doc_id, []).append(r)
+    n_total = sum(len(t.split()) for _, t in rows)
+    assert sorted(per_window) == list(range(max(per_window) + 1))
+    for wid, tot in per_window.items():
+        assert tot == (W if wid < max(per_window) else n_total - W * max(per_window))
+    # per-doc spans: contiguous from 0 to the doc's token count
+    for (doc_id, text) in rows:
+        spans = sorted(per_doc[doc_id], key=lambda r: r.tok_start)
+        assert spans[0].tok_start == 0
+        pos = 0
+        for s in spans:
+            assert s.tok_start == pos
+            pos += s.n_toks
+        assert pos == len(text.split())
+
+
+def test_token_budget_sample_quota_semantics(spark):
+    """Each group's selected set: deterministic across runs, starts
+    before the budget line (overshoot at most ONE doc), and unselected
+    docs all start at/after it."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{j}" for j in range(10)), grp=f"g{i % 3}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = token_budget_sample(docs, "doc_id", "text", "grp", budget_tokens=55).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.group, []).append(r)
+    for g, rs in by_group.items():
+        sel = [r for r in rs if r.selected]
+        unsel = [r for r in rs if not r.selected]
+        assert all(r.cum_before < 55 for r in sel)
+        assert all(r.cum_before >= 55 for r in unsel)
+        # 10-token docs, budget 55 -> exactly 6 selected (overshoot one doc)
+        assert len(sel) == 6
+    again = {
+        (r.doc_id, r.selected)
+        for r in token_budget_sample(docs, "doc_id", "text", "grp", budget_tokens=55).collect()
+    }
+    assert again == {(r.doc_id, r.selected) for r in out}
 
 
 def test_chunk_documents_lossless(spark):
