@@ -151,28 +151,28 @@ def span_dedup(
         F.col(id_col).alias("doc_id"), F.posexplode(spans).alias("span_no", "span_text")
     ).withColumn("h", portable_base_hash(F.col("span_text")))
     w = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("span_no"))
-    kept = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    per_doc = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    # Single corpus scan: the window ranks every span, the per-doc
+    # aggregate then counts ALL spans (n_spans) and the rn=1 survivors
+    # (n_kept / kept_text) in one pass -- a separate totals branch would
+    # scan the text a second time, the dominant cost at corpus scale.
+    # Every doc has >= 1 span (split() of any string yields >= 1 token),
+    # so no doc can drop out of the aggregate.
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    is_kept = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(is_kept.cast("long")).cast("long").alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("span_no"), F.col("span_text")))
+                    F.collect_list(
+                        F.when(is_kept, F.struct(F.col("span_no"), F.col("span_text")))
+                    )
                 ),
                 lambda s: s.getField("span_text"),
             ),
         ).alias("kept_text"),
-    )
-    totals = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.ceil(F.size(tokenize(text_col)) / F.lit(span)).cast("long").alias("n_spans"),
-    )
-    return totals.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
     )
 
 
