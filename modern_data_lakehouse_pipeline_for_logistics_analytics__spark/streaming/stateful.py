@@ -70,6 +70,82 @@ def streaming_first_per_key(
     )
 
 
+def running_totals_processor(key_col: str, value_col: str):
+    """Build the Spark 4 ``transformWithStateInPandas`` processor for
+    :func:`streaming_running_totals`: per-key running count + sum in a
+    typed ``ValueState`` (the successor API to ``applyInPandasWithState``
+    -- NAMED state variables with schemas instead of one opaque tuple,
+    plus timers/TTL when needed).  Import-at-call keeps this module
+    importable on Spark builds without the new API."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "cnt long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._totals.get()
+            cnt, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((cnt, total))
+            yield pd.DataFrame({key_col: [key[0]], "cnt": [cnt], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return _Processor()
+
+
+def streaming_running_totals(
+    stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running count + sum across ALL micro-batches, emitted as an
+    update row per key per batch -- the canonical
+    ``transformWithStateInPandas`` shape.
+
+    Same scale posture as the GroupState operator above: state is
+    partitioned by key (one shuffle), O(distinct keys) not O(rows); the
+    typed state variable serializes through Arrow.  Output:
+    ``<key_col>, cnt, total``.
+    """
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=running_totals_processor(key_col, value_col),
+        outputStructType=f"{key_col} string, cnt long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_streaming_totals(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    value_col: str,
+    schema: str,
+) -> None:
+    """AvailableNow harness around :func:`streaming_running_totals`
+    (parquet sink requires append semantics, so each update row lands as
+    its own output row; readers take the latest per key)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    totals = streaming_running_totals(stream, key_col, value_col)
+    (
+        totals.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .outputMode("append")
+        .start(out_dir)
+        .awaitTermination()
+    )
+
+
 def run_streaming_dedup(
     spark,
     input_dir: str,
