@@ -73,3 +73,35 @@ def zscore_within_group(df: DataFrame, keys: list[str], value_col: str) -> DataF
         return pdf
 
     return df.groupBy(*keys).applyInPandas(per_group, schema=schema)
+
+
+def pii_matches_udtf():
+    """Spark 4 Python UDTF (table function): per-row PII entity extraction
+    yielding ``(kind, value, pos)`` rows -- registered for LATERAL use
+    (``spark.udtf.register("pii_matches", pii_matches_udtf())``).
+
+    Honest positioning: THESE regex patterns are expressible JVM-side as
+    ``regexp_extract_all`` + ``posexplode`` (and
+    ``text_pii_pattern_counts`` does exactly that for counting) -- the
+    UDTF exists for the shape the built-ins cannot take: per-match Python
+    logic (a real NER model, contextual validation, checksum verification
+    of card numbers) emitting a VARIABLE number of typed rows per input
+    row.  Built lazily so importing this module never requires the UDTF
+    runtime."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    patterns = [
+        ("email", re.compile(r"[\w.+-]+@[\w-]+\.[\w.]+")),
+        ("phone", re.compile(r"\+?\d[\d-]{7,}\d")),
+    ]
+
+    @udtf(returnType="kind string, value string, pos int")
+    class PiiMatches:
+        def eval(self, text):
+            for kind, pat in patterns:
+                for m in pat.finditer(text or ""):
+                    yield kind, m.group(0), m.start()
+
+    return PiiMatches

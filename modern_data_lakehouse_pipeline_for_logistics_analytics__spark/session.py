@@ -32,6 +32,22 @@ def s3a_conf(s3a: dict) -> dict[str, str]:
     }
 
 
+#: Opt-in config block for RocksDB-backed streaming state (SURVEY §4
+#: scale posture): the default HDFS-backed state store holds every key in
+#: executor heap -- fine for the sandbox's tests, an OOM at 100 TB of
+#: dedup/session state.  RocksDB spills to local disk with changelog
+#: checkpointing so state size is bounded by disk, not heap.  Kept
+#: opt-in (``extra_conf=rocksdb_state_conf()``) because the provider
+#: initializes per stateful query and is pure overhead for batch work.
+def rocksdb_state_conf() -> dict[str, str]:
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
 def build_session(
     app_name: str = "modern-data-lakehouse-spark",
     master: str | None = None,

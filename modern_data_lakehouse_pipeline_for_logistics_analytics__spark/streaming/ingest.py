@@ -174,3 +174,72 @@ def stream_windowed_counts(
         .start(out_dir)
         .awaitTermination()
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (T5+): match right-stream
+    rows to left-stream rows on ``key_col`` arriving within ``within``
+    AFTER the left event (click -> purchase attribution, order ->
+    shipment matching).
+
+    Both sides carry a watermark and the join condition carries the
+    time-range bound -- the two things Spark REQUIRES to bound the join
+    state: buffered rows older than watermark + range are evicted, so
+    state is O(in-horizon rows per key side), never the full streams.
+    Without the range condition the state grows forever; this operator
+    makes it impossible to omit.  Output: ``key_col, <left_ts>,
+    <right_ts>, lag_seconds`` plus both sides' payload columns.
+    """
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    payload = [
+        F.col(f"l.{c}") for c in left.columns if c not in (key_col, left_ts)
+    ] + [F.col(f"r.{c}") for c in right.columns if c not in (key_col, right_ts)]
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key_col}").alias(key_col),
+        lt.alias(left_ts),
+        rt.alias(right_ts),
+        (rt.cast("long") - lt.cast("long")).alias("lag_seconds"),
+        *payload,
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    left_schema: str,
+    right_schema: str,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+) -> None:
+    """AvailableNow harness around :func:`stream_stream_join`."""
+    l = spark.readStream.schema(left_schema).parquet(left_dir)
+    r = spark.readStream.schema(right_schema).parquet(right_dir)
+    joined = stream_stream_join(l, r, key_col, left_ts, right_ts, within)
+    (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .outputMode("append")
+        .start(out_dir)
+        .awaitTermination()
+    )

@@ -793,3 +793,33 @@ def test_spread_skips_wide_input(spark, tmp_path):
     assert _spread(agged) is agged
     joined = narrow.join(mem.select("doc"), "doc")
     assert _spread(joined) is joined
+
+
+def test_pii_udtf_lateral_and_python_api(spark):
+    """Spark 4 UDTF: variable rows per input row, via both the Python
+    call form and a SQL LATERAL join; rows with no matches vanish (no
+    null padding)."""
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.udfs import (
+        pii_matches_udtf,
+    )
+
+    PiiMatches = pii_matches_udtf()
+    got = PiiMatches(F.lit("mail a.b@example.com or call 555-123-4567 now")).collect()
+    assert {(r.kind, r.value) for r in got} == {
+        ("email", "a.b@example.com"),
+        ("phone", "555-123-4567"),
+    }
+    assert all(r.pos >= 0 for r in got)
+
+    spark.udtf.register("pii_matches", PiiMatches)
+    docs = spark.createDataFrame(
+        [(1, "reach me at x@y.org"), (2, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("pii_docs")
+    rows = spark.sql(
+        "SELECT doc_id, m.kind, m.value FROM pii_docs, LATERAL pii_matches(text) m"
+    ).collect()
+    assert {(r.doc_id, r.kind, r.value) for r in rows} == {(1, "email", "x@y.org")}
