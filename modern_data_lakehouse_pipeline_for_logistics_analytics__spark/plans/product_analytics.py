@@ -79,24 +79,30 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week, counted
-    per weeks-since-cohort.  The cohort week rides along via a window
-    min over user_id -- same shuffle the distinct-activity aggregation
-    needs, so no separate firsts join materializes the stream twice."""
+    per weeks-since-cohort.
+
+    Aggregate-first shape (r7): events collapse to (user, act_week) in
+    ONE hash aggregate -- map-side combine shrinks the stream to
+    user-week rows BEFORE anything shuffles (the r6 plan windowed over
+    raw events then paid a second full-width distinct).  The cohort week
+    is then a window min over those tiny rows (week truncation is
+    monotonic, so min(act_week) == week of min(ts)), and the final count
+    is a plain count: each (user, act_week) row is unique by
+    construction, so no countDistinct expand is needed."""
     e = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id")
-    weekly = (
-        e.select(
-            "user_id",
-            F.date_trunc("week", "ts").cast("date").alias("act_week"),
-            F.date_trunc("week", F.min("ts").over(w)).cast("date").alias("cohort_week"),
-        )
-        .distinct()
+    uw = (
+        e.select("user_id", F.date_trunc("week", "ts").cast("date").alias("act_week"))
+        .groupBy("user_id", "act_week")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
     )
+    w = Window.partitionBy("user_id")
+    weekly = uw.withColumn("cohort_week", F.min("act_week").over(w))
     week_no = (
         F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
     ).cast("long")
     return (
         weekly.withColumn("week_no", week_no)
         .groupBy("cohort_week", "week_no")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
