@@ -134,3 +134,35 @@ def write_silver(df: DataFrame, silver_root: str) -> None:
     + dynamic partition overwrite: re-running one date never clobbers
     others)."""
     df.write.mode("overwrite").partitionBy("load_date").parquet(silver_root)
+
+
+def with_quality_observation(df: DataFrame):
+    """Attach zero-extra-pass data-quality counters to a silver frame.
+
+    ``df.observe`` evaluates the metric expressions DURING whatever
+    action consumes the frame (the silver write), so row counts, null
+    rates, and rule-hit counts cost nothing beyond the job already
+    running -- at 100 TB a separate validation scan would double the
+    pipeline's read volume.  Returns ``(observed_df, observation)``;
+    read ``observation.get`` AFTER the action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("silver_quality")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("checkpoint_time").isNull().cast("long")).alias("null_checkpoint_time"),
+        F.sum(F.col("created_at").isNull().cast("long")).alias("null_created_at"),
+        F.sum((F.col("status") == "UNKNOWN").cast("long")).alias("unknown_status"),
+        F.sum((F.col("delivery_status") == "SUCCESS").cast("long")).alias("n_success"),
+    )
+    return observed, obs
+
+
+def write_silver_observed(df: DataFrame, silver_root: str) -> dict:
+    """:func:`write_silver` with quality counters captured from the SAME
+    job (no second scan); returns the metrics dict."""
+    observed, obs = with_quality_observation(df)
+    write_silver(observed, silver_root)
+    return dict(obs.get)

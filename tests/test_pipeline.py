@@ -167,3 +167,33 @@ def test_streaming_matches_batch(spark, tmp_path_factory):
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).isEmpty() and batch.exceptAll(streamed).isEmpty()
+
+
+def test_silver_quality_observation_free_metrics(spark, tmp_path_factory):
+    """Observation metrics ride the write job (no second scan) and agree
+    with independent recomputation over the written output."""
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.pipelines.bronze import (
+        generate_bronze_day,
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.pipelines.silver import (
+        silver_transform,
+        write_silver_observed,
+    )
+
+    root = str(tmp_path_factory.mktemp("obs"))
+    silver = silver_transform(generate_bronze_day(spark, DATE1, 80), DATE1)
+    metrics = write_silver_observed(silver, f"{root}/silver")
+
+    written = spark.read.parquet(f"{root}/silver")
+    check = written.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("created_at").isNull().cast("long")).alias("null_created_at"),
+        F.sum((F.col("status") == "UNKNOWN").cast("long")).alias("unknown_status"),
+        F.sum((F.col("delivery_status") == "SUCCESS").cast("long")).alias("n_success"),
+    ).first()
+    assert metrics["n_rows"] == check.n_rows > 0
+    assert metrics["null_created_at"] == (check.null_created_at or 0)
+    assert metrics["unknown_status"] == (check.unknown_status or 0)
+    assert metrics["n_success"] == (check.n_success or 0)
