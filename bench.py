@@ -231,21 +231,23 @@ def main() -> None:
     # BENCH_r{N}.json artifact head-truncates long lines (the `tail`
     # field loses the first ~11 queries), so round-over-round history was
     # silently dropping courier_metrics..tpch_q5.  N = next round after
-    # the newest driver artifact present.
-    try:
-        import re
+    # the newest driver artifact present.  Canonical scale ONLY: a smoke
+    # run at another sf must not clobber the committed round record.
+    if sf == "0.1":
+        try:
+            import re
 
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(REPO_ROOT)
-            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-        ]
-        n_round = (max(rounds) if rounds else 0) + 1
-        with open(os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{n_round:02d}.json"), "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except Exception as exc:  # the bench result itself must still print
-        print(f"bench: could not write BENCH_LOCAL json: {exc}", file=sys.stderr)
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(REPO_ROOT)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            n_round = (max(rounds) if rounds else 0) + 1
+            with open(os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{n_round:02d}.json"), "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except Exception as exc:  # the bench result itself must still print
+            print(f"bench: could not write BENCH_LOCAL json: {exc}", file=sys.stderr)
 
     spark.stop()
 

@@ -67,15 +67,8 @@ def _spread(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     width = n_partitions
     if width is None:
-        try:
-            lp = df._jdf.queryExecution().optimizedPlan().toString()
-            if any(
-                tok in lp
-                for tok in ("Join", "Aggregate", "Window", "Repartition", "Deduplicate")
-            ):
-                return df
-        except Exception:
-            pass  # estimate falls through to the file count
+        if _has_shuffle_node(df):
+            return df
         files = df.inputFiles()
         if not files:
             return df
@@ -83,6 +76,30 @@ def _spread(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     if width >= max(2, target // 2):
         return df
     return df.repartition(target)
+
+
+def _has_shuffle_node(df: DataFrame) -> bool:
+    """True when the optimized LOGICAL plan contains a node that implies
+    the frame is already at shuffle width.  Matches NODE NAMES at the
+    start of each plan-tree line (after the +-/:- scaffolding), never raw
+    substrings -- a column named ``JoinKey`` or a filter literal must not
+    false-positive -- and counts ``Repartition`` only in its
+    shuffle=true form (``coalesce(1)`` renders as ``Repartition 1,
+    false`` and is genuinely narrow)."""
+    try:
+        lp = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False  # estimate falls through to the file count
+    for raw in lp.splitlines():
+        line = raw.lstrip(" +-:*!")
+        if line.startswith(
+            ("Join ", "Join\n", "Aggregate ", "Aggregate [", "Window ", "Window [",
+             "Deduplicate ", "Deduplicate [", "RepartitionByExpression")
+        ):
+            return True
+        if line.startswith("Repartition ") and ", true" in line:
+            return True
+    return False
 
 
 def word_shingles(tokens: F.Column, n: int = 3) -> F.Column:

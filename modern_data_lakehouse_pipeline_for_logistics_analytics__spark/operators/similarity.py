@@ -549,6 +549,17 @@ def ivf_topk(
 _KNUTH = 2654435761
 
 
+def knuth_hash(id_col: F.Column) -> F.Column:
+    """((id mod 2^31) * KNUTH) mod 2^31 -- the inner mod keeps the
+    product under 2^62 so snowflake-scale ids (>= 2^31) neither overflow
+    under ANSI mode nor wrap differently between engines (DuckDB raises
+    on BIGINT overflow where non-ANSI Spark wraps).  SQL twin:
+    ``((id % 2147483648) * 2654435761) % 2147483648``."""
+    return (
+        (id_col.cast("long") % F.lit(2**31)) * F.lit(_KNUTH)
+    ) % F.lit(2**31)
+
+
 def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
     """(id, qv) with qv = floor(v * scale) per element as array<long> --
     the exact-integer vector form shared by every portable operator."""
@@ -600,7 +611,7 @@ def ivf_portable_topk(
     cents = (
         qc.select(
             F.col("id").alias("cluster"), F.col("qv").alias("cent_qv"),
-            ((F.col("id").cast("long") * F.lit(_KNUTH)) % F.lit(2**31)).alias("h"),
+            knuth_hash(F.col("id")).alias("h"),
         )
         .orderBy("h", "cluster")
         .limit(n_clusters)

@@ -26,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import portable_base_hash, tokenize, word_shingles
-from .similarity import _KNUTH
+from .dedup import _cache_aged, portable_base_hash, tokenize, word_shingles
+from .similarity import knuth_hash
 
 
 def _safe_shingles(toks: F.Column, n: int) -> F.Column:
@@ -106,7 +106,13 @@ def quality_gates(
     n_tokens = F.size(toks)
     symbols = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
     mean_tok_len = round_half_up((n_chars - (n_tokens - 1)) / n_tokens, 4)
-    symbol_ratio = round_half_up(symbols / n_chars, 4)
+    # Empty text (n_chars = 0) is exactly the garbage a gate exists to
+    # reject -- it must flow through as ratio 0.0 and fail gate_len, not
+    # raise DIVIDE_BY_ZERO under ANSI mode (Spark 4 default) or emit an
+    # oracle-diverging NULL with ANSI off.
+    symbol_ratio = F.when(n_chars > 0, round_half_up(symbols / n_chars, 4)).otherwise(
+        F.lit(0.0)
+    )
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in stops])))
     gate_len = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
     gate_tok_len = (mean_tok_len >= min_mean_tok_len) & (mean_tok_len <= max_mean_tok_len)
@@ -200,21 +206,19 @@ def pack_sequences(
     """
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    src = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokenize(text_col)).cast("long").alias("n_toks"),
+    # Cached through the shared aged registry: the percentile job, the
+    # per-partition sums collect, and the final plan all read src -- an
+    # uncached frame would tokenize the full corpus three times.
+    src = _cache_aged(
+        "pack_src",
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokenize(text_col)).cast("long").alias("n_toks"),
+        ),
     )
-    qs = [j / P for j in range(1, P)]
-    splits_row = src.agg(F.percentile_approx("doc_id", qs, 10000).alias("s")).first()
-    splits = sorted(set(splits_row["s"] or []))
-    v = F.col("doc_id")
-    pid_expr = F.lit(0)
-    if splits:
-        chain = F.when(v <= F.lit(splits[0]), 0)
-        for i, s in enumerate(splits[1:], start=1):
-            chain = chain.when(v <= F.lit(s), i)
-        pid_expr = chain.otherwise(len(splits))
-    ranged = src.withColumn("__pid", pid_expr.cast("int"))
+    from .windows import range_partition_ids
+
+    ranged = range_partition_ids(src, "doc_id", P)
     sums = {
         r["__pid"]: r["t"]
         for r in ranged.groupBy("__pid").agg(F.sum("n_toks").alias("t")).collect()
@@ -279,33 +283,39 @@ def token_budget_sample(
     Output: ``doc_id, group, n_toks, cum_before, selected`` (0/1).
     """
     spark = df.sparkSession
-    h = (F.col("doc_id").cast("long") * F.lit(_KNUTH)) % F.lit(2**31)
-    src = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("group"),
-        F.size(tokenize(text_col)).cast("long").alias("n_toks"),
-    ).withColumn("__h", h)
+    # __g: null-safe join key (an equi-join on the raw group would drop
+    # every NULL-group document -- the oracle's PARTITION BY keeps them).
+    src = _cache_aged(
+        "budget_src",
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("group"),
+            F.size(tokenize(text_col)).cast("long").alias("n_toks"),
+        )
+        .withColumn("__g", F.coalesce(F.col("group").cast("string"), F.lit("\x00null")))
+        .withColumn("__h", knuth_hash(F.col("doc_id"))),
+    )
     bucket_width = (2**31) // hash_buckets + 1
     src = src.withColumn("__b", F.floor(F.col("__h") / F.lit(bucket_width)).cast("int"))
     sums = (
-        src.groupBy("group", "__b").agg(F.sum("n_toks").alias("t")).collect()
+        src.groupBy("__g", "__b").agg(F.sum("n_toks").alias("t")).collect()
     )
     per_group: dict = {}
     for r in sums:
-        per_group.setdefault(r["group"], []).append((r["__b"], r["t"]))
+        per_group.setdefault(r["__g"], []).append((r["__b"], r["t"]))
     offsets = []
     for g, pairs in per_group.items():
         acc = 0
         for b, t in sorted(pairs):
             offsets.append((g, b, acc))
             acc += t
-    off_df = spark.createDataFrame(offsets or [("", 0, 0)], "group string, __b int, __base long")
+    off_df = spark.createDataFrame(offsets or [("", 0, 0)], "__g string, __b int, __base long")
     w = (
-        Window.partitionBy("group", "__b")
+        Window.partitionBy("__g", "__b")
         .orderBy("__h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    placed = src.join(F.broadcast(off_df), ["group", "__b"]).withColumn(
+    placed = src.join(F.broadcast(off_df), ["__g", "__b"]).withColumn(
         "cum_before", F.col("__base") + F.coalesce(F.sum("n_toks").over(w), F.lit(0))
     )
     return placed.select(

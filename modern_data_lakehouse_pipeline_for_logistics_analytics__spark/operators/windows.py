@@ -57,6 +57,33 @@ def running_sum(
     return df.withColumn(alias, F.round(F.sum(value_col).over(w), 2))
 
 
+def range_partition_ids(
+    df: DataFrame, range_col: str, num_partitions: int, desc: bool = False
+) -> DataFrame:
+    """``df`` plus an ``__pid`` column assigning each row a range
+    partition as a PURE FUNCTION of its ``range_col`` value.
+
+    Approximate percentiles become literal split points in a when-chain
+    -- crucially NOT ``repartitionByRange``, whose sampled boundaries
+    differ between separate jobs over the same frame (fresh RDD ids
+    re-sample; observed off-by-one buckets at sf0.01).  Split accuracy
+    affects only load balance, never results.  Shared scaffolding of
+    every two-phase global-ordering scheme (``global_ntile``,
+    ``trainprep.pack_sequences``)."""
+    P = num_partitions
+    qs = [j / P for j in range(1, P)]
+    splits_row = df.agg(F.percentile_approx(range_col, qs, 10000).alias("s")).first()
+    splits = sorted(set(splits_row["s"] or []), reverse=desc)
+    v = F.col(range_col)
+    pid_expr = F.lit(len(splits))
+    if splits:
+        chain = F.when(v >= F.lit(splits[0]) if desc else v <= F.lit(splits[0]), 0)
+        for i, s in enumerate(splits[1:], start=1):
+            chain = chain.when(v >= F.lit(s) if desc else v <= F.lit(s), i)
+        pid_expr = chain.otherwise(len(splits))
+    return df.withColumn("__pid", pid_expr.cast("int"))
+
+
 def global_ntile(
     df: DataFrame,
     order_by: list[Column],
@@ -91,17 +118,7 @@ def global_ntile(
     """
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    qs = [j / P for j in range(1, P)]
-    splits_row = df.agg(F.percentile_approx(range_col, qs, 10000).alias("s")).first()
-    splits = sorted(set(splits_row["s"] or []), reverse=range_desc)
-    v = F.col(range_col)
-    pid_expr = F.lit(len(splits))
-    if splits:
-        chain = F.when(v >= F.lit(splits[0]) if range_desc else v <= F.lit(splits[0]), 0)
-        for i, s in enumerate(splits[1:], start=1):
-            chain = chain.when(v >= F.lit(s) if range_desc else v <= F.lit(s), i)
-        pid_expr = chain.otherwise(len(splits))
-    ranged = df.withColumn("__pid", pid_expr.cast("int"))
+    ranged = range_partition_ids(df, range_col, P, desc=range_desc)
     counts = {
         r["__pid"]: r["n"]
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -245,7 +245,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM e GROUP BY 1),
     cent_ids AS (
       SELECT vec_id AS cluster FROM embeddings
-      ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+      ORDER BY ((CAST(vec_id AS BIGINT) % 2147483648) * 2654435761) % 2147483648, vec_id
       LIMIT 16),
     centq AS (
       SELECT c.cluster, q.i, q.qv AS cqv

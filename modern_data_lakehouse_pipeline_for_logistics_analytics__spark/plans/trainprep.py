@@ -94,10 +94,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(((length(d.text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE))
                         * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
                AS mean_tok_len,
-             CAST(FLOOR(((length(d.text)
-                          - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
-                         / CAST(length(d.text) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
-               / CAST(10000.0 AS DOUBLE) AS symbol_ratio,
+             CASE WHEN length(d.text) > 0 THEN
+               CAST(FLOOR(((length(d.text)
+                            - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                           / CAST(length(d.text) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+                 / CAST(10000.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio,
              CAST(len(list_intersect(list_distinct(ts),
                   ['the', 'a', 'of', 'to', 'and', 'in', 'is'])) AS BIGINT)
                AS n_stop_hits
@@ -230,7 +232,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     feats AS (
       SELECT doc_id, lang AS "group", CAST(len(ts) AS BIGINT) AS n_toks,
-             (CAST(doc_id AS BIGINT) * 2654435761) % 2147483648 AS h
+             ((CAST(doc_id AS BIGINT) % 2147483648) * 2654435761) % 2147483648 AS h
       FROM tok),
     placed AS (
       SELECT doc_id, "group", n_toks,

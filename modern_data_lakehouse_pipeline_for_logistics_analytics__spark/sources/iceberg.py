@@ -128,12 +128,21 @@ def read_table(
     identifier: str,
     catalog: str = DEFAULT_CATALOG,
 ) -> DataFrame:
-    """Read a table written by ``write_table`` (format auto-detected by
-    the presence of the Iceberg ``metadata/`` tree at the table path)."""
-    path = _fallback_path(warehouse, identifier)
-    if iceberg_available(spark) and os.path.isdir(os.path.join(path, "metadata")):
-        return spark.read.table(f"{catalog}.{identifier}")
-    return spark.read.parquet(path)
+    """Read a table written by ``write_table``.
+
+    Format detection asks the CATALOG (``tableExists`` resolves through
+    the configured hadoop catalog, which understands s3a/hdfs warehouse
+    paths), never the local filesystem -- an ``os.path.isdir`` probe is
+    always False for a remote warehouse and would silently fall through
+    to a raw parquet read of the table directory, returning dead
+    snapshot files as live rows."""
+    if iceberg_available(spark):
+        try:
+            if spark.catalog.tableExists(f"{catalog}.{identifier}"):
+                return spark.read.table(f"{catalog}.{identifier}")
+        except Exception:
+            pass  # catalog not configured on this session -> fallback
+    return spark.read.parquet(_fallback_path(warehouse, identifier))
 
 
 def merge_into(

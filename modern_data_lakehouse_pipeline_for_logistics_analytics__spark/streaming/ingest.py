@@ -206,9 +206,16 @@ def stream_stream_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
-    payload = [
-        F.col(f"l.{c}") for c in left.columns if c not in (key_col, left_ts)
-    ] + [F.col(f"r.{c}") for c in right.columns if c not in (key_col, right_ts)]
+    # Right-side payload columns colliding with a left name (order and
+    # shipment streams both carrying 'status' is the normal case) get an
+    # r_ prefix -- duplicate output names are an AMBIGUOUS_REFERENCE for
+    # any downstream select and a hard error for some sinks.
+    left_payload = [c for c in left.columns if c not in (key_col, left_ts)]
+    payload = [F.col(f"l.{c}") for c in left_payload] + [
+        F.col(f"r.{c}").alias(f"r_{c}" if c in left_payload else c)
+        for c in right.columns
+        if c not in (key_col, right_ts)
+    ]
     return l.join(r, cond, "inner").select(
         F.col(f"l.{key_col}").alias(key_col),
         lt.alias(left_ts),

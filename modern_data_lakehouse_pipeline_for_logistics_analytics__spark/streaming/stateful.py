@@ -111,12 +111,15 @@ def streaming_running_totals(
 
     Same scale posture as the GroupState operator above: state is
     partitioned by key (one shuffle), O(distinct keys) not O(rows); the
-    typed state variable serializes through Arrow.  Output:
-    ``<key_col>, cnt, total``.
+    typed state variable serializes through Arrow.  The output schema
+    carries the key at ITS OWN type (read from the stream schema -- a
+    hardcoded string key would fail Arrow conversion for the long ids
+    the fixtures use).  Output: ``<key_col>, cnt, total``.
     """
+    key_type = dict(stream.dtypes)[key_col]
     return stream.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=running_totals_processor(key_col, value_col),
-        outputStructType=f"{key_col} string, cnt long, total double",
+        outputStructType=f"{key_col} {key_type}, cnt long, total double",
         outputMode="Update",
         timeMode="None",
     )

@@ -688,6 +688,18 @@ def _scenario_minhash_portable(dmod, docs):
     dmod.minhash_portable_lsh(docs, "doc_id", "text", threshold=0.3).count()
 
 
+def _scenario_trainprep(dmod, docs):
+    # pack_src / budget_src keys live in trainprep but age through the
+    # same registry.
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        pack_sequences,
+        token_budget_sample,
+    )
+
+    pack_sequences(docs, "doc_id", "text", window_tokens=16).count()
+    token_budget_sample(docs, "doc_id", "text", "doc_id", budget_tokens=50).count()
+
+
 @pytest.mark.parametrize(
     "scenario",
     [
@@ -695,8 +707,10 @@ def _scenario_minhash_portable(dmod, docs):
         _scenario_simhash64,
         _scenario_simhash_portable,
         _scenario_minhash_portable,
+        _scenario_trainprep,
     ],
-    ids=["jaccard_sh", "simhash64", "simhash_portable", "minhash_portable+verify"],
+    ids=["jaccard_sh", "simhash64", "simhash_portable", "minhash_portable+verify",
+         "pack_src+budget_src"],
 )
 def test_sig_caches_age_on_new_corpus(spark, scenario):
     """EVERY keyed signature cache ages: running an operator family over

@@ -64,3 +64,17 @@ def test_stream_stream_join_batch_parity(spark):
                               ("b", "2024-01-01 09:59:00", 3.0)], "rts")
     out = stream_stream_join(l, r, "k", "lts", "rts", within="1 hour").collect()
     assert {(x.k, x.amount) for x in out} == {("a", 1.0)}  # after-left only, <= 1h
+
+
+def test_stream_stream_join_colliding_payload_names(spark):
+    """Shared payload column names (both streams carrying 'status') get
+    an r_ prefix on the right side instead of producing ambiguous
+    duplicate output columns."""
+    l = _mk(spark, "k string, lts timestamp, status string",
+            [("a", "2024-01-01 10:00:00", "clicked")], "lts")
+    r = _mk(spark, "k string, rts timestamp, status string",
+            [("a", "2024-01-01 10:30:00", "paid")], "rts")
+    out = stream_stream_join(l, r, "k", "lts", "rts", within="1 hour")
+    assert out.columns.count("status") == 1 and "r_status" in out.columns
+    row = out.collect()[0]
+    assert (row.status, row.r_status) == ("clicked", "paid")

@@ -150,3 +150,43 @@ def test_chunk_documents_lossless(spark):
     assert [r.chunk_no for r in rows] == [0, 1, 2]
     assert [r.n_tokens for r in rows] == [16, 16, 5]
     assert " ".join(r.chunk_text for r in rows) == text
+
+
+def test_quality_gates_empty_text_no_crash(spark):
+    """Empty text (the exact garbage a gate filters) must flow through as
+    a failed row, never DIVIDE_BY_ZERO under ANSI mode."""
+    docs = _docs(spark, [(1, ""), (2, "the quick brown fox " * 15)])
+    out = {r.doc_id: r for r in quality_gates(docs, "doc_id", "text").collect()}
+    assert out[1].symbol_ratio == 0.0 and not out[1].passes
+    assert out[2].passes
+
+
+def test_token_budget_sample_keeps_null_groups(spark):
+    """Docs with a NULL group must not silently vanish (the equi-join on
+    raw group keys would drop them); they form their own quota group."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, text="w1 w2 w3 w4 w5", grp=None if i % 2 else "g") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = token_budget_sample(docs, "doc_id", "text", "grp", budget_tokens=12)
+    rows_out = out.collect()
+    assert len(rows_out) == 10
+    nulls = [r for r in rows_out if r.group is None]
+    assert len(nulls) == 5
+    # 5-token docs, budget 12 -> 3 selected per group (third starts at 10 < 12)
+    assert sum(1 for r in nulls if r.selected) == 3
+
+
+def test_knuth_hash_large_ids_no_overflow(spark):
+    """Snowflake-scale ids must neither overflow under ANSI nor desync
+    from the SQL twin ((id % 2^31) * K) % 2^31."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        knuth_hash,
+    )
+
+    big = 1_600_000_000_000_000_000
+    df = spark.createDataFrame([(big,), (7,)], "doc_id long")
+    got = {r.doc_id: r.h for r in df.select("doc_id", knuth_hash(F.col("doc_id")).alias("h")).collect()}
+    for i in (big, 7):
+        assert got[i] == ((i % 2**31) * 2654435761) % 2**31
+        assert 0 <= got[i] < 2**31
