@@ -190,3 +190,43 @@ def test_knuth_hash_large_ids_no_overflow(spark):
     for i in (big, 7):
         assert got[i] == ((i % 2**31) * 2654435761) % 2**31
         assert 0 <= got[i] < 2**31
+
+
+def _pack_reference(rows, W):
+    """Exhaustive reference: concatenate tokens in doc_id order, cut into
+    W-token windows, emit (window_id, doc_id, tok_start, n_toks)."""
+    out, off = [], 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split())
+        first_w, last_w = off // W, (off + n - 1) // W
+        for wid in range(first_w, last_w + 1):
+            lo, hi = max(off, wid * W), min(off + n, (wid + 1) * W)
+            out.append((wid, doc_id, lo - off, hi - lo))
+        off += n
+    return sorted(out)
+
+
+def test_pack_sequences_property_vs_reference(spark):
+    """Property sweep: the distributed two-phase prefix sum must equal the
+    exhaustive single-threaded reference for arbitrary doc sizes, sparse/
+    duplicate-free ids, and window sizes -- including windows larger than
+    the whole stream and single-token docs."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    sizes_s = st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=8)
+    ids_s = st.lists(st.integers(min_value=0, max_value=50), min_size=8, max_size=8, unique=True)
+    w_s = st.sampled_from([1, 3, 7, 64])
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(sizes=sizes_s, ids=ids_s, W=w_s)
+    def run(sizes, ids, W):
+        rows = [(ids[i], " ".join(f"t{ids[i]}x{j}" for j in range(n))) for i, n in enumerate(sizes)]
+        docs = _docs(spark, rows)
+        got = sorted(
+            (r.window_id, r.doc_id, r.tok_start, r.n_toks)
+            for r in pack_sequences(docs, "doc_id", "text", window_tokens=W).collect()
+        )
+        assert got == _pack_reference(rows, W)
+
+    run()
