@@ -202,3 +202,41 @@ def test_tpch_q20_threshold_semi_chain(spark, sf_dir):
     # inline, so the count below sees each physical scan exactly once.
     scans = [seg for seg in p.split("FileScan parquet")[1:] if "l_quantity" in seg.split("ReadSchema", 1)[-1][:400]]
     assert len(scans) == 1, f"lineitem scanned {len(scans)} times"
+
+
+def test_trainprep_narrow_ops_zero_shuffles(spark, sf_dir):
+    """chunk_documents and quality_gates are per-row expressions: the
+    plan must contain NO Exchange of any kind -- they pipeline straight
+    into the scan, which is what lets them run at corpus scale for the
+    cost of the read alone."""
+    for name in ("train_chunk_documents", "train_quality_gates"):
+        p = _plan(spark, sf_dir, name)
+        assert "Exchange" not in p, f"{name} grew a shuffle"
+        assert p.count("FileScan parquet") == 1
+
+
+def test_trainprep_pack_no_single_partition_window(spark, sf_dir):
+    """pack_sequences' global prefix sum must NOT plan as a
+    SinglePartition window (the one-task wall the two-phase scheme
+    exists to avoid): the only exchanges are the per-partition hash
+    window and the broadcast of the base offsets."""
+    for name in ("train_pack_sequences", "train_token_budget_sample"):
+        p = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in p, f"{name} collapsed to one task"
+        assert "BroadcastExchange" in p  # base offsets ride a broadcast
+
+
+def test_trainprep_span_dedup_single_scan(spark, sf_dir):
+    """span_dedup reads the corpus ONCE (the r7 totals-branch fold);
+    a second text scan would double the dominant cost at scale."""
+    p = _plan(spark, sf_dir, "train_span_dedup")
+    scans = [seg for seg in p.split("FileScan parquet")[1:] if "text" in seg.split("ReadSchema", 1)[-1][:400]]
+    assert len(scans) == 1, f"documents text scanned {len(scans)} times"
+
+
+def test_trainprep_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set must broadcast (eval sets are tiny; the
+    corpus side must never shuffle its text for this join)."""
+    p = _plan(spark, sf_dir, "train_decontaminate_ngrams")
+    assert "BroadcastExchange" in p
+    assert "LeftSemi" in p  # hits counted via semi join, no row duplication
