@@ -70,3 +70,73 @@ def scd2_from_events(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(key, attr, "valid_from", "valid_to", "is_current")
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Incremental SCD2 MERGE: apply one batch of attribute updates to a
+    live type-2 dimension (the other half of ``scd2_from_events``, which
+    REBUILDS from full history -- this maintains an existing dim without
+    reprocessing it).
+
+    ``dim`` carries ``key, attrs..., valid_from, valid_to, is_current``;
+    ``updates`` carries ``key, attrs..., <ts_col>``.  Per key the LATEST
+    update wins (id tie-break); an update whose tracked attrs equal the
+    open row's is a no-op (no spurious version).  Changed keys close the
+    open row at the update timestamp and insert a new open row; unseen
+    keys insert their first open row.
+
+    Scale shape: closed history passes through UNTOUCHED (no shuffle --
+    at scale that's almost the whole dim), and only the open slice joins
+    the update batch (typically small -> broadcast-eligible).  Output:
+    same schema as ``dim``.
+    """
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col), F.desc(key))
+    latest = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key, *attrs, F.col(ts_col).alias("__uts"))
+    )
+    history = dim.filter(~F.col("is_current"))
+    open_rows = dim.filter(F.col("is_current"))
+
+    u_cols = {c: f"__u_{c}" for c in attrs}
+    u = latest.select(
+        F.col(key), F.col("__uts"), *[F.col(c).alias(a) for c, a in u_cols.items()]
+    )
+    j = open_rows.join(u, key, "full_outer")
+    same = F.struct(*[F.col(c) for c in attrs]).eqNullSafe(
+        F.struct(*[F.col(a) for a in u_cols.values()])
+    )
+    has_open = F.col("valid_from").isNotNull()
+    has_upd = F.col("__uts").isNotNull()
+
+    unchanged_open = j.filter(has_open & (~has_upd | same)).select(
+        key, *attrs, "valid_from", "valid_to", F.lit(True).alias("is_current")
+    )
+    closed_out = j.filter(has_open & has_upd & ~same).select(
+        key,
+        *attrs,
+        "valid_from",
+        F.col("__uts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_open = j.filter(has_upd & (~has_open | ~same)).select(
+        key,
+        *[F.col(a).alias(c) for c, a in u_cols.items()],
+        F.col("__uts").alias("valid_from"),
+        F.lit(None).cast(dict(dim.dtypes)["valid_to"]).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    out_cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
+    return (
+        history.select(*out_cols)
+        .unionByName(unchanged_open)
+        .unionByName(closed_out)
+        .unionByName(new_open)
+    )

@@ -95,3 +95,72 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
         F.round(F.var_samp("l_discount"), 8).alias("disc_var"),
     )
+
+
+@register(
+    "scd2_apply_segment_updates",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           CAST(1 AS BIGINT) AS is_current
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2023-01-01 00:00:00',
+           TIMESTAMP '2024-06-01 00:00:00',
+           CAST(0 AS BIGINT)
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, 'MIGRATED',
+           TIMESTAMP '2024-06-01 00:00:00',
+           CAST(NULL AS TIMESTAMP),
+           CAST(1 AS BIGINT)
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEWSEG',
+           TIMESTAMP '2024-06-01 00:00:00',
+           CAST(NULL AS TIMESTAMP),
+           CAST(1 AS BIGINT)
+    FROM customer WHERE c_custkey % 31 = 0
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 MERGE over a customer-segment dim: %7 keys change
+    segment (close + new version), %13 keys arrive as NO-OP updates
+    (same attrs -- must not create a spurious version), %31 keys appear
+    as brand-new members.  The oracle constructs the expected dim
+    directly, so any versioning mistake (double-close, missed no-op,
+    dropped new key) hash-fails."""
+    from ..operators.maintenance import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ts = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("MIGRATED").alias("segment"),
+        ts.alias("ts"),
+    )
+    noop = c.filter((F.col("c_custkey") % 13 == 0) & (F.col("c_custkey") % 7 != 0)).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        ts.alias("ts"),
+    )
+    newbies = c.filter(F.col("c_custkey") % 31 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("custkey"),
+        F.lit("NEWSEG").alias("segment"),
+        ts.alias("ts"),
+    )
+    updates = changed.unionByName(noop).unionByName(newbies)
+    out = scd2_apply(dim, updates, key="custkey", attrs=["segment"], ts_col="ts")
+    return out.select(
+        "custkey", "segment", "valid_from", "valid_to",
+        F.col("is_current").cast("long").alias("is_current"),
+    )

@@ -118,3 +118,53 @@ def test_compact_path_refuses_stale_old_sweeps_stale_tmp(spark, tmp_path):
     with pytest.raises(RuntimeError, match="__compact_old"):
         compact_path(spark, path, target_file_rows=50)
     assert spark.read.parquet(path).count() == 100
+
+
+def test_scd2_apply_versioning_rules(spark):
+    """Multi-update batches: latest-per-key wins; no-op updates create no
+    version; changed keys close at the update ts; history passes through
+    untouched; new keys open their first interval."""
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.maintenance import (
+        scd2_apply,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            # k=1: one closed + one open version
+            (1, "A", "2022-01-01 00:00:00", "2023-01-01 00:00:00", False),
+            (1, "B", "2023-01-01 00:00:00", None, True),
+            # k=2: open only
+            (2, "X", "2023-01-01 00:00:00", None, True),
+        ],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "C", "2024-01-01 00:00:00"),   # superseded by the later B->D
+            (1, "D", "2024-06-01 00:00:00"),   # latest per key wins
+            (2, "X", "2024-06-01 00:00:00"),   # no-op: same attr
+            (3, "N", "2024-06-01 00:00:00"),   # new key
+        ],
+        "k long, attr string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = scd2_apply(dim, updates, key="k", attrs=["attr"], ts_col="ts")
+    rows = {(r.k, r.attr, bool(r.is_current)): r for r in out.collect()}
+    assert len(rows) == 5
+    # history untouched
+    assert (1, "A", False) in rows
+    # k=1 open B closed at the LATEST update's ts, new open D
+    closed = rows[(1, "B", False)]
+    assert str(closed.valid_to) == "2024-06-01 00:00:00"
+    assert (1, "D", True) in rows and rows[(1, "D", True)].valid_to is None
+    # k=2 no-op: still exactly one open X with the ORIGINAL valid_from
+    assert str(rows[(2, "X", True)].valid_from) == "2023-01-01 00:00:00"
+    # new key opens
+    assert (3, "N", True) in rows
