@@ -140,3 +140,40 @@ def scd2_apply(
         .unionByName(closed_out)
         .unionByName(new_open)
     )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch into a
+    persisted per-key aggregate STATE table (count / sum / min / max)
+    without reprocessing history -- the gold-layer pattern when full
+    recompute over years of data is off the table.
+
+    Works because these aggregates are MERGEABLE: the state row and the
+    batch's partial aggregate combine exactly (count+count, sum+sum,
+    min(min), max(max)).  AVG derives as sum/count at read time -- never
+    store it, it does not merge.  The batch aggregates partial map-side
+    first, so the union-aggregate shuffles one row per touched key, not
+    per event.  State schema: ``keys..., cnt, total, vmin, vmax``.
+    """
+    batch_agg = batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col(value_col)).alias("total"),
+        F.min(F.col(value_col)).alias("vmin"),
+        F.max(F.col(value_col)).alias("vmax"),
+    )
+    return (
+        state.select(*keys, "cnt", "total", "vmin", "vmax")
+        .unionByName(batch_agg)
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("total").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )

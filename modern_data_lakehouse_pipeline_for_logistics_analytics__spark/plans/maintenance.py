@@ -164,3 +164,44 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "segment", "valid_from", "valid_to",
         F.col("is_current").cast("long").alias("is_current"),
     )
+
+
+@register(
+    "gold_incremental_agg_state",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total,
+           CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vmin,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vmax
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental == full: fold the post-1996 order batch into the
+    pre-1996 aggregate state and the result must hash-equal one full
+    GROUP BY over all orders (the mergeability property the gold-layer
+    maintenance pattern rests on).  Exact integer cents so the split
+    point cannot introduce float summation-order drift."""
+    from ..operators.maintenance import merge_agg_state
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    src = o.select("o_orderpriority", "o_orderdate", cents.alias("price_c"))
+    cut = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    history = src.filter(F.col("o_orderdate") < cut)
+    batch = src.filter(F.col("o_orderdate") >= cut)
+    state = history.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("price_c").alias("total"),
+        F.min("price_c").alias("vmin"),
+        F.max("price_c").alias("vmax"),
+    )
+    out = merge_agg_state(state, batch, keys=["o_orderpriority"], value_col="price_c")
+    return out.select(
+        "o_orderpriority",
+        "cnt",
+        F.col("total").cast("long").alias("total"),
+        F.col("vmin").cast("long").alias("vmin"),
+        F.col("vmax").cast("long").alias("vmax"),
+    )

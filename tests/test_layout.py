@@ -168,3 +168,34 @@ def test_scd2_apply_versioning_rules(spark):
     assert str(rows[(2, "X", True)].valid_from) == "2023-01-01 00:00:00"
     # new key opens
     assert (3, "N", True) in rows
+
+
+def test_merge_agg_state_multiple_folds(spark):
+    """Folding three batches one at a time equals one aggregate over the
+    union (mergeability), including a batch introducing a NEW key."""
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.maintenance import (
+        merge_agg_state,
+    )
+
+    batches = [
+        [("a", 10), ("a", 2), ("b", 5)],
+        [("a", 7)],
+        [("c", 1), ("b", -3)],
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")  # noqa: E731
+    state = mk([]).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    for rows in batches:
+        state = merge_agg_state(state, mk(rows), keys=["k"], value_col="v")
+    got = {(r.k): (r.cnt, r.total, r.vmin, r.vmax) for r in state.collect()}
+    assert got == {
+        "a": (3, 19, 2, 10),
+        "b": (2, 2, -3, 5),
+        "c": (1, 1, 1, 1),
+    }
