@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "train_chunk_documents",
     "train_pack_sequences",
     "train_token_budget_sample",
+    "scalar_variant_json",
+    "scd2_apply_segment_updates",
+    "gold_incremental_agg_state",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]
