@@ -205,3 +205,44 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vmin").cast("long").alias("vmin"),
         F.col("vmax").cast("long").alias("vmax"),
     )
+
+
+@register(
+    "table_diff_orders_replica",
+    oracle="""
+    SELECT o_orderkey, 'changed' AS diff_status
+    FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'only_in_a'
+    FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT o_orderkey + 50000000, 'only_in_b'
+    FROM orders WHERE o_orderkey % 103 = 0
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile orders against a deterministically drifted replica:
+    %101 keys changed priority, %97 keys missing from the replica, %103
+    keys exist only there.  The oracle constructs the expected diff from
+    the drift conditions, so a digest collision bug, a null-handling
+    bug, or a dropped side hash-fails."""
+    from ..operators.maintenance import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    replica_changed = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.lit("9-DRIFTED").alias("o_orderpriority"),
+    )
+    replica_same = o.filter(
+        (F.col("o_orderkey") % 101 != 0) & (F.col("o_orderkey") % 97 != 0)
+    ).select("o_orderkey", *cols)
+    replica_extra = o.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 50000000).alias("o_orderkey"), *cols
+    )
+    replica = replica_same.unionByName(
+        replica_changed.filter(F.col("o_orderkey") % 97 != 0)
+    ).unionByName(replica_extra)
+    return table_diff(o, replica, key="o_orderkey", compare_cols=cols)

@@ -199,3 +199,28 @@ def test_merge_agg_state_multiple_folds(spark):
         "b": (2, 2, -3, 5),
         "c": (1, 1, 1, 1),
     }
+
+
+def test_table_diff_null_and_boundary_semantics(spark):
+    """NULL vs 'x' column swaps are CHANGED (sentinel separates them),
+    concat boundaries don't collide ('a','bc' vs 'ab','c'), equal rows
+    are excluded by default and included on request."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.maintenance import (
+        table_diff,
+    )
+
+    a = spark.createDataFrame(
+        [(1, None, "x"), (2, "a", "bc"), (3, "same", "same"), (4, "gone", "gone")],
+        "k long, c1 string, c2 string",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", None), (2, "ab", "c"), (3, "same", "same"), (5, "new", "new")],
+        "k long, c1 string, c2 string",
+    )
+    out = {r.k: r.diff_status for r in table_diff(a, b, "k", ["c1", "c2"]).collect()}
+    assert out == {1: "changed", 2: "changed", 4: "only_in_a", 5: "only_in_b"}
+    full = {
+        r.k: r.diff_status
+        for r in table_diff(a, b, "k", ["c1", "c2"], include_equal=True).collect()
+    }
+    assert full[3] == "equal" and len(full) == 5
