@@ -246,3 +246,42 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         replica_changed.filter(F.col("o_orderkey") % 97 != 0)
     ).unionByName(replica_extra)
     return table_diff(o, replica, key="o_orderkey", compare_cols=cols)
+
+
+@register(
+    "data_quality_rule_counts",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             OR o_orderstatus IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+             CAST(SUM(CASE WHEN o_orderdate IS NULL
+                             OR o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_date_sane
+      FROM orders)
+    SELECT 'price_positive' AS rule, v_price_positive AS n_violations, n_rows FROM agg
+    UNION ALL
+    SELECT 'status_domain', v_status_domain, n_rows FROM agg
+    UNION ALL
+    SELECT 'date_sane', v_date_sane, n_rows FROM agg
+    """,
+)
+def q_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three expectations over orders folded into ONE aggregate pass
+    (price positivity, status domain, date sanity) -- N rules, one
+    scan.  The fixture is clean, so violations are zero; the oracle
+    still exercises the whole fold+stack shape."""
+    from ..operators.validation import rule_violation_counts
+
+    o = _t(spark, sf_dir, "orders")
+    rules = {
+        "price_positive": F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        "status_domain": ~F.col("o_orderstatus").isin("O", "F", "P")
+        | F.col("o_orderstatus").isNull(),
+        "date_sane": F.col("o_orderdate").isNull()
+        | (F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp")),
+    }
+    return rule_violation_counts(o, rules)
