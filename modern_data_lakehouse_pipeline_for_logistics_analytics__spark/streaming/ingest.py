@@ -250,3 +250,61 @@ def run_stream_stream_join(
         .start(out_dir)
         .awaitTermination()
     )
+
+
+def stream_to_warehouse_exactly_once(
+    stream: DataFrame,
+    con_factory,
+    table: str,
+    checkpoint_dir: str,
+    ledger_table: str = "__committed_batches",
+    load_date: str = "1970-01-01",
+) -> None:
+    """Exactly-once streaming egress to a DB-API warehouse: per
+    micro-batch, the data insert and a ledger row recording the batch id
+    commit in ONE transaction; replayed batches (checkpoint recovery,
+    sink retry) find their id in the ledger and skip.
+
+    This is the standard foreachBatch exactly-once recipe: Spark's
+    checkpoint gives at-least-once batch delivery, the transactional
+    (data + ledger) write makes the duplicate delivery idempotent.  The
+    warehouse must support transactions (sqlite/duckdb/postgres do);
+    without them the guarantee degrades to at-least-once, exactly the
+    asymmetry `sources/delta.py` documents for formatless storage.
+    ``con_factory`` is called per batch (foreachBatch runs on the
+    driver; connections must not be captured across batches).
+    """
+    from ..sources.warehouse import warehouse_ddl
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        con = con_factory()
+        try:
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{ledger_table}" (batch_id BIGINT PRIMARY KEY)'
+            )
+            seen = con.execute(
+                f'SELECT 1 FROM "{ledger_table}" WHERE batch_id = ?', (batch_id,)
+            ).fetchone()
+            if seen:
+                return  # replayed batch: already committed atomically
+            staged = batch_df.withColumn("load_date", F.lit(load_date))
+            con.execute(warehouse_ddl(staged, table))  # already IF NOT EXISTS
+            placeholders = ", ".join(["?"] * len(staged.columns))
+            rows = [tuple(r) for r in staged.toLocalIterator()]
+            con.executemany(f'INSERT INTO "{table}" VALUES ({placeholders})', rows)
+            con.execute(f'INSERT INTO "{ledger_table}" VALUES (?)', (batch_id,))
+            con.commit()  # data + ledger land atomically or not at all
+        except Exception:
+            if hasattr(con, "rollback"):
+                con.rollback()
+            raise
+        finally:
+            con.close()
+
+    (
+        stream.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+        .awaitTermination()
+    )
