@@ -308,3 +308,27 @@ def stream_to_warehouse_exactly_once(
         .start()
         .awaitTermination()
     )
+
+
+def stream_enrich_with_dim(
+    stream: DataFrame,
+    spark: SparkSession,
+    dim_path: str,
+    key_col: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment: join a stream against a parquet dim.
+
+    The static side of a stream-static join is RE-RESOLVED every
+    micro-batch (Spark plans the batch side fresh per trigger), so a dim
+    overwritten between batches enriches subsequent batches with the NEW
+    values -- no restart, no broadcast-state plumbing.  That freshness
+    contract is exactly what slowly-updated reference data (courier
+    registry, fx rates) needs, and it is pinned by
+    ``tests/test_stream_enrich.py`` because code that accidentally
+    caches the dim frame silently freezes it.  Left join: stream rows
+    with no dim match pass through with nulls rather than being dropped
+    (an enrichment must never lose fact rows).
+    """
+    dim = spark.read.parquet(dim_path).select(key_col, *dim_cols)
+    return stream.join(dim, key_col, "left")
