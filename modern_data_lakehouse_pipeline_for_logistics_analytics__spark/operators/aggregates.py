@@ -88,3 +88,38 @@ def cube_metrics(df: DataFrame, keys: list[str], agg_col: str) -> DataFrame:
         F.round(F.sum(agg_col), 2).alias("sum_val"),
         F.grouping_id(*keys).alias("grp_id"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_share: float
+) -> DataFrame:
+    """EXACT heavy hitters (items with frequency > ``min_share`` of rows)
+    at approximate-pass cost -- the candidates-then-verify motif the LSH
+    family uses, applied to frequency:
+
+    1. ``stat.freqItems`` (one-pass Karp/Misra-Gries, JVM-side) returns a
+       SUPERSET of every item above the support -- it can only
+       over-report, never miss;
+    2. exact counts run ONLY for those candidates (a filtered aggregate
+       -- the second scan reads one column and keeps candidate rows);
+    3. the true threshold prunes the false positives.
+
+    So the output is deterministic and exactly equal to the full
+    ``GROUP BY ... HAVING`` answer, but the unfiltered aggregate over the
+    (possibly enormous) item domain never runs.  Output:
+    ``item, n, share`` (share = 4dp half-up, cross-engine exact).
+    """
+    cands = df.stat.freqItems([col], support=min_share).first()[0]
+    n_total = df.count()
+    floor_n = int(n_total * min_share)
+    from .textstats import round_half_up
+
+    exact = (
+        df.filter(F.col(col).isin(list(cands)))
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") > floor_n)
+    )
+    return exact.select(
+        "item", "n", round_half_up(F.col("n") / F.lit(float(n_total)), 4).alias("share")
+    )

@@ -7,6 +7,7 @@ integer-count ratios (bit-identical across engines) rounded at 4dp.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.textstats import (
     fingerprints,
@@ -253,3 +254,31 @@ def q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(r"\d{3}[-.]\d{3,4}[-.]\d{4}").alias("n_phoneish"),
         n(r"\d{4,}").alias("n_long_digit_runs"),
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS item
+      FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR((COUNT(*) / CAST(t.n_total AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+             / CAST(10000.0 AS DOUBLE) AS share
+    FROM tok, tot t
+    GROUP BY item, t.n_total
+    HAVING COUNT(*) > CAST(t.n_total * 0.02 AS BIGINT)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (> 2% of all token occurrences): freqItems
+    candidate pass + exact verify equals the full GROUP BY HAVING answer
+    -- the oracle IS that full aggregate, so the candidates-then-verify
+    shortcut is hash-proven lossless."""
+    from ..operators.aggregates import heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+    )
+    return heavy_hitters(toks, "t", min_share=0.02)

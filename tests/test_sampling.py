@@ -49,3 +49,28 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir_medium):
         assert abs(rank - q * n) <= n / accuracy + 1, (
             f"q={q}: approx {a} at rank {rank}, expected ~{q * n}"
         )
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """The candidates-then-verify output must equal the full GROUP BY
+    HAVING answer on a skewed distribution, including near-threshold
+    items on both sides of the cut."""
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    # 100 rows: 'a' x30, 'b' x11, 'c' x10 (exactly at 10% -> excluded:
+    # share must be STRICTLY greater), rest singletons.
+    rows = ["a"] * 30 + ["b"] * 11 + ["c"] * 10 + [f"x{i}" for i in range(49)]
+    df = spark.createDataFrame([(r,) for r in rows], "item string")
+    got = {(r.item, r.n) for r in heavy_hitters(df, "item", min_share=0.10).collect()}
+    brute = {
+        (r.item, r.n)
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") > 10)
+        .collect()
+    }
+    assert got == brute == {("a", 30), ("b", 11)}
