@@ -57,3 +57,41 @@ def with_audit_columns(df: DataFrame, load_date: str) -> DataFrame:
     return df.withColumn("load_date", F.lit(load_date)).withColumn(
         "load_timestamp", F.current_timestamp()
     )
+
+
+def evolve_to_schema(
+    df: DataFrame,
+    target,
+    on_extra: str = "drop",
+) -> DataFrame:
+    """Coerce a heterogeneous batch onto a stable target schema (the
+    ingestion edge where upstream producers add, drop and re-type fields
+    release by release):
+
+    - missing target columns materialize as typed NULLs;
+    - present columns ``try_cast`` to the target type (a re-typed
+      upstream field degrades to NULL per row, never fails the batch --
+      corrupt rows are a certainty at ingest scale);
+    - column order normalizes to the target;
+    - extra columns ``drop`` (default) or ``'error'`` (strict mode for
+      pipelines where an unexpected field means a contract break).
+
+    ``target`` is a StructType or DDL string.  Pure projection -- no
+    shuffle, pipelines into the scan.
+    """
+    from pyspark.sql.types import StructType
+
+    if isinstance(target, str):
+        target = StructType.fromDDL(target)
+    have = {f.lower(): f for f in df.columns}
+    extras = [c for c in df.columns if c.lower() not in {f.name.lower() for f in target.fields}]
+    if extras and on_extra == "error":
+        raise ValueError(f"unexpected columns for target schema: {extras}")
+    cols = []
+    for field in target.fields:
+        src = have.get(field.name.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.col(src).try_cast(field.dataType).alias(field.name))
+    return df.select(*cols)

@@ -138,3 +138,32 @@ def test_text_line_and_wholefile_modes(spark, tmp_path):
     write_text(lines, out, column="value")
     back = read_text(spark, out)
     assert sorted(r.value for r in back.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_evolve_to_schema_ingestion_edge(spark):
+    """Missing columns -> typed nulls; re-typed columns try_cast (bad
+    cells degrade to NULL, batch survives); case-insensitive matching;
+    extras drop by default and raise in strict mode."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.cleaning import (
+        evolve_to_schema,
+    )
+
+    batch = spark.createDataFrame(
+        [("1", "9.5", "x", "surprise"), ("2", "oops", "y", "s2")],
+        "K string, price string, keep string, extra string",
+    )
+    target = "k bigint, price double, keep string, added date"
+    out = evolve_to_schema(batch, target)
+    assert [f.name for f in out.schema.fields] == ["k", "price", "keep", "added"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "double", "string", "date",
+    ]
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].price == 9.5 and rows[1].added is None
+    assert rows[2].price is None  # 'oops' try_casts to NULL, row survives
+
+    with pytest.raises(ValueError, match="unexpected columns"):
+        evolve_to_schema(batch, target, on_extra="error")
