@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "scalar_variant_json",
     "scd2_apply_segment_updates",
     "gold_incremental_agg_state",
+    "table_diff_orders_replica",
+    "data_quality_rule_counts",
+    "heavy_hitter_tokens",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]
