@@ -225,3 +225,42 @@ def table_diff(
         status.alias("diff_status"),
     )
     return out if include_equal else out.filter(F.col("diff_status") != "equal")
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Apply a CDC change feed (Debezium/DMS shape) to a snapshot:
+    ``changes`` carries the target's columns plus ``op`` in
+    ``('I','U','D')`` and an event timestamp.  The LATEST change per key
+    wins (ts order; ties break D > U > I so a same-timestamp
+    delete+update pair resolves deterministically); a winning D removes
+    the key, a winning I/U upserts its payload -- the delete path
+    ``merge_upsert`` alone cannot express.
+
+    One window over the (small) change batch + the ``merge_upsert``
+    full-outer join + an anti join for deletes; the target never scans
+    twice.  Output: the new snapshot, same schema as ``target``.
+    """
+    op_rank = (
+        F.when(F.col(op_col) == "D", 3)
+        .when(F.col(op_col) == "U", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.desc(ts_col), op_rank.desc(), F.desc(key)
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    payload_cols = [c for c in target.columns]
+    deletes = latest.filter(F.col(op_col) == "D").select(F.col(key))
+    upserts = latest.filter(F.col(op_col) != "D").select(*payload_cols)
+    survived = target.join(deletes, key, "left_anti")
+    return merge_upsert(survived, upserts, key)

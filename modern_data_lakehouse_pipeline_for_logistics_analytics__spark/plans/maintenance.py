@@ -285,3 +285,49 @@ def q_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp")),
     }
     return rule_violation_counts(o, rules)
+
+
+@register(
+    "cdc_apply_order_changes",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'X'
+    FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey + 90000000, 'N'
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed over an orders snapshot: %13 keys DELETE, %11 (minus the
+    deleted) UPDATE to status 'X', %17 keys arrive as INSERTs under new
+    ids; a superseded earlier update on the deleted keys proves
+    latest-change-wins.  The oracle constructs the expected snapshot
+    from the feed conditions."""
+    from ..operators.maintenance import apply_changes
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_orderstatus")
+    t1 = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-06-02 00:00:00").cast("timestamp")
+    stale_updates = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit("STALE").alias("o_orderstatus"),
+        F.lit("U").alias("op"), t1.alias("ts"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit("D").alias("op"), t2.alias("ts"),
+    )
+    updates = o.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"),
+        F.lit("U").alias("op"), t2.alias("ts"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("I").alias("op"), t2.alias("ts"),
+    )
+    changes = stale_updates.unionByName(deletes).unionByName(updates).unionByName(inserts)
+    return apply_changes(target, changes, key="o_orderkey")

@@ -224,3 +224,31 @@ def test_table_diff_null_and_boundary_semantics(spark):
         for r in table_diff(a, b, "k", ["c1", "c2"], include_equal=True).collect()
     }
     assert full[3] == "equal" and len(full) == 5
+
+
+def test_apply_changes_delete_and_tie_semantics(spark):
+    """Latest change per key wins; same-timestamp delete+update resolves
+    to DELETE (op precedence); inserts for existing keys behave as
+    upserts; unchanged keys pass through."""
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.maintenance import (
+        apply_changes,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", "2024-01-02 00:00:00"),  # plain update
+            (2, None, "D", "2024-01-02 00:00:00"),  # delete
+            (2, "zzz", "U", "2024-01-02 00:00:00"), # SAME ts: D must win
+            (3, "c1", "U", "2024-01-01 00:00:00"),  # superseded...
+            (3, "c2", "U", "2024-01-03 00:00:00"),  # ...by this one
+            (5, "e", "I", "2024-01-02 00:00:00"),   # new key
+        ],
+        "k long, v string, op string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.k: r.v for r in apply_changes(target, changes, key="k").collect()}
+    assert got == {1: "a2", 3: "c2", 4: "d", 5: "e"}
