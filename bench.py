@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "table_diff_orders_replica",
     "data_quality_rule_counts",
     "heavy_hitter_tokens",
+    "cdc_apply_order_changes",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

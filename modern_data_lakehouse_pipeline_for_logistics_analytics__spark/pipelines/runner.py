@@ -183,3 +183,39 @@ def run_medallion_day_retried(
         retry_delay_sec=retry_delay_sec,
         on_failure=on_failure,
     )
+
+
+def plan_backfill(
+    spark,
+    silver_root: str,
+    expected_dates: list[str],
+    partition_col: str = "load_date",
+) -> list[str]:
+    """Backfill planner: which of ``expected_dates`` are MISSING from the
+    partitioned silver table -- the work list ``run_medallion`` re-runs
+    (idempotent dynamic-partition overwrite makes re-running a present
+    date harmless, but the planner keeps backfills from reprocessing the
+    whole calendar the way the reference's fixed 7-day lookback did,
+    `scheduling/orchestration.py:90-91`).
+
+    Partition discovery only: reads the directory listing / partition
+    values, never the data files.  Dates come back sorted so the
+    backfill replays in order.
+    """
+    import os
+
+    if not os.path.isdir(silver_root):
+        return sorted(expected_dates)
+    from pyspark.sql import functions as F
+
+    # Cast to string: parquet partition-column type inference reads
+    # date-shaped directory values back as DATE, which would never equal
+    # the caller's ISO strings.
+    present = {
+        r[0]
+        for r in spark.read.parquet(silver_root)
+        .select(F.col(partition_col).cast("string"))
+        .distinct()
+        .collect()
+    }
+    return sorted(d for d in expected_dates if d not in present)

@@ -36,3 +36,20 @@ def test_runner_empty_date_skips(spark, tmp_path_factory):
     os.makedirs(f"{root}/bronze/2024-06-01", exist_ok=True)
     out = run_medallion_day(spark, root, "2024-06-01", generate=False)
     assert out == {"bronze": 0, "silver": 0, "gold_tables": 0}
+
+
+def test_plan_backfill_partition_discovery(spark, tmp_path_factory):
+    """Missing dates surface sorted; present dates are skipped; an absent
+    table means everything backfills."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.pipelines.runner import (
+        plan_backfill,
+    )
+
+    root = str(tmp_path_factory.mktemp("bf") / "silver")
+    dates = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert plan_backfill(spark, root, dates) == dates  # no table yet
+
+    spark.createDataFrame(
+        [(1, "2024-01-02")], "k long, load_date string"
+    ).write.partitionBy("load_date").parquet(root)
+    assert plan_backfill(spark, root, dates) == ["2024-01-01", "2024-01-03"]
