@@ -49,3 +49,25 @@ def dedup_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def enrich_or_park(
+    facts: DataFrame, dim: DataFrame, key: str, dim_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Late-arriving dimension handling: split a fact batch into
+    ``(enriched, parked)`` -- facts whose dim row exists join and move
+    on; facts arriving BEFORE their dim row (the late-arriving-dimension
+    problem every CDC-fed star schema hits) park untouched for the next
+    run, instead of either blocking the batch or publishing rows with
+    permanently-null attributes.
+
+    The parked frame keeps the ORIGINAL fact schema, so re-submitting
+    ``parked`` with a fresher dim is the whole retry loop:
+    ``enrich_or_park(parked, dim, ...)``.  One shuffle pair over the
+    same key (broadcast when the dim is small); no row is ever dropped:
+    count(facts) == count(enriched) + count(parked), asserted in tests.
+    """
+    d = dim.select(key, *dim_cols)
+    enriched = facts.join(d, key, "inner")
+    parked = facts.join(d.select(key), key, "left_anti")
+    return enriched, parked

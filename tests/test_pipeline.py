@@ -197,3 +197,27 @@ def test_silver_quality_observation_free_metrics(spark, tmp_path_factory):
     assert metrics["null_created_at"] == (check.null_created_at or 0)
     assert metrics["unknown_status"] == (check.unknown_status or 0)
     assert metrics["n_success"] == (check.n_success or 0)
+
+
+def test_enrich_or_park_late_dimension_retry(spark):
+    """Facts arriving before their dim row park losslessly and enrich on
+    the retry once the dim catches up; nothing is dropped or published
+    half-null."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dims import (
+        enrich_or_park,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "ck long, amount double"
+    )
+    dim_v1 = spark.createDataFrame([(1, "gold"), (2, "silver")], "ck long, tier string")
+    enriched, parked = enrich_or_park(facts, dim_v1, "ck", ["tier"])
+    assert {(r.ck, r.tier) for r in enriched.collect()} == {(1, "gold"), (2, "silver")}
+    assert [tuple(r) for r in parked.collect()] == [(3, 30.0)]  # original schema
+    assert enriched.count() + parked.count() == facts.count()
+
+    # dim catches up -> the parked frame IS the retry input
+    dim_v2 = dim_v1.union(spark.createDataFrame([(3, "bronze")], "ck long, tier string"))
+    retried, still_parked = enrich_or_park(parked, dim_v2, "ck", ["tier"])
+    assert {(r.ck, r.tier) for r in retried.collect()} == {(3, "bronze")}
+    assert still_parked.isEmpty()
