@@ -197,7 +197,9 @@ def table_diff(
     digest uses an explicit NULL sentinel and a field separator, so
     ``(NULL, 'x')`` vs ``('x', NULL)`` and ``('a','bc')`` vs ``('ab','c')``
     are distinct.  Cross-engine exact (md5 of the same canonical string).
-    Output: ``<key>, diff_status``.
+    ``key`` must be unique on each side (a reconciliation key by
+    definition) -- duplicate keys would cross-product in the full-outer
+    join and over-report.  Output: ``<key>, diff_status``.
     """
     def canon(df: DataFrame, side: str) -> DataFrame:
         digest = F.md5(
@@ -251,9 +253,13 @@ def apply_changes(
         .when(F.col(op_col) == "U", 2)
         .otherwise(1)
     )
-    w = Window.partitionBy(key).orderBy(
-        F.desc(ts_col), op_rank.desc(), F.desc(key)
-    )
+    # Final tie-break over the payload columns: two changes with equal
+    # (ts, op) must still resolve identically on every run -- row_number
+    # over an incomplete ordering would pick per-run arbitrarily.
+    payload_tb = [
+        F.desc(c) for c in changes.columns if c not in (key, op_col, ts_col)
+    ]
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col), op_rank.desc(), *payload_tb)
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

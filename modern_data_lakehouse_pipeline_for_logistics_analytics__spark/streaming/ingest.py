@@ -290,8 +290,18 @@ def stream_to_warehouse_exactly_once(
             staged = batch_df.withColumn("load_date", F.lit(load_date))
             con.execute(warehouse_ddl(staged, table))  # already IF NOT EXISTS
             placeholders = ", ".join(["?"] * len(staged.columns))
-            rows = [tuple(r) for r in staged.toLocalIterator()]
-            con.executemany(f'INSERT INTO "{table}" VALUES ({placeholders})', rows)
+            sql = f'INSERT INTO "{table}" VALUES ({placeholders})'
+            # Chunked inserts inside ONE open transaction: the driver
+            # holds one chunk at a time (toLocalIterator streams), while
+            # atomicity still comes from the single commit below.
+            chunk: list[tuple] = []
+            for row in staged.toLocalIterator():
+                chunk.append(tuple(row))
+                if len(chunk) >= 10_000:
+                    con.executemany(sql, chunk)
+                    chunk = []
+            if chunk:
+                con.executemany(sql, chunk)
             con.execute(f'INSERT INTO "{ledger_table}" VALUES (?)', (batch_id,))
             con.commit()  # data + ledger land atomically or not at all
         except Exception:
