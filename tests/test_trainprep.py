@@ -230,3 +230,48 @@ def test_pack_sequences_property_vs_reference(spark):
         assert got == _pack_reference(rows, W)
 
     run()
+
+
+def _span_dedup_reference(rows, span):
+    """Exhaustive reference: global first-occurrence span dedup in
+    (doc_id, span_no) order."""
+    seen, out = set(), {}
+    for doc_id, text in sorted(rows):
+        toks = text.lower().split()
+        spans = [
+            " ".join(toks[i * span : (i + 1) * span])
+            for i in range((len(toks) + span - 1) // span or 1)
+        ]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[doc_id] = (len(spans), len(kept), " ".join(kept))
+    return out
+
+
+def test_span_dedup_property_vs_reference(spark):
+    """Property sweep: arbitrary corpora with planted repeats must match
+    the exhaustive single-threaded reference exactly -- including docs
+    losing ALL spans and span sizes that don't divide doc lengths."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    # Small word alphabet forces cross-doc span collisions.
+    word_s = st.sampled_from(["w1", "w2", "w3"])
+    doc_s = st.lists(word_s, min_size=1, max_size=9).map(" ".join)
+    corpus_s = st.lists(doc_s, min_size=1, max_size=6)
+    span_s = st.sampled_from([2, 3, 10])
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=corpus_s, span=span_s)
+    def run(texts, span):
+        rows = list(enumerate(texts))
+        got = {
+            r.doc_id: (r.n_spans, r.n_kept, r.kept_text)
+            for r in span_dedup(_docs(spark, rows), "doc_id", "text", span=span).collect()
+        }
+        assert got == _span_dedup_reference(rows, span)
+
+    run()
