@@ -122,6 +122,12 @@ BENCH_QUERIES = [
     "data_quality_rule_counts",
     "heavy_hitter_tokens",
     "cdc_apply_order_changes",
+    "bloom_prune_orders",
+    "resample_interpolate_daily_revenue",
+    "fuzzy_match_suppliers",
+    "distinct_sketch_daily_users",
+    "distinct_sketch_weekly_merge",
+    "quantile_bins_totalprice",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

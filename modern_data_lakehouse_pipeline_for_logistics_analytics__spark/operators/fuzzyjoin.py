@@ -1,0 +1,86 @@
+"""Fuzzy entity-resolution join: deletion-neighborhood blocking plus
+exact edit-distance verify.
+
+The all-pairs ``levenshtein(a, b) <= d`` join is O(n*m) -- dead at any
+scale.  The SymSpell observation makes it linear: two strings within
+edit distance 1 (insert / delete / substitute) ALWAYS share a member of
+their delete-1 neighborhoods ``{s} ∪ {s minus one char}``.  So:
+
+1. expand each side to its |s|+1 variants (a distributed ``transform``
+   + ``explode``, O(n·L) rows);
+2. join on the 60-bit portable hash of the variant -- the shuffle
+   carries 8-byte hashes, never the strings;
+3. verify surviving candidate pairs with the exact ``levenshtein``
+   (built-in, JVM) -- hash collisions and distance-2 coincidences
+   (e.g. "xab"/"aby" share variant "ab") are killed here, so false
+   candidates never escape.
+
+Blocking cost is Σ bucket² per shared variant, the same hot-bucket
+shape as MinHash-LSH banding; variants are near-unique for real entity
+strings, and the verify stage only ever sees candidates.  For distance
+d>1 the same scheme uses delete-d neighborhoods (cost O(n·L^d));
+this module implements the d=1 workhorse.
+
+Reference parity: no join surface exists in the reference (SURVEY
+§2.3 J0); this is engine generalization for the entity-resolution /
+record-linkage workloads a logistics lakehouse actually runs
+(mis-keyed courier / supplier names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_base_hash
+
+
+def delete1_variants(col: str) -> Column:
+    """Array of the string itself plus every delete-one-char variant.
+
+    Pure SQL lambda (``transform`` over ``sequence``): stays in
+    whole-stage codegen, no Python.
+    """
+    return F.expr(
+        f"concat(array({col}), "
+        f"  transform(sequence(1, length({col})), "
+        f"    i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1))))"
+    )
+
+
+def _variant_hashes(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.col(str_col),
+        F.explode(delete1_variants(str_col)).alias("__v"),
+    ).select(id_col, str_col, portable_base_hash(F.col("__v")).alias("__vh"))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Pairs ``(left_id, right_id, dist)`` with edit distance <= max_dist.
+
+    Complete for ``max_dist=1`` (the delete-1 sharing property is exact);
+    for ``max_dist`` beyond the blocking guarantee the result is the
+    verified candidates only -- callers wanting full d=2 recall should
+    block on delete-2 neighborhoods first.
+    """
+    lv = _variant_hashes(left, left_id, left_str)
+    rv = _variant_hashes(right, right_id, right_str)
+    cands = (
+        lv.join(rv, on="__vh")
+        .select(left_id, left_str, right_id, right_str)
+        .distinct()
+    )
+    return cands.select(
+        left_id,
+        right_id,
+        F.levenshtein(F.col(left_str), F.col(right_str)).alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

@@ -60,6 +60,7 @@ def _load_all() -> None:
         "tpch3",
         "product_analytics",
         "trainprep",
+        "coverage3",
     ):
         try:
             __import__(f"{__name__}.{mod}")

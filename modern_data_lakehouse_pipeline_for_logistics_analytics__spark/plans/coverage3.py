@@ -1,0 +1,354 @@
+"""Round-7 engine-widening queries: runtime bloom pruning, time-series
+gap fill, fuzzy entity resolution, portable cardinality sketches,
+quantile discretization.
+
+Every query here is oracle-backed: the bloom bit array, the HLL
+registers, and the SymSpell blocking are all built on the portable
+BIGINT hash family (``operators/dedup.py:PORTABLE_P``) precisely so
+DuckDB can replay the exact arithmetic.  Hash parameters are
+interpolated into the SQL from the SAME Python source the Spark
+operators read -- the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import quantile_bucketize
+from ..operators.bloom import bloom_build, bloom_might_contain, bloom_params
+from ..operators.fuzzyjoin import fuzzy_join
+from ..operators.sketches import hll_alpha, hll_estimate, hll_registers
+from ..operators.timeseries import resample_interpolate
+from .registry import read_events, register, table_path
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime pruning
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096  # 128 32-bit words: demo-sized; production sizes ~10 bits/key
+_MD5H = "CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 2, 15)) AS BIGINT)"
+
+
+def _bloom_oracle() -> str:
+    (a0, b0), (a1, b1), (a2, b2) = bloom_params(3)
+    nb = _BLOOM_BITS
+    h_build = _MD5H.format(col="bk")
+    h_probe = _MD5H.format(col="o_custkey")
+    return f"""
+    WITH build AS (
+      SELECT DISTINCT c_custkey AS bk FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000),
+    bh AS (SELECT {h_build} % 2147483647 AS h0 FROM build),
+    pos AS (
+      SELECT (({a0} * h0 + {b0}) % 2147483647) % {nb} AS p FROM bh
+      UNION ALL SELECT (({a1} * h0 + {b1}) % 2147483647) % {nb} FROM bh
+      UNION ALL SELECT (({a2} * h0 + {b2}) % 2147483647) % {nb} FROM bh),
+    words AS (
+      SELECT p // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+      FROM pos GROUP BY p // 32),
+    ph AS (
+      SELECT o_custkey, o_totalprice, {h_probe} % 2147483647 AS h0
+      FROM orders),
+    probe AS (
+      SELECT o_custkey, o_totalprice,
+             (({a0} * h0 + {b0}) % 2147483647) % {nb} AS p0,
+             (({a1} * h0 + {b1}) % 2147483647) % {nb} AS p1,
+             (({a2} * h0 + {b2}) % 2147483647) % {nb} AS p2
+      FROM ph),
+    flags AS (
+      SELECT pr.o_custkey, pr.o_totalprice,
+             COALESCE((w0.word >> CAST(pr.p0 % 32 AS INTEGER)) & 1, 0) = 1
+         AND COALESCE((w1.word >> CAST(pr.p1 % 32 AS INTEGER)) & 1, 0) = 1
+         AND COALESCE((w2.word >> CAST(pr.p2 % 32 AS INTEGER)) & 1, 0) = 1 AS pass,
+             EXISTS (SELECT 1 FROM build b WHERE b.bk = pr.o_custkey) AS hit
+      FROM probe pr
+      LEFT JOIN words w0 ON w0.w = pr.p0 // 32
+      LEFT JOIN words w1 ON w1.w = pr.p1 // 32
+      LEFT JOIN words w2 ON w2.w = pr.p2 // 32)
+    SELECT CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT) AS bloom_candidates,
+           CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS exact_matches,
+           ROUND(SUM(CASE WHEN hit THEN o_totalprice END), 2) AS matched_revenue
+    FROM flags
+    """
+
+
+@register("bloom_prune_orders", oracle=_bloom_oracle())
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pruning, hash-verified end to end: build a portable
+    bloom filter over a selective customer subset, pre-filter the orders
+    scan with it, then run the exact membership join.  The one-row output
+    pins (a) the exact bloom bit arithmetic (``bloom_candidates`` counts
+    filter survivors INCLUDING false positives -- DuckDB must reproduce
+    the identical bit array to match) and (b) the invariant that the
+    exact join result is bloom-invariant (no false negatives).
+
+    At 100 TB the bloom predicate cuts the fact-side shuffle to ~the
+    dimension predicate's selectivity before any join runs; Spark's own
+    ``runtime.bloomFilter`` conf applies the same idea optimizer-side.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 9000)
+    )
+    words = bloom_build(cust, "c_custkey", _BLOOM_BITS, 3)
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    bk = cust.select(F.col("c_custkey").alias("bk")).distinct()
+    flagged = orders.withColumn(
+        "pass", bloom_might_contain(F.col("o_custkey"), words, _BLOOM_BITS, 3)
+    ).join(F.broadcast(bk), F.col("o_custkey") == F.col("bk"), "left")
+    return flagged.agg(
+        F.count(F.when(F.col("pass"), 1)).alias("bloom_candidates"),
+        F.count(F.when(F.col("bk").isNotNull(), 1)).alias("exact_matches"),
+        F.round(F.sum(F.when(F.col("bk").isNotNull(), F.col("o_totalprice"))), 2).alias(
+            "matched_revenue"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + interpolation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "resample_interpolate_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1, 2),
+    bounds AS (SELECT pri, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY pri),
+    spine AS (
+      SELECT pri, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    j AS (
+      SELECT s.pri, s.day, d.rev FROM spine s
+      LEFT JOIN daily d ON d.pri = s.pri AND d.day = s.day),
+    f AS (
+      SELECT pri, day, rev,
+        LAST_VALUE(rev IGNORE NULLS) OVER
+          (PARTITION BY pri ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY pri ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        FIRST_VALUE(rev IGNORE NULLS) OVER
+          (PARTITION BY pri ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY pri ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j)
+    SELECT pri, day,
+           ROUND(CASE WHEN rev IS NOT NULL THEN rev
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) *
+                           (CAST(date_diff('day', pd, day) AS DOUBLE) /
+                            CAST(date_diff('day', pd, nd) AS DOUBLE))
+                 END, 4) AS rev_filled,
+           CAST(rev IS NULL AS INTEGER) AS was_gap
+    FROM f
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue per priority, regularized onto a dense per-key date
+    spine with linear interpolation in the gaps and nearest-edge fill at
+    the ends.  Spine, windows, and interpolation are all JVM codegen;
+    the oracle replays the identical IEEE arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    return resample_interpolate(daily, "pri", "day", "rev")
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity-resolution join (SymSpell delete-1 blocking)
+# --------------------------------------------------------------------------
+
+_DEL_POS = "CAST(s_suppkey % length(s_name) AS INTEGER)"
+
+
+@register(
+    "fuzzy_match_suppliers",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT s_suppkey AS did,
+             substr(s_name, 1, {_DEL_POS}) || substr(s_name, {_DEL_POS} + 2) AS dname
+      FROM supplier),
+    clean AS (SELECT s_suppkey AS sid, s_name AS cname FROM supplier),
+    lv AS (
+      SELECT did, dname, dname AS v FROM dirty
+      UNION ALL
+      SELECT did, dname, substr(dname, 1, i - 1) || substr(dname, i + 1)
+      FROM dirty CROSS JOIN generate_series(1, 64) AS t(i)
+      WHERE i <= length(dname)),
+    rv AS (
+      SELECT sid, cname, cname AS v FROM clean
+      UNION ALL
+      SELECT sid, cname, substr(cname, 1, i - 1) || substr(cname, i + 1)
+      FROM clean CROSS JOIN generate_series(1, 64) AS t(i)
+      WHERE i <= length(cname)),
+    cand AS (
+      SELECT DISTINCT l.did, l.dname, r.sid, r.cname
+      FROM lv l JOIN rv r ON l.v = r.v)
+    SELECT did, sid, CAST(levenshtein(dname, cname) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(dname, cname) <= 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution of deterministically-corrupted supplier names
+    (one char deleted at position ``suppkey % len``) back to the clean
+    dimension: delete-1 neighborhood blocking -> hashed-variant join ->
+    exact levenshtein verify.  The Spark side joins on the 60-bit
+    portable hash of the variant (8-byte shuffle rows); the oracle joins
+    on the raw variant -- the VERIFIED outputs are provably identical
+    because distance<=1 pairs always share a delete-1 variant and the
+    verify kills every false candidate, hash-collision or otherwise."""
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pos = "CAST(s_suppkey % length(s_name) AS INT)"
+    dirty = sup.select(
+        F.col("s_suppkey").alias("did"),
+        F.expr(f"concat(substr(s_name, 1, {pos}), substr(s_name, {pos} + 2))").alias("dname"),
+    )
+    clean = sup.select(F.col("s_suppkey").alias("sid"), F.col("s_name").alias("cname"))
+    out = fuzzy_join(dirty, clean, "did", "dname", "sid", "cname", max_dist=1)
+    return out.select("did", "sid", F.col("dist").cast("long").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# Portable cardinality sketches (HLL registers DuckDB can replay)
+# --------------------------------------------------------------------------
+
+_SKETCH_M = 64
+_H60 = "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2, 15)) AS BIGINT)"
+
+
+def _sketch_sql(grain_expr: str, group_alias: str) -> str:
+    """Registers -> estimate SQL, shared by the daily and merged-weekly
+    oracles.  ``grain_expr`` maps a day to the output group."""
+    m = _SKETCH_M
+    cap = 60 - (m.bit_length() - 1) + 1
+    alpha_m2 = repr(hll_alpha(m) * m * m)
+    return f"""
+    WITH dayd AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    h AS (SELECT {grain_expr} AS {group_alias}, {_H60} AS h60 FROM dayd),
+    b AS (
+      SELECT {group_alias}, h60 % {m} AS bucket,
+             CASE WHEN h60 // {m} = 0 THEN {cap}
+                  ELSE bit_count(((h60 // {m}) & -(h60 // {m})) - 1) + 1
+             END AS rank
+      FROM h),
+    regs AS (
+      SELECT {group_alias}, bucket, MAX(rank) AS r
+      FROM b GROUP BY {group_alias}, bucket),
+    agg AS (
+      SELECT {group_alias}, COUNT(*) AS nz, SUM(power(2.0, -r)) AS s
+      FROM regs GROUP BY {group_alias}),
+    est AS (
+      SELECT {group_alias},
+             CASE WHEN ({alpha_m2} / (s + ({m} - nz))) <= {2.5 * m}
+                       AND nz < {m}
+                  THEN ROUND({float(m)} * ln({float(m)} / ({m} - nz)), 4)
+                  ELSE ROUND({alpha_m2} / (s + ({m} - nz)), 4)
+             END AS est_users
+      FROM agg),
+    ex AS (
+      SELECT {grain_expr} AS {group_alias},
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM dayd GROUP BY {group_alias})
+    SELECT e.{group_alias}, e.est_users, x.exact_users
+    FROM est e JOIN ex x ON e.{group_alias} = x.{group_alias}
+    """
+
+
+@register("distinct_sketch_daily_users", oracle=_sketch_sql("day", "day"))
+def q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimate from portable HLL registers,
+    hash-verified against a DuckDB replay of the identical register
+    arithmetic, with the exact COUNT(DISTINCT) alongside.  The register
+    pass is one map-side-combinable aggregate whose shuffle rows are
+    (day, bucket, rank) -- at 100 TB that is the whole point: daily
+    distincts without shuffling (day, user) pairs."""
+    e = read_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = hll_registers(e, ["day"], "user_id", _SKETCH_M)
+    est = hll_estimate(regs, ["day"], _SKETCH_M).withColumnRenamed("est", "est_users")
+    exact = e.groupBy("day").agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.join(exact, "day")
+
+
+@register(
+    "distinct_sketch_weekly_merge",
+    oracle=_sketch_sql("date_trunc('week', day)", "week"),
+)
+def q_sketch_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY: daily register tables fold into weekly
+    estimates by ``max`` over registers -- the raw events are never
+    re-read at the coarser grain.  The oracle computes weekly registers
+    directly; max-of-daily-max == weekly max proves the merge lossless
+    (also asserted in tests/test_coverage3.py)."""
+    e = read_events(spark, sf_dir).select(F.to_date("ts").alias("day"), "user_id")
+    daily_regs = hll_registers(e, ["day"], "user_id", _SKETCH_M)
+    weekly_regs = (
+        daily_regs.withColumn("week", F.to_date(F.date_trunc("week", "day")))
+        .groupBy("week", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate(weekly_regs, ["week"], _SKETCH_M).withColumnRenamed(
+        "est", "est_users"
+    )
+    exact = (
+        e.withColumn("week", F.to_date(F.date_trunc("week", "day")))
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "week")
+
+
+# --------------------------------------------------------------------------
+# Quantile discretization
+# --------------------------------------------------------------------------
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "quantile_bins_totalprice",
+    oracle=f"""
+    WITH e AS (
+      SELECT {', '.join(f'quantile_disc(o_totalprice, {p}) AS e{i}' for i, p in enumerate(_DECILES))}
+      FROM orders),
+    binned AS (
+      SELECT o_totalprice,
+             1 + {' + '.join(f'(CASE WHEN o_totalprice > e{i} THEN 1 ELSE 0 END)' for i in range(len(_DECILES)))}
+               AS bin
+      FROM orders CROSS JOIN e)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM binned GROUP BY bin
+    """,
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile discretization of order prices with EXACT percentile_disc
+    edges (data values -> cross-engine-exact comparisons), then per-bin
+    count and price range.  Two passes; edge row broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    binned = quantile_bucketize(o, "o_totalprice", _DECILES)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -1,0 +1,197 @@
+"""Semantics tests for the round-7 widening operators: bloom pruning,
+time-series interpolation, fuzzy ER join, portable sketches, quantile
+bins."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.aggregates import (
+    quantile_bucketize,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_prune_join,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+    fuzzy_join,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+    distinct_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+    resample_interpolate,
+)
+
+
+# ----------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(spark):
+    """Every build-side key must pass its own filter -- the property the
+    exact-join fallback relies on."""
+    build = spark.range(0, 500).select(F.col("id").alias("k"))
+    words = bloom_build(build, "k", num_bits=4096, k=3)
+    survivors = build.filter(bloom_might_contain(F.col("k"), words, 4096, 3)).count()
+    assert survivors == 500
+
+
+def test_bloom_prunes_most_non_members(spark):
+    build = spark.range(0, 100).select(F.col("id").alias("k"))
+    words = bloom_build(build, "k", num_bits=4096, k=3)
+    probe = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
+    fp = probe.filter(bloom_might_contain(F.col("k"), words, 4096, 3)).count()
+    # 300 set bits in 4096 -> fp rate ~ (300/4096)^3 ~ 4e-4
+    assert fp < 100
+
+
+def test_bloom_prune_join_equals_exact_semi(spark):
+    probe = spark.range(0, 2000).select((F.col("id") % 700).alias("k"), F.col("id").alias("v"))
+    build = spark.range(0, 50).select((F.col("id") * 7).alias("bk"))
+    got = bloom_prune_join(probe, build, "k", "bk", num_bits=1 << 12)
+    want = probe.join(
+        build.withColumnRenamed("bk", "k").distinct(), on="k", how="left_semi"
+    )
+    assert sorted(got.select("k", "v").collect()) == sorted(want.select("k", "v").collect())
+
+
+def test_bloom_word_array_bounded(spark):
+    words = bloom_build(spark.range(0, 10).select(F.col("id").alias("k")), "k", 1 << 12, 3)
+    assert len(words) == (1 << 12) // 32
+    assert all(0 <= w < (1 << 32) for w in words)
+
+
+# ------------------------------------------------------------ timeseries
+def test_resample_interpolate_hand_case(spark):
+    d = datetime.date
+    df = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 10.0), ("a", d(2024, 1, 4), 40.0), ("b", d(2024, 1, 2), 5.0)],
+        "key string, day date, val double",
+    )
+    out = {
+        (r["key"], r["day"]): (r["val_filled"], r["was_gap"])
+        for r in resample_interpolate(df, "key", "day", "val").collect()
+    }
+    assert out[("a", d(2024, 1, 1))] == (10.0, 0)
+    assert out[("a", d(2024, 1, 2))] == (20.0, 1)  # 10 + (40-10) * 1/3
+    assert out[("a", d(2024, 1, 3))] == (30.0, 1)
+    assert out[("a", d(2024, 1, 4))] == (40.0, 0)
+    assert out[("b", d(2024, 1, 2))] == (5.0, 0)
+    assert len(out) == 5
+
+
+def test_resample_edge_fill(spark):
+    """Leading/trailing gaps use nearest-edge fill, not extrapolation."""
+    d = datetime.date
+    df = spark.createDataFrame(
+        [("a", d(2024, 1, 1), None), ("a", d(2024, 1, 2), 8.0), ("a", d(2024, 1, 3), None)],
+        "key string, day date, val double",
+    )
+    # nulls in the input behave like missing days
+    out = {r["day"]: r["val_filled"] for r in resample_interpolate(df, "key", "day", "val").collect()}
+    assert out == {d(2024, 1, 1): 8.0, d(2024, 1, 2): 8.0, d(2024, 1, 3): 8.0}
+
+
+# ------------------------------------------------------------- fuzzy join
+def _df_names(spark, rows, idc, strc):
+    return spark.createDataFrame(rows, f"{idc} long, {strc} string")
+
+
+def test_fuzzy_join_distance1_complete(spark):
+    """Insert / delete / substitute at distance 1 are all found."""
+    left = _df_names(
+        spark, [(1, "meier"), (2, "mayer"), (3, "schmidt"), (4, "xyz")], "lid", "lname"
+    )
+    right = _df_names(
+        spark,
+        [(10, "meier"), (11, "meyer"), (12, "meie"), (13, "meiers"), (14, "qqq")],
+        "rid",
+        "rname",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in fuzzy_join(left, right, "lid", "lname", "rid", "rname", 1).collect()
+    }
+    assert got[(1, 10)] == 0  # exact
+    assert got[(1, 11)] == 1  # substitute
+    assert got[(1, 12)] == 1  # delete
+    assert got[(1, 13)] == 1  # insert
+    assert (4, 14) not in got
+    assert all(d <= 1 for d in got.values())
+
+
+def test_fuzzy_join_verify_kills_shared_variant_distance2(spark):
+    """'xab' and 'aby' share delete-1 variant 'ab' but are distance 2:
+    blocking surfaces them, verify must reject."""
+    left = _df_names(spark, [(1, "xab")], "lid", "lname")
+    right = _df_names(spark, [(2, "aby")], "rid", "rname")
+    assert fuzzy_join(left, right, "lid", "lname", "rid", "rname", 1).count() == 0
+
+
+# --------------------------------------------------------------- sketches
+def test_sketch_merge_lossless(spark, sf_dir_medium):
+    """max-merge of daily registers == registers computed at weekly grain
+    directly (the mergeability contract)."""
+    e = (
+        spark.read.parquet(f"{sf_dir_medium}/events.parquet")
+        .select(F.to_date("ts").alias("day"), "user_id")
+    )
+    daily = hll_registers(e, ["day"], "user_id")
+    merged = (
+        daily.withColumn("week", F.to_date(F.date_trunc("week", "day")))
+        .groupBy("week", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    direct = hll_registers(
+        e.withColumn("week", F.to_date(F.date_trunc("week", "day"))), ["week"], "user_id"
+    )
+    assert sorted(merged.collect()) == sorted(direct.collect())
+
+
+def test_sketch_merge_operator(spark):
+    a = spark.range(0, 1000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(500, 1500).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    ra, rb = hll_registers(a, ["g"], "v"), hll_registers(b, ["g"], "v")
+    merged_est = hll_estimate(hll_merge([ra, rb], ["g"]), ["g"]).first()["est"]
+    union_est = distinct_sketch(a.unionByName(b), ["g"], "v").first()["est"]
+    assert merged_est == union_est  # merge == sketch of the union
+
+
+@pytest.mark.parametrize("n", [80, 1000])
+def test_sketch_estimate_accuracy(spark, n):
+    df = spark.range(0, n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = distinct_sketch(df, ["g"], "v").first()["est"]
+    # m=64 -> ~13% standard error; allow 3 sigma
+    assert abs(est - n) / n < 0.4
+
+
+def test_sketch_linear_counting_small(spark):
+    """Tiny cardinalities take the linear-counting branch and stay tight."""
+    df = spark.range(0, 5).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = distinct_sketch(df, ["g"], "v").first()["est"]
+    assert abs(est - 5) < 2
+
+
+# ----------------------------------------------------------- quantile bins
+def test_quantile_bins_partition_and_order(spark, sf_dir_medium):
+    o = spark.read.parquet(f"{sf_dir_medium}/orders.parquet")
+    probs = [0.25, 0.5, 0.75]
+    binned = quantile_bucketize(o, "o_totalprice", probs)
+    assert binned.count() == o.count()  # no rows lost
+    stats = (
+        binned.groupBy("bin")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"), F.count("*").alias("n"))
+        .orderBy("bin")
+        .collect()
+    )
+    assert [r["bin"] for r in stats] == [1, 2, 3, 4]
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["hi"] <= cur["lo"]  # bins are ordered, non-overlapping
+    n = o.count()
+    for r in stats:  # quartiles of a near-continuous column: ~n/4 each
+        assert abs(r["n"] - n / 4) / n < 0.05
