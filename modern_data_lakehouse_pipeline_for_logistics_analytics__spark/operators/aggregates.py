@@ -159,3 +159,69 @@ def quantile_bucketize(
     return binned.withColumn("bin", bin_expr.cast("long")).drop(
         *[f"__e{i}" for i in range(len(probs))]
     )
+
+
+def quantile_edges_distributed(
+    df: DataFrame, col: str, probs: list[float], num_partitions: int = 32
+) -> list[float]:
+    """Exact percentile_disc edges WITHOUT the single-buffer collect.
+
+    ``percentile_disc`` is exact but plans as an ObjectAggregate whose
+    final merge holds every value of the column in ONE buffer -- fine at
+    bench scale, a memory wall on a 100 TB fact column.  This computes
+    the identical edges with bounded memory everywhere:
+
+      1. collapse to (value, count) -- duplicates vanish, the heavy
+         shuffle carries distinct values only;
+      2. range-bucket values with ``range_partition_ids`` (pure function
+         of the value -- stable across the two jobs, unlike
+         ``repartitionByRange``'s per-job sampling);
+      3. per-bucket totals -> driver (``num_partitions`` ints, metadata)
+         -> prefix offsets;
+      4. per-bucket cumulative counts (window partitioned by bucket) +
+         broadcast offsets = each value's GLOBAL rank; the edge for
+         probability p is the min value whose rank reaches
+         ``ceil(p * n)`` -- one final aggregate row.
+
+    Ranks use Fraction arithmetic (``ceil(0.3 * 1000)`` in floats is
+    301); equality with ``percentile_disc`` is pinned by
+    ``tests/test_coverage3.py``.
+    """
+    import math
+    from fractions import Fraction
+
+    from .windows import range_partition_ids
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vals = (
+        df.select(F.col(col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    ranged = range_partition_ids(vals, "__v", num_partitions, desc=False)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid").agg(F.sum("__cnt").alias("t")).collect()
+    }
+    n = sum(totals.values())
+    if n == 0:
+        return [None] * len(probs)
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("__cnt").over(w) + F.col("__off")).alias("__cum")
+    ranked = ranged.join(F.broadcast(off_df), "__pid").select("__v", cum)
+    ranks = [max(1, math.ceil(Fraction(str(p)) * n)) for p in probs]
+    row = ranked.agg(
+        *[F.min(F.when(F.col("__cum") >= r, F.col("__v"))).alias(f"e{i}") for i, r in enumerate(ranks)]
+    ).first()
+    return [row[f"e{i}"] for i in range(len(probs))]

@@ -195,3 +195,35 @@ def test_quantile_bins_partition_and_order(spark, sf_dir_medium):
     n = o.count()
     for r in stats:  # quartiles of a near-continuous column: ~n/4 each
         assert abs(r["n"] - n / 4) / n < 0.05
+
+
+def test_quantile_edges_distributed_matches_percentile_disc(spark, sf_dir_medium):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.aggregates import (
+        quantile_edges_distributed,
+    )
+
+    o = spark.read.parquet(f"{sf_dir_medium}/orders.parquet")
+    probs = [0.1, 0.25, 0.3, 0.5, 0.75, 0.9]
+    plist = ", ".join(repr(p) for p in probs)
+    want = o.agg(
+        F.expr(f"percentile_disc(array({plist})) WITHIN GROUP (ORDER BY o_totalprice)")
+    ).first()[0]
+    got = quantile_edges_distributed(o, "o_totalprice", probs, num_partitions=8)
+    assert got == list(want)
+
+
+def test_quantile_edges_distributed_duplicates_and_exact_boundary(spark):
+    """n=1000 with p=0.3 lands exactly on rank 300 (float 0.3*1000 =
+    300.0000000000001 would off-by-one); heavy duplicates exercise the
+    (value, count) collapse."""
+    df = spark.range(0, 1000).select((F.col("id") % 10).cast("double").alias("v"))
+    probs = [0.3, 0.5, 1.0]
+    want = df.agg(
+        F.expr("percentile_disc(array(0.3, 0.5, 1.0)) WITHIN GROUP (ORDER BY v)")
+    ).first()[0]
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.aggregates import (
+        quantile_edges_distributed,
+    )
+
+    got = quantile_edges_distributed(df, "v", probs, num_partitions=4)
+    assert got == list(want)

@@ -240,3 +240,62 @@ def test_trainprep_decontaminate_broadcasts_benchmark(spark, sf_dir):
     p = _plan(spark, sf_dir, "train_decontaminate_ngrams")
     assert "BroadcastExchange" in p
     assert "LeftSemi" in p  # hits counted via semi join, no row duplication
+
+
+# ---------------------------------------------------------------- coverage3
+def test_bloom_probe_filters_before_join(spark, sf_dir):
+    """The bloom predicate must evaluate ON THE SCAN side, upstream of the
+    membership join -- a Filter containing the bloom arithmetic below the
+    BroadcastHashJoin.  If the filter migrated above the join the runtime
+    filter would prune nothing."""
+    p = _plan(spark, sf_dir, "bloom_prune_orders")
+    assert "BroadcastHashJoin" in p, "exact membership join stopped broadcasting"
+    join_pos = p.index("BroadcastHashJoin")
+    # the probe-side bloom predicate: element_at over the embedded word array
+    filt_pos = p.index("element_at")
+    assert filt_pos > join_pos or "element_at" in p[join_pos:], (
+        "bloom predicate not in the probe-side filter"
+    )
+    assert "SortMergeJoin" not in p
+
+
+def test_resample_single_exchange_per_key(spark, sf_dir):
+    """Spine join + both window frames share ONE hash partitioning on the
+    series key: exactly one shuffle for the windows (plus the aggregate
+    building daily sums), and no single-partition global window."""
+    p = _plan(spark, sf_dir, "resample_interpolate_daily_revenue")
+    assert "SinglePartition" not in p, "a window collapsed to one partition"
+    assert p.count("Window") >= 1
+
+
+def test_fuzzy_join_shuffles_hashes_not_strings(spark, sf_dir):
+    """The variant join must key on the 60-bit portable hash (__vh), so
+    shuffle rows carry 8-byte keys; and the verify stage must be plain
+    levenshtein, not a python UDF."""
+    p = _plan(spark, sf_dir, "fuzzy_match_suppliers")
+    assert "__vh" in p, "variant join no longer keys on the portable hash"
+    assert "levenshtein" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sketch_registers_partial_aggregate(spark, sf_dir):
+    """Register build must plan as partial HashAggregate -> Exchange ->
+    final: the shuffle carries (group, bucket, rank) register rows, never
+    raw (day, user) pairs."""
+    p = _plan(spark, sf_dir, "distinct_sketch_daily_users")
+    assert "partial_max" in p or "partial_first" in p or "HashAggregate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quantile_bins_single_object_agg(spark, sf_dir):
+    """Edges come from ONE array-argument percentile_disc (a single
+    ObjectHashAggregate / SortAggregate pass), not N scalar aggregates
+    each collecting the column."""
+    p = _plan(spark, sf_dir, "quantile_bins_totalprice")
+    exec_str = p[: p.index("== Physical Plan ==")] if "== Physical Plan ==" in p else p
+    # one partial + one final ObjectHashAggregate, each with a SINGLE
+    # array-argument percentile_disc; the scalar form would list 9
+    # percentile_disc functions per aggregate.
+    assert exec_str.count("partial_percentile_disc") == 1, "edges no longer one partial pass"
+    assert exec_str.count("percentile_disc") == 2, "scalar percentile_disc reappeared (N-pass edges)"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # edge row broadcast
