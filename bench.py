@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "distinct_sketch_daily_users",
     "distinct_sketch_weekly_merge",
     "quantile_bins_totalprice",
+    "spatial_nearest_supplier",
+    "pagerank_part_supplier",
+    "text_unigram_surprisal",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

@@ -169,3 +169,37 @@ def tfidf_top_terms(
             "doc_id", "term", "tf", "df_t", "score", F.col("rnk").cast("long").alias("rnk")
         )
     )
+
+
+def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style language-model quality score with the LM fitted
+    IN-PLAN: per-document mean unigram surprisal ``avg(-ln p(tok))``
+    under the corpus's own empirical unigram distribution.  Low scores =
+    repetitive/boilerplate text, high scores = rare-token noise; both
+    tails are what LM-data pipelines gate out (the full CCNet recipe
+    swaps the empirical LM for a pretrained KenLM -- the plan shape is
+    identical, the probability table is just loaded instead of
+    aggregated).
+
+    Three aggregates, all map-side combinable: token frequencies, the
+    corpus total (1-row broadcast), and the per-doc mean over a hash join
+    on the token -- no Python, no driver data.  Output:
+    ``<id>, n_tokens, avg_surprisal`` (6dp; the only float is the final
+    mean of ln values, and the oracle replays the same IEEE ops).
+    """
+    from .dedup import tokenize
+
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = freq.agg(F.sum("n").cast("long").alias("tot"))
+    scored = freq.crossJoin(F.broadcast(tot)).select(
+        "tok", (-F.log(F.col("n") / F.col("tot"))).alias("s")
+    )
+    return (
+        toks.join(scored, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("s"), 6).alias("avg_surprisal"),
+        )
+    )

@@ -352,3 +352,155 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-blocked spatial nearest neighbor
+# --------------------------------------------------------------------------
+
+_GRID_SCALE = 1_000_000
+_NN_RADIUS = 50_000
+
+
+def _xy_sql(prefix: str, key: str) -> str:
+    h = (
+        "CAST(('0x' || substring(md5('{p}:' || CAST({k} AS VARCHAR)), 2, 15)) AS BIGINT)"
+        " % {s}"
+    )
+    return (
+        h.format(p="x", k=key, s=_GRID_SCALE) + " AS x, "
+        + h.format(p="y", k=key, s=_GRID_SCALE) + " AS y"
+    )
+
+
+@register(
+    "spatial_nearest_supplier",
+    oracle=f"""
+    WITH cust AS (SELECT c_custkey, {_xy_sql('x', 'c_custkey')} FROM customer),
+    supp AS (SELECT s_suppkey, {_xy_sql('x', 's_suppkey')} FROM supplier),
+    cands AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+      FROM cust c JOIN supp s
+        ON abs((c.x // {_NN_RADIUS}) - (s.x // {_NN_RADIUS})) <= 1
+       AND abs((c.y // {_NN_RADIUS}) - (s.y // {_NN_RADIUS})) <= 1
+      WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+            <= {_NN_RADIUS * _NN_RADIUS})
+    SELECT c_custkey, s_suppkey, dist2 FROM (
+      SELECT c_custkey, s_suppkey, dist2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist2, s_suppkey) AS rn
+      FROM cands) t
+    WHERE rn = 1
+    """,
+)
+def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier site within 50k grid units of every customer
+    point, on deterministic hash-derived integer coordinates: 3x3
+    cell-neighborhood blocking -> exact integer squared-distance verify
+    -> per-point argmin window.  All-BIGINT arithmetic, so the oracle
+    replays the candidate set and the tie-break exactly."""
+    from ..operators.spatial import grid_nn_join, hashed_coords
+
+    cust = hashed_coords(
+        _t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", _GRID_SCALE
+    )
+    supp = hashed_coords(
+        _t(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey", _GRID_SCALE
+    )
+    return grid_nn_join(cust, supp, "c_custkey", "s_suppkey", _NN_RADIUS)
+
+
+# --------------------------------------------------------------------------
+# Fixed-point PageRank (iterative, exact cross-engine replay)
+# --------------------------------------------------------------------------
+
+_PR_ITER = 5
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    from ..operators.graph import DAMP_DEN, DAMP_NUM, SCALE
+
+    teleport = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
+    ctes = [
+        """edges0 AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem)""",
+        """edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0)""",
+        """deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY src)""",
+        f"""r0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS r FROM deg)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT e.dst AS node,
+             {teleport} + ({DAMP_NUM} * CAST(SUM(r.r // d.deg) AS BIGINT)) // {DAMP_DEN}
+               AS r
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg d ON d.node = e.src
+      GROUP BY e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, r AS rank_fp FROM r{iterations}
+    ORDER BY rank_fp DESC, node LIMIT 20
+    """
+    )
+
+
+@register("pagerank_part_supplier", oracle=_pagerank_oracle(_PR_ITER))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped iterations, BIGINT fixed-point) over the
+    symmetrized part<->supplier co-occurrence graph from lineitem; top-20
+    nodes with deterministic tie-break.  Every iteration is exact integer
+    arithmetic, so DuckDB replays the full fixed point bit-for-bit --
+    the first hash-verified ITERATIVE ranking in the repo (the CC family
+    proved set equality; this proves a numeric fixed point)."""
+    from ..operators.graph import pagerank_fixedpoint
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = li.unionByName(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_fixedpoint(edges, iterations=_PR_ITER)
+    return ranks.orderBy(F.col("rank_fp").desc(), "node").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM surprisal (CCNet-style quality scoring)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM freq),
+    sc AS (SELECT f.tok, -ln(CAST(f.n AS DOUBLE) / t.tot) AS s
+           FROM freq f CROSS JOIN tot t)
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(sc.s), 6) AS avg_surprisal
+    FROM toks JOIN sc ON sc.tok = toks.tok
+    GROUP BY toks.doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal under the corpus-empirical LM
+    (see ``operators/textstats.unigram_surprisal``); the perplexity-proxy
+    quality signal every LLM-data pipeline gates on."""
+    from ..operators.textstats import unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_surprisal(docs, "doc_id", "text")

@@ -227,3 +227,104 @@ def test_quantile_edges_distributed_duplicates_and_exact_boundary(spark):
 
     got = quantile_edges_distributed(df, "v", probs, num_partitions=4)
     assert got == list(want)
+
+
+# ---------------------------------------------------------------- spatial
+def test_grid_nn_matches_bruteforce(spark):
+    """Blocking completeness: grid_nn_join == brute-force nearest within
+    radius on random-ish deterministic points."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.spatial import (
+        grid_nn_join,
+        hashed_coords,
+    )
+
+    pts = hashed_coords(spark.range(0, 300).select(F.col("id").alias("pid")), "pid")
+    sites = hashed_coords(spark.range(0, 40).select(F.col("id").alias("sid")), "sid")
+    R = 120_000
+    got = {
+        r["pid"]: (r["sid"], r["dist2"])
+        for r in grid_nn_join(pts, sites, "pid", "sid", R).collect()
+    }
+    import itertools
+
+    p = [(r["pid"], r["x"], r["y"]) for r in pts.collect()]
+    s = [(r["sid"], r["x"], r["y"]) for r in sites.collect()]
+    want = {}
+    for pid, px, py in p:
+        best = None
+        for sid, sx, sy in s:
+            d2 = (px - sx) ** 2 + (py - sy) ** 2
+            if d2 <= R * R and (best is None or (d2, sid) < best):
+                best = (d2, sid)
+        if best is not None:
+            want[pid] = (best[1], best[0])
+    assert got == want
+
+
+# --------------------------------------------------------------- pagerank
+def test_pagerank_fixedpoint_exhaustive_reference(spark):
+    """Exact equality with a pure-Python replay of the same fixed-point
+    recurrence on a small star+path graph."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        SCALE,
+        pagerank_fixedpoint,
+    )
+
+    raw = [(1, 2), (1, 3), (1, 4), (4, 5), (5, 1)]
+    sym = raw + [(b, a) for a, b in raw]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["rank_fp"] for r in pagerank_fixedpoint(edges, 5).collect()}
+
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for a, b in sym:
+        out[a].append(b)
+    ranks = {n: SCALE for n in out}
+    for _ in range(5):
+        sums = defaultdict(int)
+        for u, vs in out.items():
+            c = ranks[u] // len(vs)
+            for v in vs:
+                sums[v] += c
+        ranks = {v: 15 * SCALE // 100 + (85 * s) // 100 for v, s in sums.items()}
+    assert got == dict(ranks)
+    # the hub (node 1, degree 4) outranks the leaves
+    assert got[1] == max(got.values())
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    """Total fixed-point mass stays within quantization loss of n*SCALE
+    (each node loses < deg + 1 units per iteration to floor division)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        SCALE,
+        pagerank_fixedpoint,
+    )
+
+    li = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(20)], "src long, dst long"
+    )
+    edges = li.unionByName(li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    total = sum(r["rank_fp"] for r in pagerank_fixedpoint(edges, 5).collect())
+    n = edges.select("src").distinct().count()
+    assert abs(total - n * SCALE) < n * 1000  # quantization-only drift
+
+
+# -------------------------------------------------------------- surprisal
+def test_unigram_surprisal_semantics(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        unigram_surprisal,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a a rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(docs, "doc_id", "text").collect()}
+    # corpus: a x7, rare x1 -> p(a)=7/8, p(rare)=1/8
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+    assert out[1]["avg_surprisal"] == round(-math.log(7 / 8), 6)
+    want2 = round((3 * -math.log(7 / 8) + -math.log(1 / 8)) / 4, 6)
+    assert abs(out[2]["avg_surprisal"] - want2) <= 1e-6
+    assert out[2]["avg_surprisal"] > out[1]["avg_surprisal"]  # rare token raises score
