@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "spatial_nearest_supplier",
     "pagerank_part_supplier",
     "text_unigram_surprisal",
+    "sketch_event_type_overlap",
+    "zorder_morton_buckets",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

