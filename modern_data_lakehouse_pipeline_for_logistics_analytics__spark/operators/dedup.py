@@ -794,6 +794,17 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
 # storage memory to the execution pool.
 _sig_caches: dict[str, DataFrame] = {}
 
+#: Extra release callbacks from operators whose pinned state is not a
+#: cached DataFrame (e.g. graph.pagerank's final localCheckpoint RDD).
+#: Registered once at module import; release_caches() runs them all, so
+#: the ONE call site bench.py already has between queries keeps covering
+#: every operator family.
+_release_hooks: list = []
+
+
+def register_release_hook(fn) -> None:
+    _release_hooks.append(fn)
+
 
 def release_caches() -> int:
     """Unpersist every frame held by the per-operator signature cache
@@ -813,6 +824,11 @@ def release_caches() -> int:
         except Exception:
             pass  # best-effort: a leak here degrades memory, not correctness
     _sig_caches.clear()
+    for hook in _release_hooks:
+        try:
+            hook()
+        except Exception:
+            pass
     return n
 
 

@@ -32,8 +32,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _unpersist_checkpoint, register_release_hook
+
 SCALE = 1_000_000_000_000  # 1.0 of rank, in fixed-point units
 DAMP_NUM, DAMP_DEN = 85, 100
+
+#: The final iteration's localCheckpoint frame: its RDD must stay pinned
+#: while the returned frame is live (the checkpoint IS its lineage), so
+#: it cannot be unpersisted inside pagerank_fixedpoint.  A new run
+#: supersedes-and-unpersists the previous one (bound: ONE pinned final
+#: per session), and release_final() -- wired into
+#: dedup.release_caches() -- returns the storage entirely.
+_final_ckpt = None
+
+
+def release_final() -> None:
+    global _final_ckpt
+    if _final_ckpt is not None:
+        _unpersist_checkpoint(_final_ckpt)
+        _final_ckpt = None
+
+
+register_release_hook(release_final)
 
 
 def pagerank_fixedpoint(
@@ -66,7 +86,7 @@ def pagerank_fixedpoint(
     )
     ranks = deg.select("node", F.lit(SCALE).cast("long").alias("r"))
     teleport = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
-    prev_rdd = None
+    prev = None
     try:
         for _ in range(iterations):
             contribs = (
@@ -81,10 +101,12 @@ def pagerank_fixedpoint(
                 .cast("long")
                 .alias("r"),
             ).localCheckpoint(eager=True)
-            rdd = ranks.rdd  # the checkpointed RDD backing this round
-            if prev_rdd is not None:
-                prev_rdd.unpersist()
-            prev_rdd = rdd
+            if prev is not None:
+                _unpersist_checkpoint(prev)  # successor materialized; safe
+            prev = ranks
     finally:
         e.unpersist()
+    global _final_ckpt
+    release_final()  # supersede any previous run's pinned final
+    _final_ckpt = prev
     return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -59,8 +59,11 @@ def resample_interpolate(
 
     The arithmetic ``prev + (next - prev) * (Δprev / Δspan)`` is written
     identically in the DuckDB oracle so float results match bit-for-bit
-    (same IEEE ops, same order); ``round_to`` absorbs nothing beyond
-    display noise.
+    (same IEEE ops, same order).  Rounding is the repo's half-up-floor
+    (``textstats.round_half_up``), NOT engine-native ROUND: 2dp inputs
+    interpolated at frac 1/2 land EXACTLY on 4th-decimal halves (e.g.
+    x.98125), where Spark's decimal HALF_UP and DuckDB's binary rounding
+    split -- observed as ±1e-4 parity failures at sf0.001.
     """
     spine = date_spine(df, key_col, date_col)
     joined = spine.join(df, on=[key_col, date_col], how="left")
@@ -90,9 +93,11 @@ def resample_interpolate(
         .when(next_v.isNull(), prev_v)
         .otherwise(prev_v + (next_v - prev_v) * frac)
     )
+    from .textstats import round_half_up
+
     return joined.select(
         key_col,
         date_col,
-        F.round(filled, round_to).alias(f"{val_col}_filled"),
+        round_half_up(filled, round_to).alias(f"{val_col}_filled"),
         v.isNull().cast("int").alias("was_gap"),
     )

@@ -146,13 +146,13 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
       FROM j)
     SELECT pri, day,
-           ROUND(CASE WHEN rev IS NOT NULL THEN rev
+           CAST(FLOOR((CASE WHEN rev IS NOT NULL THEN rev
                       WHEN pv IS NULL THEN nv
                       WHEN nv IS NULL THEN pv
                       ELSE pv + (nv - pv) *
                            (CAST(date_diff('day', pd, day) AS DOUBLE) /
                             CAST(date_diff('day', pd, nd) AS DOUBLE))
-                 END, 4) AS rev_filled,
+                 END) * 10000 + 0.5) AS BIGINT) / 10000.0 AS rev_filled,
            CAST(rev IS NULL AS INTEGER) AS was_gap
     FROM f
     """,

@@ -328,3 +328,27 @@ def test_unigram_surprisal_semantics(spark):
     want2 = round((3 * -math.log(7 / 8) + -math.log(1 / 8)) / 4, 6)
     assert abs(out[2]["avg_surprisal"] - want2) <= 1e-6
     assert out[2]["avg_surprisal"] > out[1]["avg_surprisal"]  # rare token raises score
+
+
+def test_pagerank_final_checkpoint_bounded(spark):
+    """Each run supersedes the previous run's pinned final checkpoint
+    (bound: one per session), and release via dedup.release_caches()
+    drops it entirely."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import graph
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        release_caches,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    spark.catalog.clearCache()
+    graph.pagerank_fixedpoint(edges, 2).collect()
+    first = graph._final_ckpt
+    assert first is not None
+    graph.pagerank_fixedpoint(edges, 3).collect()
+    assert graph._final_ckpt is not first  # superseded, old unpersisted
+    release_caches()
+    assert graph._final_ckpt is None
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == 0, f"{n_cached} RDDs still pinned after release"
