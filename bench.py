@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "text_unigram_surprisal",
     "sketch_event_type_overlap",
     "zorder_morton_buckets",
+    "pit_join_event_segments",
+    "cdc_state_asof",
+    "stratified_sample_orders",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

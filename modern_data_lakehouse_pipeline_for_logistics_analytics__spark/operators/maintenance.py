@@ -270,3 +270,29 @@ def apply_changes(
     upserts = latest.filter(F.col(op_col) != "D").select(*payload_cols)
     survived = target.join(deletes, key, "left_anti")
     return merge_upsert(survived, upserts, key)
+
+
+def state_asof(
+    target: DataFrame,
+    changes: DataFrame,
+    asof_ts,
+    key: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time travel over a CDC feed: reconstruct the snapshot AS OF
+    ``asof_ts`` by applying only the changes at or before it -- the
+    query engines call this ``VERSION AS OF`` / ``TIMESTAMP AS OF``;
+    with a base snapshot plus retained change feed it is one filtered
+    ``apply_changes``, no stored versions needed.  The filter prunes the
+    feed BEFORE the window/merge, so cost scales with the changes up to
+    the cutoff, never the full feed."""
+    from pyspark.sql import functions as F
+
+    return apply_changes(
+        target,
+        changes.filter(F.col(ts_col) <= asof_ts),
+        key=key,
+        op_col=op_col,
+        ts_col=ts_col,
+    )

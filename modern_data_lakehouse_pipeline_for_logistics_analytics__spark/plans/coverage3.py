@@ -640,3 +640,139 @@ def q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mkey").alias("lo"),
         F.max("mkey").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (SCD2) join, CDC time travel, stratified sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pit_join_event_segments",
+    oracle="""
+    WITH dim_src AS (SELECT user_id, event_type, ts FROM events WHERE event_id % 2 = 0),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR event_type <> LAG(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM dim_src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM flagged),
+    intervals AS (
+      SELECT user_id, run, event_type, MIN(ts) AS valid_from
+      FROM numbered GROUP BY user_id, run, event_type),
+    facts AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1)
+    SELECT f.event_id, f.user_id, i.event_type AS seg_type,
+           i.valid_from AS segment_since
+    FROM facts f JOIN intervals i
+      ON i.user_id = f.user_id AND i.valid_from <= f.ts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY f.event_id
+                               ORDER BY i.valid_from DESC) = 1
+    """,
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (the feature-store correctness
+    pattern): each fact event joins the SCD2 segment version VALID AT its
+    own timestamp, never a later one.  Dim = SCD2 intervals built from
+    the even-id half of the event stream; facts = the odd-id half.
+    Implemented with the union-window as-of join (ONE shuffle on the
+    key; a join-then-top-1 would materialize every fact x earlier-version
+    pair)."""
+    from ..operators.joins import asof_join
+    from ..operators.maintenance import scd2_from_events
+
+    e = read_events(spark, sf_dir)
+    dim = (
+        scd2_from_events(
+            e.filter(F.col("event_id") % 2 == 0), key="user_id", attr="event_type", ts="ts"
+        )
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("seg_type"),
+            F.col("valid_from").alias("segment_since"),
+        )
+    )
+    facts = e.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "ts")
+    out = asof_join(facts, dim, "user_id", "d_user", "ts", "segment_since")
+    return out.select("event_id", "user_id", "seg_type", "segment_since")
+
+
+@register(
+    "cdc_state_asof",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'STALE' ELSE o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    """,
+)
+def q_cdc_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel via CDC replay: the same change feed as
+    ``cdc_apply_order_changes`` (stale updates at t1, deletes/updates/
+    inserts at t2) reconstructed AS OF t1 -- the %13 keys must show their
+    t1 'STALE' value and NONE of the t2 activity (no deletes, no 'X', no
+    inserts) may leak through the cutoff."""
+    from ..operators.maintenance import state_asof
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_orderstatus")
+    t1 = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-06-02 00:00:00").cast("timestamp")
+    stale_updates = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit("STALE").alias("o_orderstatus"),
+        F.lit("U").alias("op"), t1.alias("ts"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit("D").alias("op"), t2.alias("ts"),
+    )
+    updates = o.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"),
+        F.lit("U").alias("op"), t2.alias("ts"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("I").alias("op"), t2.alias("ts"),
+    )
+    changes = stale_updates.unionByName(deletes).unionByName(updates).unionByName(inserts)
+    return state_asof(target, changes, t1, key="o_orderkey")
+
+
+@register(
+    "stratified_sample_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 15))
+                             AS BIGINT), o_orderkey) AS rk
+      FROM orders) t
+    WHERE rk <= 5
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: EXACTLY k=5 rows per stratum,
+    chosen by portable-hash order (a seeded uniform draw every engine
+    reproduces; ``sampleBy`` gives only expected fractions and
+    per-run nondeterminism).  rank<=k rewrites to WindowGroupLimit, so
+    the partial stage keeps k rows per stratum BEFORE the shuffle --
+    sampling a 100 TB fact table shuffles ~k x strata rows."""
+    from ..operators.dedup import portable_base_hash
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderkey")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        portable_base_hash(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("o_orderpriority", "o_orderkey", F.col("rk").cast("long").alias("rk"))
+    )

@@ -320,3 +320,19 @@ def test_pagerank_edges_materialized_once(spark, sf_dir):
     # final plan reads checkpointed ranks; the persist proof is that no
     # lineitem scan remains in the last iteration's lineage
     assert "lineitem" not in p or p.count("lineitem") <= 1
+
+
+def test_stratified_sample_window_group_limit(spark, sf_dir):
+    """rank<=k must rewrite to WindowGroupLimit (partial stage keeps k
+    rows per stratum before the shuffle)."""
+    p = _plan(spark, sf_dir, "stratified_sample_orders")
+    assert "WindowGroupLimit" in p
+
+
+def test_pit_join_single_shuffle_no_pair_blowup(spark, sf_dir):
+    """The as-of lookup must use the union-window formulation: no join of
+    facts against the interval table (which materializes fact x
+    earlier-version pairs), one window over the tagged union."""
+    p = _plan(spark, sf_dir, "pit_join_event_segments")
+    assert "Union" in p
+    assert "last(" in p or "last_value" in p
