@@ -64,6 +64,7 @@ def fuzzy_join(
     right_id: str,
     right_str: str,
     max_dist: int = 1,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Pairs ``(left_id, right_id, dist)`` with edit distance <= max_dist.
 
@@ -71,9 +72,23 @@ def fuzzy_join(
     for ``max_dist`` beyond the blocking guarantee the result is the
     verified candidates only -- callers wanting full d=2 recall should
     block on delete-2 neighborhoods first.
+
+    ``max_bucket_size`` is the hot-bucket guard (same failure mode and
+    default as ``lsh_candidate_pairs``): a degenerate corpus -- millions
+    of rows sharing one name -- floods a single variant bucket and the
+    candidate join goes Σ bucket².  Variants whose LEFT-side bucket
+    exceeds the cap are dropped; the recall trade only bites strings
+    duplicated beyond the cap, which exact dedup catches upstream.
+    Pass ``None`` to disable.
     """
     lv = _variant_hashes(left, left_id, left_str)
     rv = _variant_hashes(right, right_id, right_str)
+    if max_bucket_size is not None:
+        sizes = lv.groupBy("__vh").agg(F.count(F.lit(1)).alias("__n"))
+        lv = (
+            lv.join(sizes.filter(F.col("__n") <= max_bucket_size), "__vh")
+            .drop("__n")
+        )
     cands = (
         lv.join(rv, on="__vh")
         .select(left_id, left_str, right_id, right_str)

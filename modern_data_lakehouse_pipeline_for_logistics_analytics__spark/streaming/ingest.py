@@ -342,3 +342,70 @@ def stream_enrich_with_dim(
     """
     dim = spark.read.parquet(dim_path).select(key_col, *dim_cols)
     return stream.join(dim, key_col, "left")
+
+
+def stream_sketch_registers(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    group_col: str,
+    val_col: str,
+    m: int = 64,
+) -> None:
+    """Incremental distinct-count maintenance: each micro-batch's
+    portable-HLL registers MAX-merge into a tiny persistent state table
+    ``(group, bucket, r)`` -- the streaming twin of
+    ``sketches.hll_merge``.
+
+    This is what "distinct users per day over an unbounded stream" costs
+    when done right: the state is <= groups x m rows REGARDLESS of
+    stream volume, each batch contributes one map-side-combinable
+    aggregate, and estimates read the state table alone.  max-merge is
+    idempotent and commutative, so a replayed batch (foreachBatch's
+    at-least-once under failure) cannot corrupt the state -- the same
+    property that makes the batch->weekly rollup lossless makes the
+    streaming path exactly-once-equivalent WITHOUT a transactional sink.
+
+    ``availableNow`` + checkpoint: catch-up batch runs now, files process
+    once across restarts.
+    """
+    from ..operators.sketches import hll_registers
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        batch_regs = hll_registers(batch_df, [group_col], val_col, m)
+        try:
+            state = s.read.parquet(state_path)
+            merged = (
+                state.unionByName(batch_regs)
+                .groupBy(group_col, "bucket")
+                .agg(F.max("r").alias("r"))
+            )
+        except Exception:  # first batch: no state yet
+            merged = batch_regs
+        # localCheckpoint materializes the merge BEFORE the overwrite --
+        # `merged` reads state_path, so writing it back unstaged would
+        # overwrite its own input mid-scan.  The checkpoint is released
+        # as soon as the new state lands (it would otherwise pin one RDD
+        # per micro-batch for the session).
+        from ..operators.dedup import _unpersist_checkpoint
+
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(state_path)
+        _unpersist_checkpoint(staged)
+
+    (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge)
+        .outputMode("update")
+        .start()
+        .awaitTermination()
+    )

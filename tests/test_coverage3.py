@@ -352,3 +352,23 @@ def test_pagerank_final_checkpoint_bounded(spark):
     assert graph._final_ckpt is None
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached == 0, f"{n_cached} RDDs still pinned after release"
+
+
+def test_fuzzy_join_hot_bucket_guard(spark):
+    """A variant bucket above the cap is dropped (degenerate duplicate
+    flood); distinct names keep matching."""
+    left = _df_names(
+        spark, [(i, "dupe") for i in range(20)] + [(100, "unique")], "lid", "lname"
+    )
+    right = _df_names(spark, [(1, "dupe"), (2, "uniqux")], "rid", "rname")
+    out = fuzzy_join(
+        left, right, "lid", "lname", "rid", "rname", 1, max_bucket_size=5
+    ).collect()
+    pairs = {(r["lid"], r["rid"]) for r in out}
+    assert (100, 2) in pairs  # distinct name still resolves
+    assert not any(r == 1 for _, r in pairs)  # flooded 'dupe' bucket dropped
+    # and with the guard off the flood comes back
+    full = fuzzy_join(
+        left, right, "lid", "lname", "rid", "rname", 1, max_bucket_size=None
+    ).count()
+    assert full == 21
