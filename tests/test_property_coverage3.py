@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis): the r7 widening operators vs
+exhaustive Python references on arbitrary small inputs.
+
+fuzzy_join's d<=1 completeness and resample's interpolation arithmetic
+are exactly the kind of claims a single example can false-positive on;
+the property tests sweep arbitrary string sets / gap placements."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# small alphabet maximizes collisions/near-misses
+name_s = st.text(alphabet="abc", min_size=1, max_size=5)
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lnames=st.lists(name_s, min_size=1, max_size=4, unique=True),
+    rnames=st.lists(name_s, min_size=1, max_size=4, unique=True),
+)
+def test_fuzzy_join_complete_for_distance1(spark, lnames, rnames):
+    """Every pair with levenshtein <= 1 is found; nothing above 1 passes."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        fuzzy_join,
+    )
+
+    left = spark.createDataFrame(list(enumerate(lnames)), "lid long, lname string")
+    right = spark.createDataFrame(list(enumerate(rnames)), "rid long, rname string")
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in fuzzy_join(left, right, "lid", "lname", "rid", "rname", 1).collect()
+    }
+    want = {
+        (li, ri): _lev(ln, rn)
+        for li, ln in enumerate(lnames)
+        for ri, rn in enumerate(rnames)
+        if _lev(ln, rn) <= 1
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=9),  # day offset
+        st.integers(min_value=0, max_value=100),  # value (int -> exact floats)
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_resample_interpolate_matches_reference(spark, obs):
+    """Dense spine; linear interpolation between bracketing observations;
+    edge fill outside -- vs a pure-Python replay with identical float ops."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [("k", base + datetime.timedelta(days=d), float(v)) for d, v in obs.items()]
+    df = spark.createDataFrame(rows, "key string, day date, val double")
+    got = {
+        r["day"]: (r["val_filled"], r["was_gap"])
+        for r in resample_interpolate(df, "key", "day", "val").collect()
+    }
+
+    days = sorted(obs)
+    want = {}
+    import math
+
+    for d in range(days[0], days[-1] + 1):
+        day = base + datetime.timedelta(days=d)
+        if d in obs:
+            v, gap = float(obs[d]), 0
+        else:
+            prev = max(x for x in days if x < d)
+            nxt = min(x for x in days if x > d)
+            pv, nv = float(obs[prev]), float(obs[nxt])
+            v = pv + (nv - pv) * (float(d - prev) / float(nxt - prev))
+            gap = 1
+        want[day] = (math.floor(v * 10000 + 0.5) / 10000.0, gap)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=30
+    ),
+    probs=st.lists(
+        st.sampled_from([0.1, 0.25, 0.3, 0.5, 0.66, 0.75, 0.9, 1.0]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_quantile_edges_distributed_property(spark, vals, probs):
+    """Distributed exact quantiles == percentile_disc on arbitrary
+    multisets (duplicates, negatives, tiny partitions)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.aggregates import (
+        quantile_edges_distributed,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    plist = ", ".join(repr(p) for p in sorted(probs))
+    want = list(
+        df.agg(
+            F.expr(f"percentile_disc(array({plist})) WITHIN GROUP (ORDER BY v)")
+        ).first()[0]
+    )
+    got = quantile_edges_distributed(df, "v", sorted(probs), num_partitions=3)
+    assert got == want
