@@ -122,3 +122,30 @@ def test_quantile_edges_distributed_property(spark, vals, probs):
     )
     got = quantile_edges_distributed(df, "v", sorted(probs), num_partitions=3)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lnames=st.lists(name_s, min_size=1, max_size=3, unique=True),
+    rnames=st.lists(name_s, min_size=1, max_size=3, unique=True),
+)
+def test_fuzzy_join_complete_for_distance2(spark, lnames, rnames):
+    """SymSpell delete-2 blocking: every pair with levenshtein <= 2
+    found, nothing above 2 passes."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        fuzzy_join,
+    )
+
+    left = spark.createDataFrame(list(enumerate(lnames)), "lid long, lname string")
+    right = spark.createDataFrame(list(enumerate(rnames)), "rid long, rname string")
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in fuzzy_join(left, right, "lid", "lname", "rid", "rname", 2).collect()
+    }
+    want = {
+        (li, ri): _lev(ln, rn)
+        for li, ln in enumerate(lnames)
+        for ri, rn in enumerate(rnames)
+        if _lev(ln, rn) <= 2
+    }
+    assert got == want
