@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "pit_join_event_segments",
     "cdc_state_asof",
     "stratified_sample_orders",
+    "interval_overlap_order_windows",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

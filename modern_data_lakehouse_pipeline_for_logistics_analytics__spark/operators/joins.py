@@ -136,3 +136,47 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.col("__rrow").getField(c).alias(c) for c in right.columns],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    cell: int,
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join with coarse-cell blocking -- the primitive
+    behind time-range correlation (shipments active during an outage,
+    sessions overlapping a deploy window).
+
+    ``range_join`` expresses overlap as a theta join, which Spark
+    executes as [broadcast-]nested-loop when there is no equi key -- the
+    correct plan only while one side is small.  This version makes the
+    join EQUI at any scale: every interval explodes to the coarse cells
+    it spans (``start//cell .. end//cell``, integer units), candidates
+    join on cell (+ optional equi keys), pairs dedupe, and the exact
+    predicate ``l_start <= r_end AND r_start <= l_end`` verifies.
+    Overlapping intervals always share the cell containing their overlap
+    -- candidates are COMPLETE -- so blocking changes cost, never the
+    answer (the LSH/spatial candidates-then-verify motif on the time
+    axis).
+
+    Bounds/columns are INTEGER units (epoch days/seconds); rows per
+    interval = span/cell + 1, so pick ``cell`` near the typical span.
+    Left/right column names must be disjoint.  Output: all left + right
+    columns for each overlapping pair, deduplicated.
+    """
+    cells = lambda s, e: F.explode(  # noqa: E731
+        F.sequence((F.col(s) / cell).cast("long"), (F.col(e) / cell).cast("long"))
+    )
+    lkeys = equi_keys or []
+    lc = left.withColumn("__cell", cells(l_start, l_end))
+    rc = right.withColumn("__cell", cells(r_start, r_end))
+    cands = lc.join(rc, on=["__cell", *lkeys]).drop("__cell")
+    verified = cands.filter(
+        (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    )
+    return verified.distinct()

@@ -776,3 +776,63 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("o_orderpriority", "o_orderkey", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed interval-overlap join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "interval_overlap_order_windows",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d0,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 7 AS d1
+      FROM orders)
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           CAST(LEAST(a.d1, b.d1) - GREATEST(a.d0, b.d0) AS BIGINT) AS overlap_days
+    FROM w a JOIN w b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.d0 <= b.d1 AND b.d0 <= a.d1
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer pairs of orders whose 7-day activity windows overlap
+    (concurrent-order detection): coarse 7-day cell blocking makes the
+    overlap join EQUI on (customer, cell); exact bounds verify; integer
+    day arithmetic end to end, so the oracle replays the pair set and
+    overlap lengths exactly."""
+    from ..operators.joins import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    base = F.lit("1995-01-01").cast("date")
+    w = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), base).cast("long").alias("d0"),
+        (F.datediff(F.to_date("o_orderdate"), base) + 7).cast("long").alias("d1"),
+    )
+    a = w.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey_a"),
+        F.col("d0").alias("a0"),
+        F.col("d1").alias("a1"),
+    )
+    b = w.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey_b"),
+        F.col("d0").alias("b0"),
+        F.col("d1").alias("b1"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a0", "a1", "b0", "b1", cell=7, equi_keys=["custkey"]
+    ).filter(F.col("okey_a") < F.col("okey_b"))
+    return pairs.select(
+        "custkey",
+        "okey_a",
+        "okey_b",
+        (F.least("a1", "b1") - F.greatest("a0", "b0")).cast("long").alias("overlap_days"),
+    )

@@ -149,3 +149,37 @@ def test_fuzzy_join_complete_for_distance2(spark, lnames, rnames):
         if _lev(ln, rn) <= 2
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=15)),
+        min_size=1,
+        max_size=8,
+    ),
+    cell=st.sampled_from([1, 3, 7, 50]),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, ivs, cell):
+    """Cell blocking is complete for ANY cell size: candidates share the
+    overlap's cell, verify keeps exactly the true overlaps."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)]
+    a = spark.createDataFrame(rows, "ida long, a0 long, a1 long")
+    b = spark.createDataFrame(
+        [(i + 100, s, e) for i, s, e in rows], "idb long, b0 long, b1 long"
+    )
+    got = {
+        (r["ida"], r["idb"])
+        for r in interval_overlap_join(a, b, "a0", "a1", "b0", "b1", cell).collect()
+    }
+    want = {
+        (i, j + 100)
+        for i, s1, e1 in rows
+        for j, s2, e2 in rows
+        if s1 <= e2 and s2 <= e1
+    }
+    assert got == want
