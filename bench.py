@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "cdc_state_asof",
     "stratified_sample_orders",
     "interval_overlap_order_windows",
+    "hierarchy_customer_tree",
+    "privacy_k_anonymized_customers",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

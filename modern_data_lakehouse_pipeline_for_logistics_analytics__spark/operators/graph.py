@@ -110,3 +110,56 @@ def pagerank_fixedpoint(
     release_final()  # supersede any previous run's pinned final
     _final_ckpt = prev
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def hierarchy_flatten(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Flatten a parent-pointer hierarchy (org chart, BOM, category tree)
+    to ``(node, root, depth)`` by POINTER DOUBLING: each round a node's
+    known-ancestor pointer jumps to that ancestor's own pointer and the
+    distances add, so an H-deep hierarchy converges in O(log H) joins --
+    the recursive-CTE walk every warehouse writes, without H sequential
+    passes.  ``parent_col`` NULL marks roots.
+
+    Same per-round ``localCheckpoint`` + supersede-unpersist discipline
+    as the CC/PageRank loops; converged rows stop changing (root
+    pointers are fixed points), and the loop exits early once no pointer
+    moved.  All-integer state -- the oracle replays it with a recursive
+    CTE bit-for-bit.
+    """
+    state = nodes.select(
+        F.col(node_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(node_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), 0).otherwise(1).cast("long").alias("depth"),
+    ).localCheckpoint(eager=True)
+    prev = state
+    for _ in range(max_iter):
+        hop = state.select(
+            F.col("node").alias("h_node"),
+            F.col("anc").alias("h_anc"),
+            F.col("depth").alias("h_depth"),
+        )
+        stepped = (
+            state.join(hop, state["anc"] == hop["h_node"])
+            .select(
+                "node",
+                F.col("h_anc").alias("anc"),
+                (F.col("depth") + F.col("h_depth")).alias("depth"),
+                (F.col("h_anc") != F.col("anc")).cast("long").alias("__moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = stepped.agg(F.sum("__moved")).first()[0] or 0
+        _unpersist_checkpoint(prev)
+        state = stepped.drop("__moved")
+        prev = stepped
+        if not moved:
+            break
+    global _final_ckpt
+    release_final()
+    _final_ckpt = prev
+    return state.select("node", F.col("anc").alias("root"), "depth")

@@ -836,3 +836,79 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "okey_b",
         (F.least("a1", "b1") - F.greatest("a0", "b0")).cast("long").alias("overlap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchy flattening (pointer doubling vs recursive CTE)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hierarchy_customer_tree",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS node,
+             CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent
+      FROM customer),
+    walk AS (
+      SELECT node, node AS cur, COALESCE(parent, node) AS nxt,
+             CASE WHEN parent IS NULL THEN 0 ELSE 1 END AS depth
+      FROM nodes
+      UNION ALL
+      SELECT w.node, w.nxt AS cur, COALESCE(n.parent, w.nxt) AS nxt,
+             w.depth + CASE WHEN n.parent IS NULL THEN 0 ELSE 1 END
+      FROM walk w JOIN nodes n ON n.node = w.nxt
+      WHERE w.cur <> w.nxt)
+    SELECT node, CAST(nxt AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth
+    FROM walk WHERE cur = nxt
+    """,
+)
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten the deterministic customer tree (parent = custkey // 10,
+    keys < 10 are roots) to (node, root, depth): pointer doubling
+    converges in ~log2(depth) rounds where the oracle's recursive CTE
+    walks one level per iteration -- same answer, exact integers."""
+    from ..operators.graph import hierarchy_flatten
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    nodes = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") >= 10, (F.col("c_custkey") / 10).cast("long")).alias(
+            "parent"
+        ),
+    )
+    return hierarchy_flatten(nodes)
+
+
+# --------------------------------------------------------------------------
+# Governance: pseudonymization + k-anonymity suppression
+# --------------------------------------------------------------------------
+
+
+@register(
+    "privacy_k_anonymized_customers",
+    oracle="""
+    WITH sizes AS (
+      SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS qgroup_n
+      FROM customer GROUP BY c_mktsegment, c_nationkey)
+    SELECT sha256('pepper7:' || CAST(c.c_custkey AS VARCHAR)) AS c_custkey_h,
+           CASE WHEN s.qgroup_n >= 5 THEN c.c_mktsegment END AS c_mktsegment,
+           CASE WHEN s.qgroup_n >= 5 THEN c.c_nationkey END AS c_nationkey,
+           s.qgroup_n,
+           CAST(s.qgroup_n < 5 AS BIGINT) AS suppressed
+    FROM customer c
+    JOIN sizes s ON s.c_mktsegment = c.c_mktsegment
+                AND s.c_nationkey = c.c_nationkey
+    """,
+)
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy export shape: salted-sha256 pseudonyms + NULL suppression
+    of (segment, nation) quasi-identifier combinations with fewer than
+    k=5 members; rows are kept so population stats survive.  Exact
+    string/integer transforms -- the oracle replays every cell."""
+    from ..operators.privacy import k_anonymize
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    return k_anonymize(
+        c, "c_custkey", ["c_mktsegment", "c_nationkey"], k=5, salt="pepper7"
+    )

@@ -372,3 +372,34 @@ def test_fuzzy_join_hot_bucket_guard(spark):
         left, right, "lid", "lname", "rid", "rname", 1, max_bucket_size=None
     ).count()
     assert full == 21
+
+
+# ---------------------------------------------------------------- hierarchy
+def test_hierarchy_flatten_reference(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        hierarchy_flatten,
+    )
+
+    # two trees: 1->2->3->4 chain (parent pointers up) and root 10
+    rows = [(1, None), (2, 1), (3, 2), (4, 3), (10, None), (11, 10)]
+    nodes = spark.createDataFrame(rows, "node long, parent long")
+    got = {(r["node"], r["root"], r["depth"]) for r in hierarchy_flatten(nodes).collect()}
+    assert got == {(1, 1, 0), (2, 1, 1), (3, 1, 2), (4, 1, 3), (10, 10, 0), (11, 10, 1)}
+
+
+# ------------------------------------------------------------------ privacy
+def test_k_anonymize_semantics(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.privacy import (
+        k_anonymize,
+    )
+
+    rows = [(1, "A"), (2, "A"), (3, "A"), (4, "B")]  # B group size 1 -> risky
+    df = spark.createDataFrame(rows, "id long, seg string")
+    out = {r["id_h"]: r for r in k_anonymize(df, "id", ["seg"], k=2, salt="s").collect()}
+    import hashlib
+
+    h4 = hashlib.sha256(b"s:4").hexdigest()
+    assert out[h4]["seg"] is None and out[h4]["suppressed"] == 1
+    h1 = hashlib.sha256(b"s:1").hexdigest()
+    assert out[h1]["seg"] == "A" and out[h1]["suppressed"] == 0
+    assert len(out) == 4  # no rows dropped
