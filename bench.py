@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "interval_overlap_order_windows",
     "hierarchy_customer_tree",
     "privacy_k_anonymized_customers",
+    "sliding_window_distinct_sketch",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

@@ -912,3 +912,61 @@ def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymize(
         c, "c_custkey", ["c_mktsegment", "c_nationkey"], k=5, salt="pepper7"
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch x event-time composition: distinct users per sliding window
+# --------------------------------------------------------------------------
+
+
+def _window_sketch_sql() -> str:
+    m = _SKETCH_M
+    cap = 60 - (m.bit_length() - 1) + 1
+    alpha_m2 = repr(hll_alpha(m) * m * m)
+    return f"""
+    WITH assigned AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start, user_id FROM events
+      UNION ALL
+      SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, user_id FROM events),
+    h AS (SELECT window_start, {_H60} AS h60 FROM assigned),
+    b AS (
+      SELECT window_start, h60 % {m} AS bucket,
+             CASE WHEN h60 // {m} = 0 THEN {cap}
+                  ELSE bit_count(((h60 // {m}) & -(h60 // {m})) - 1) + 1
+             END AS rank
+      FROM h),
+    regs AS (SELECT window_start, bucket, MAX(rank) AS r
+             FROM b GROUP BY window_start, bucket),
+    agg AS (SELECT window_start, COUNT(*) AS nz, SUM(power(2.0, -r)) AS s
+            FROM regs GROUP BY window_start),
+    est AS (
+      SELECT window_start,
+             CASE WHEN ({alpha_m2} / (s + ({m} - nz))) <= {2.5 * m} AND nz < {m}
+                  THEN ROUND({float(m)} * ln({float(m)} / ({m} - nz)), 4)
+                  ELSE ROUND({alpha_m2} / (s + ({m} - nz)), 4)
+             END AS est_users
+      FROM agg),
+    ex AS (SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM assigned GROUP BY window_start)
+    SELECT e.window_start, e.est_users, x.exact_users
+    FROM est e JOIN ex x ON e.window_start = x.window_start
+    """
+
+
+@register("sliding_window_distinct_sketch", oracle=_window_sketch_sql())
+def q_sliding_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user ESTIMATES per sliding 2h/1h-hop window: the sketch
+    and event-time families composed -- each event contributes its
+    register rank to both covering windows, one aggregate, shuffle rows
+    are (window, bucket, rank).  The unbounded-stream version of this
+    (register MAX-merge state) is ``stream_sketch_registers``; exact
+    counts ride along as visible error evidence."""
+    e = read_events(spark, sf_dir).select(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "user_id"
+    ).select(F.col("w.start").alias("window_start"), "user_id")
+    regs = hll_registers(e, ["window_start"], "user_id", _SKETCH_M)
+    est = hll_estimate(regs, ["window_start"], _SKETCH_M).withColumnRenamed(
+        "est", "est_users"
+    )
+    exact = e.groupBy("window_start").agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.join(exact, "window_start")
