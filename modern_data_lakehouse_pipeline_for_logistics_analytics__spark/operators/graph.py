@@ -61,6 +61,7 @@ def pagerank_fixedpoint(
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
+    broadcast_rank_rows: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list where every node has at least
     one outgoing edge (symmetrize bipartite/undirected graphs first --
@@ -69,6 +70,13 @@ def pagerank_fixedpoint(
 
     r_0(v) = SCALE;  r_{i+1}(v) = 0.15*SCALE + 0.85 * Σ_{u->v} r_i(u) div deg(u)
     with every step in exact BIGINT arithmetic.
+
+    When the node count is under ``broadcast_rank_rows`` the per-
+    iteration join BROADCASTS the rank table (two longs per node --
+    ~32 MB at the default cap), eliminating the edge-side shuffle
+    entirely; larger graphs fall back to the shuffle join against the
+    pre-partitioned persisted edges.  This is the size-adaptive choice
+    AQE would make if checkpointed frames carried size stats.
     """
     deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
@@ -78,19 +86,30 @@ def pagerank_fixedpoint(
     # (scan + distinct + degree join -- measured 2x the whole query at
     # sf0.1), and with the partitioning pinned the per-iteration join
     # re-shuffles only the (node, long) rank rows, never the edges.
+    # Size the edge partitioning to the data, not the session default:
+    # every iteration re-reads e, so 32 near-empty partitions x 5 rounds
+    # is pure scheduler overhead at bench scale, while a huge graph still
+    # fans out (~500k edge rows per partition, capped at 4x parallelism).
+    # One tiny agg over the degree table yields both the node count (join
+    # strategy) and the edge count (Σ deg = partition sizing).
+    stats = deg.agg(F.count(F.lit(1)).alias("n"), F.sum("deg").alias("ec")).first()
+    n_nodes, e_cnt = stats["n"], stats["ec"] or 0
+    sc_default = edges.sparkSession.sparkContext.defaultParallelism
+    e_parts = int(max(4, min(sc_default * 4, e_cnt // 500_000 + 1)))
     e = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
         .join(deg, "node")
-        .repartition("node")
+        .repartition(e_parts, "node")
         .persist()
     )
     ranks = deg.select("node", F.lit(SCALE).cast("long").alias("r"))
     teleport = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
+    maybe_bcast = F.broadcast if n_nodes <= broadcast_rank_rows else (lambda df: df)
     prev = None
     try:
         for _ in range(iterations):
             contribs = (
-                e.join(ranks, "node")
+                e.join(maybe_bcast(ranks), "node")
                 .select(F.col("to").alias("node"), F.expr("r div deg").alias("c"))
                 .groupBy("node")
                 .agg(F.sum("c").cast("long").alias("s"))
