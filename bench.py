@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "hierarchy_customer_tree",
     "privacy_k_anonymized_customers",
     "sliding_window_distinct_sketch",
+    "frequent_part_pairs",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

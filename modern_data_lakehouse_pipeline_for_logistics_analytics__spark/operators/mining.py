@@ -1,0 +1,79 @@
+"""Frequent-itemset mining: A-Priori pair mining with support/lift.
+
+"Which parts ship together?" is the market-basket question every
+logistics/retail warehouse asks.  The naive answer joins the item table
+to itself per basket -- Σ basket² pairs, most of which can never reach
+min support.  A-Priori's downward-closure property prunes BEFORE the
+expensive join: a pair can only be frequent if both items are, so pass 1
+counts single items (one map-side-combinable aggregate) and only
+frequent items enter the per-basket self-join.  The same
+candidates-then-verify economics as the LSH families, driven by an
+anti-monotone bound instead of a hash family.
+
+All counts are exact integers; the lift ratio rounds with the repo's
+half-up-floor so the oracle replays every cell.
+
+Scale posture: pass 1 shuffles (item, partial count); the pair join is
+per-basket (bounded by basket size, not corpus size) and only over
+frequent items; the pair aggregate is map-side combinable.  A
+pathological basket with 10^5 frequent items would still blow up --
+real miners cap basket width; ``max_basket_items`` applies that cap
+deterministically (keep the lexicographically smallest items).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import round_half_up
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket_items: int | None = 1000,
+) -> DataFrame:
+    """Item pairs co-occurring in >= ``min_support`` baskets, with exact
+    counts and lift.  Output: ``item_a, item_b, n_ab, n_a, n_b, lift``
+    (item_a < item_b; lift = n_ab * N / (n_a * n_b), 6dp half-up).
+    """
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = items.select("basket").distinct().count()
+    item_counts = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    frequent = item_counts.filter(F.col("n_i") >= min_support)
+    pruned = items.join(frequent.select("item"), "item")  # A-Priori pruning
+    # Pair generation WITHOUT a per-basket self-join: collect each
+    # basket's (pruned, sorted) item array in one aggregate, cap it with
+    # slice, and expand i<j pairs with a nested SQL lambda (the
+    # delete2_variants codegen pattern).  One shuffle for the grouping,
+    # one for the pair counts; the self-join formulation re-shuffled the
+    # item table twice and paid a window for the cap (1.6x slower at
+    # sf0.1).
+    cap = max_basket_items or (1 << 31)
+    arr = F.slice(F.sort_array(F.collect_set("item")), 1, cap)
+    grouped = pruned.groupBy("basket").agg(arr.alias("its"))
+    pair_expr = (
+        "flatten(transform(sequence(1, size(its) - 1), "
+        "  i -> transform(sequence(i + 1, size(its)), "
+        "    j -> struct(its[i - 1] AS item_a, its[j - 1] AS item_b))))"
+    )
+    pairs = grouped.filter(F.size("its") >= 2).select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    ).select("p.item_a", "p.item_b")
+    counted = (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    na = item_counts.select(F.col("item").alias("item_a"), F.col("n_i").alias("n_a"))
+    nb = item_counts.select(F.col("item").alias("item_b"), F.col("n_i").alias("n_b"))
+    enriched = counted.join(na, "item_a").join(nb, "item_b")
+    lift = round_half_up(
+        F.col("n_ab") * F.lit(float(n_baskets)) / (F.col("n_a") * F.col("n_b")), 6
+    )
+    return enriched.select("item_a", "item_b", "n_ab", "n_a", "n_b", lift.alias("lift"))

@@ -970,3 +970,43 @@ def q_sliding_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = e.groupBy("window_start").agg(F.countDistinct("user_id").alias("exact_users"))
     return est.join(exact, "window_start")
+
+
+# --------------------------------------------------------------------------
+# A-Priori frequent-pair mining (market basket)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "frequent_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM items),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i FROM items GROUP BY item),
+    pruned AS (
+      SELECT i.basket, i.item, ic.n_i FROM items i
+      JOIN ic ON ic.item = i.item WHERE ic.n_i >= 2),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, a.n_i AS n_a, b.n_i AS n_b
+      FROM pruned a JOIN pruned b
+        ON a.basket = b.basket AND a.item < b.item),
+    counted AS (
+      SELECT item_a, item_b, n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM pairs GROUP BY item_a, item_b, n_a, n_b)
+    SELECT item_a, item_b, n_ab, n_a, n_b,
+           CAST(FLOOR((n_ab * CAST(nb.n AS DOUBLE) / (n_a * n_b)) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS lift
+    FROM counted CROSS JOIN nb
+    WHERE n_ab >= 2
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market basket over order lineitems: part pairs co-shipping in >= 2
+    orders, with exact counts and 6dp-half-up lift.  A-Priori downward
+    closure prunes infrequent items BEFORE the per-basket self-join --
+    candidates-then-verify on an anti-monotone bound."""
+    from ..operators.mining import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)

@@ -403,3 +403,51 @@ def test_k_anonymize_semantics(spark):
     h1 = hashlib.sha256(b"s:1").hexdigest()
     assert out[h1]["seg"] == "A" and out[h1]["suppressed"] == 0
     assert len(out) == 4  # no rows dropped
+
+
+# ------------------------------------------------------------------- mining
+def test_frequent_pairs_reference(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.mining import (
+        frequent_pairs,
+    )
+
+    # baskets: (1,2) x3, (1,3) x1, item 4 infrequent
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2),
+        (13, 1), (13, 3),
+        (14, 4),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift"])
+        for r in frequent_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    # N=5 baskets, n_1=4, n_2=3, n_12=3 -> lift = 3*5/12 = 1.25
+    assert out == {(1, 2): (3, 4, 3, 1.25)}
+
+
+def test_frequent_pairs_apriori_prunes_infrequent_items(spark):
+    """An item below support can never appear in a pair, even if the
+    pair count would pass (impossible by downward closure) -- and the
+    pruning keeps the pair join small."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.mining import (
+        frequent_pairs,
+    )
+
+    rows = [(1, 1), (1, 9), (2, 1), (2, 8)]  # items 8,9 appear once each
+    df = spark.createDataFrame(rows, "basket long, item long")
+    assert frequent_pairs(df, "basket", "item", min_support=2).count() == 0
+
+
+def test_frequent_pairs_basket_cap(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.mining import (
+        frequent_pairs,
+    )
+
+    rows = [(b, i) for b in (1, 2) for i in range(6)]  # two identical baskets
+    df = spark.createDataFrame(rows, "basket long, item long")
+    capped = frequent_pairs(df, "basket", "item", 2, max_basket_items=3)
+    # only items 0,1,2 survive the deterministic cap -> C(3,2)=3 pairs
+    assert capped.count() == 3
