@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "privacy_k_anonymized_customers",
     "sliding_window_distinct_sketch",
     "frequent_part_pairs",
+    "window_rank_family",
+    "robust_outliers_mad",
+    "markov_event_transitions",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

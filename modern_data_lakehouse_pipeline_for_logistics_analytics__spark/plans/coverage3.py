@@ -1010,3 +1010,135 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+# --------------------------------------------------------------------------
+# Window rank family, robust outliers, Markov transitions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS prank,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking trio -- dense_rank, percent_rank, cume_dist
+    -- over a total order (price, key) per priority; the ratios round
+    half-up (they are ratios of small ints, the exact knife-edge
+    engine-native ROUND splits on)."""
+    from pyspark.sql import Window
+
+    from ..operators.textstats import round_half_up
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        round_half_up(F.percent_rank().over(w), 6).alias("prank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "robust_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority AS pri, quantile_disc(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority),
+    dev AS (
+      SELECT m.pri, o.o_totalprice, ABS(o.o_totalprice - m.med) AS adev, m.med
+      FROM orders o JOIN med m ON m.pri = o.o_orderpriority),
+    mad AS (
+      SELECT pri, ANY_VALUE(med) AS med, quantile_disc(adev, 0.5) AS mad
+      FROM dev GROUP BY pri)
+    SELECT d.pri,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN d.adev > 3 * m.mad THEN 1 END) AS BIGINT) AS n_outliers,
+           ROUND(m.mad, 2) AS mad
+    FROM dev d JOIN mad m ON m.pri = d.pri
+    GROUP BY d.pri, m.mad
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per group -- mean/stddev
+    z-scores move with the outliers they hunt; median and MAD do not.
+    Both medians are percentile_disc (actual data values), so deviations
+    and the 3xMAD fence are exact doubles the oracle reproduces."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), "o_totalprice"
+    )
+    med = o.groupBy("pri").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("med")
+    )
+    dev = o.join(med, "pri").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("pri").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(mad, "pri")
+        .groupBy("pri", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+        )
+        .select("pri", "n", "n_outliers", F.round("mad", 2).alias("mad"))
+    )
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.event_type, t.n,
+           CAST(FLOOR((CAST(t.n AS DOUBLE) / tot.row_n) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS p
+    FROM t JOIN tot ON tot.prev_type = t.prev_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (path analysis: what follows a view?): one lag window per
+    user, transition counts, row-normalized probabilities (half-up --
+    ratios of small ints)."""
+    from pyspark.sql import Window
+
+    from ..operators.textstats import round_half_up
+
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return t.join(tot, "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        round_half_up(F.col("n") / F.col("row_n"), 6).alias("p"),
+    )
