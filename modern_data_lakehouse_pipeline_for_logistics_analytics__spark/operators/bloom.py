@@ -86,6 +86,10 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int = 1 << 16, k: int = 3
     """
     if num_bits % WORD_BITS:
         raise ValueError(f"num_bits must be a multiple of {WORD_BITS}, got {num_bits}")
+    # A NULL key can never equi-join, so it contributes no bits -- and
+    # left unfiltered it would surface as a (NULL, NULL) aggregate row
+    # that crashes the driver-side densify below.
+    df = df.filter(F.col(key_col).isNotNull())
     masks = []
     for pos in _positions(F.col(key_col), num_bits, k):
         # 2^bit via pow: bit <= 31 so the double is exact; shiftleft/

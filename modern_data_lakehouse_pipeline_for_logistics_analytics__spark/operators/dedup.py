@@ -806,6 +806,37 @@ def register_release_hook(fn) -> None:
     _release_hooks.append(fn)
 
 
+#: localCheckpoint-backed frames that must stay pinned while a returned
+#: result is live (the checkpoint IS the result's lineage), keyed PER
+#: OPERATOR: a new run of the same operator supersedes-and-unpersists
+#: its own previous final, and release_caches() drops them all.  Keys
+#: keep operators from invalidating EACH OTHER's still-live results (a
+#: single shared slot meant pagerank's result died the moment
+#: hierarchy_flatten ran).
+_pinned_finals: dict[str, DataFrame] = {}
+
+
+def release_pinned(key: str) -> None:
+    df = _pinned_finals.pop(key, None)
+    if df is not None:
+        _unpersist_checkpoint(df)
+
+
+def hold_pinned(key: str, df: DataFrame) -> None:
+    """Supersede-and-hold the checkpointed frame backing ``key``'s most
+    recent result.  Storage bound: ONE pinned final per operator key."""
+    release_pinned(key)
+    _pinned_finals[key] = df
+
+
+def _release_all_pinned() -> None:
+    for key in list(_pinned_finals):
+        release_pinned(key)
+
+
+register_release_hook(_release_all_pinned)
+
+
 def release_caches() -> int:
     """Unpersist every frame held by the per-operator signature cache
     registry and clear it; returns the number of entries released.

@@ -32,28 +32,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _unpersist_checkpoint, register_release_hook
+from .dedup import _unpersist_checkpoint, hold_pinned
 
 SCALE = 1_000_000_000_000  # 1.0 of rank, in fixed-point units
 DAMP_NUM, DAMP_DEN = 85, 100
 
-#: The final iteration's localCheckpoint frame: its RDD must stay pinned
-#: while the returned frame is live (the checkpoint IS its lineage), so
-#: it cannot be unpersisted inside pagerank_fixedpoint.  A new run
-#: supersedes-and-unpersists the previous one (bound: ONE pinned final
-#: per session), and release_final() -- wired into
-#: dedup.release_caches() -- returns the storage entirely.
-_final_ckpt = None
-
-
-def release_final() -> None:
-    global _final_ckpt
-    if _final_ckpt is not None:
-        _unpersist_checkpoint(_final_ckpt)
-        _final_ckpt = None
-
-
-register_release_hook(release_final)
+# Final-iteration localCheckpoint frames must stay pinned while the
+# returned result is live (the checkpoint IS its lineage); each operator
+# holds its final under its own key in dedup._pinned_finals -- a new run
+# supersedes only its OWN previous final (a shared slot let
+# hierarchy_flatten kill a still-live pagerank result), and
+# dedup.release_caches() drops them all.
 
 
 def pagerank_fixedpoint(
@@ -69,7 +58,11 @@ def pagerank_fixedpoint(
     ``(node, rank_fp)`` with rank in SCALE units.
 
     r_0(v) = SCALE;  r_{i+1}(v) = 0.15*SCALE + 0.85 * Σ_{u->v} r_i(u) div deg(u)
-    with every step in exact BIGINT arithmetic.
+    with every step in exact BIGINT arithmetic.  Every node of the edge
+    list keeps a rank row every round: nodes nobody links to (in-degree
+    0) hold the bare teleport rank yet still PUSH their mass out -- a
+    dst-only rebuild of the rank table silently dropped them after round
+    one and leaked their outgoing mass.
 
     When the node count is under ``broadcast_rank_rows`` the per-
     iteration join BROADCASTS the rank table (two longs per node --
@@ -105,6 +98,7 @@ def pagerank_fixedpoint(
     ranks = deg.select("node", F.lit(SCALE).cast("long").alias("r"))
     teleport = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
     maybe_bcast = F.broadcast if n_nodes <= broadcast_rank_rows else (lambda df: df)
+    all_nodes = deg.select("node")
     prev = None
     try:
         for _ in range(iterations):
@@ -114,7 +108,12 @@ def pagerank_fixedpoint(
                 .groupBy("node")
                 .agg(F.sum("c").cast("long").alias("s"))
             )
-            ranks = contribs.select(
+            # LEFT join from the full node set: in-degree-0 nodes keep a
+            # rank row (s = 0 -> bare teleport) and keep contributing.
+            full = all_nodes.join(contribs, "node", "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s")
+            )
+            ranks = full.select(
                 "node",
                 (F.lit(teleport) + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}"))
                 .cast("long")
@@ -125,9 +124,8 @@ def pagerank_fixedpoint(
             prev = ranks
     finally:
         e.unpersist()
-    global _final_ckpt
-    release_final()  # supersede any previous run's pinned final
-    _final_ckpt = prev
+    if prev is not None:
+        hold_pinned("graph.pagerank", prev)
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
@@ -149,6 +147,11 @@ def hierarchy_flatten(
     pointers are fixed points), and the loop exits early once no pointer
     moved.  All-integer state -- the oracle replays it with a recursive
     CTE bit-for-bit.
+
+    A DANGLING parent pointer (parent id absent from ``nodes``) becomes
+    that subtree's root label: the walk stops there with the depth
+    counted up to it, rather than silently dropping the node (an inner
+    hop join lost referentially-broken org-chart rows with no error).
     """
     state = nodes.select(
         F.col(node_col).alias("node"),
@@ -163,12 +166,14 @@ def hierarchy_flatten(
             F.col("depth").alias("h_depth"),
         )
         stepped = (
-            state.join(hop, state["anc"] == hop["h_node"])
+            state.join(hop, state["anc"] == hop["h_node"], "left")
             .select(
                 "node",
-                F.col("h_anc").alias("anc"),
-                (F.col("depth") + F.col("h_depth")).alias("depth"),
-                (F.col("h_anc") != F.col("anc")).cast("long").alias("__moved"),
+                F.coalesce(F.col("h_anc"), F.col("anc")).alias("anc"),
+                (F.col("depth") + F.coalesce(F.col("h_depth"), F.lit(0))).alias("depth"),
+                (F.coalesce(F.col("h_anc"), F.col("anc")) != F.col("anc"))
+                .cast("long")
+                .alias("__moved"),
             )
             .localCheckpoint(eager=True)
         )
@@ -178,7 +183,5 @@ def hierarchy_flatten(
         prev = stepped
         if not moved:
             break
-    global _final_ckpt
-    release_final()
-    _final_ckpt = prev
+    hold_pinned("graph.hierarchy", prev)
     return state.select("node", F.col("anc").alias("root"), "depth")

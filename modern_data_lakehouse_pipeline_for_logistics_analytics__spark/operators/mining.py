@@ -40,9 +40,19 @@ def frequent_pairs(
     counts and lift.  Output: ``item_a, item_b, n_ab, n_a, n_b, lift``
     (item_a < item_b; lift = n_ab * N / (n_a * n_b), 6dp half-up).
     """
-    items = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    from .dedup import hold_pinned
+
+    # The distinct item table feeds THREE consumers (the basket count,
+    # the item counts, and the pruned grouping) -- checkpoint it once so
+    # the full-input distinct runs a single time, not per consumer.  The
+    # pinned frame registers under this operator's key (superseded by
+    # the next call, dropped by release_caches()).
+    items = (
+        df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hold_pinned("mining.frequent_pairs", items)
     n_baskets = items.select("basket").distinct().count()
     item_counts = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
     frequent = item_counts.filter(F.col("n_i") >= min_support)
@@ -54,7 +64,10 @@ def frequent_pairs(
     # one for the pair counts; the self-join formulation re-shuffled the
     # item table twice and paid a window for the cap (1.6x slower at
     # sf0.1).
-    cap = max_basket_items or (1 << 31)
+    # slice()'s length is IntegerType: INT_MAX is the "no cap" value
+    # (2^31 overflows the cast), and an explicit 0 must mean an EMPTY
+    # cap, not the falsy no-cap a bare `or` would make it.
+    cap = (1 << 31) - 1 if max_basket_items is None else max_basket_items
     arr = F.slice(F.sort_array(F.collect_set("item")), 1, cap)
     grouped = pruned.groupBy("basket").agg(arr.alias("its"))
     pair_expr = (

@@ -44,10 +44,22 @@ def k_anonymize(
     Output: ``<id>_h``, the (possibly suppressed) quasi columns, the
     group size ``qgroup_n``, and ``suppressed`` (0/1).  Rows are never
     dropped -- suppression keeps the population statistics usable while
-    removing the re-identifying cells.
+    removing the re-identifying cells.  The group-size join is
+    NULL-SAFE: a NULL quasi value is its own (usually sparse) group, and
+    plain equality would silently drop exactly the rows k-anonymity
+    exists to protect.
     """
     sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("qgroup_n"))
-    joined = df.join(F.broadcast(sizes), on=quasi_cols)
+    sized = sizes.select(
+        *[F.col(q).alias(f"__q_{q}") for q in quasi_cols], "qgroup_n"
+    )
+    cond = None
+    for q in quasi_cols:
+        c = F.col(q).eqNullSafe(F.col(f"__q_{q}"))
+        cond = c if cond is None else (cond & c)
+    joined = df.join(F.broadcast(sized), on=cond).drop(
+        *[f"__q_{q}" for q in quasi_cols]
+    )
     risky = F.col("qgroup_n") < k
     out_cols = [pseudonymize(F.col(id_col), salt).alias(f"{id_col}_h")]
     for q in quasi_cols:

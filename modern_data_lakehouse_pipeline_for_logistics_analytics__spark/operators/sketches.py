@@ -59,6 +59,10 @@ def hll_registers(df: DataFrame, group_cols: list[str], val_col: str, m: int = D
     """
     if m & (m - 1):
         raise ValueError(f"m must be a power of two, got {m}")
+    # COUNT(DISTINCT x) ignores NULLs; so must the sketch -- an
+    # unfiltered NULL row becomes a phantom (NULL bucket, NULL rank)
+    # register that inflates nz and the estimate.
+    df = df.filter(F.col(val_col).isNotNull())
     h = portable_base_hash(F.col(val_col).cast("string"))
     rest = F.shiftright(h, m.bit_length() - 1)
     cap = 60 - (m.bit_length() - 1) + 1  # all remainder bits zero

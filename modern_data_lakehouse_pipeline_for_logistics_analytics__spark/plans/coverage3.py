@@ -232,35 +232,52 @@ _SKETCH_M = 64
 _H60 = "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2, 15)) AS BIGINT)"
 
 
-def _sketch_sql(grain_expr: str, group_alias: str) -> str:
-    """Registers -> estimate SQL, shared by the daily and merged-weekly
-    oracles.  ``grain_expr`` maps a day to the output group."""
+def _hll_core_ctes(src_cte: str, group_alias: str) -> str:
+    """Shared register->aggregate CTE chain over a CTE named ``hsrc``
+    exposing ``({group_alias}, h60)``.  SINGLE source for every sketch
+    oracle in this module -- the bucket/rank arithmetic and the bias
+    constants exist in exactly one place, so the three sketch query
+    families cannot drift from each other (or from
+    ``operators/sketches.py``, whose constants are interpolated here)."""
     m = _SKETCH_M
     cap = 60 - (m.bit_length() - 1) + 1
-    alpha_m2 = repr(hll_alpha(m) * m * m)
     return f"""
-    WITH dayd AS (
-      SELECT CAST(ts AS DATE) AS day, user_id FROM events),
-    h AS (SELECT {grain_expr} AS {group_alias}, {_H60} AS h60 FROM dayd),
+    {src_cte},
     b AS (
       SELECT {group_alias}, h60 % {m} AS bucket,
              CASE WHEN h60 // {m} = 0 THEN {cap}
                   ELSE bit_count(((h60 // {m}) & -(h60 // {m})) - 1) + 1
              END AS rank
-      FROM h),
+      FROM hsrc),
     regs AS (
       SELECT {group_alias}, bucket, MAX(rank) AS r
       FROM b GROUP BY {group_alias}, bucket),
     agg AS (
       SELECT {group_alias}, COUNT(*) AS nz, SUM(power(2.0, -r)) AS s
-      FROM regs GROUP BY {group_alias}),
-    est AS (
-      SELECT {group_alias},
-             CASE WHEN ({alpha_m2} / (s + ({m} - nz))) <= {2.5 * m}
-                       AND nz < {m}
+      FROM regs GROUP BY {group_alias})"""
+
+
+def _hll_est_case() -> str:
+    """The estimate expression over an ``agg`` row (nz, s): raw HLL with
+    the small-range linear-counting branch, 4dp."""
+    m = _SKETCH_M
+    alpha_m2 = repr(hll_alpha(m) * m * m)
+    return f"""CASE WHEN ({alpha_m2} / (s + ({m} - nz))) <= {2.5 * m} AND nz < {m}
                   THEN ROUND({float(m)} * ln({float(m)} / ({m} - nz)), 4)
                   ELSE ROUND({alpha_m2} / (s + ({m} - nz)), 4)
-             END AS est_users
+             END"""
+
+
+def _sketch_sql(grain_expr: str, group_alias: str) -> str:
+    """Registers -> estimate SQL, shared by the daily and merged-weekly
+    oracles.  ``grain_expr`` maps a day to the output group."""
+    src_cte = f"""dayd AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    hsrc AS (SELECT {grain_expr} AS {group_alias}, {_H60} AS h60 FROM dayd)"""
+    return f"""
+    WITH {_hll_core_ctes(src_cte, group_alias)},
+    est AS (
+      SELECT {group_alias}, {_hll_est_case()} AS est_users
       FROM agg),
     ex AS (
       SELECT {grain_expr} AS {group_alias},
@@ -513,24 +530,13 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sketch_est_sql(pred: str) -> str:
     """Scalar-subquery SQL computing the portable-HLL estimate over
-    ``events`` rows matching ``pred`` (same register arithmetic as
+    ``events`` rows matching ``pred`` (same shared core as
     ``_sketch_sql``)."""
-    m = _SKETCH_M
-    cap = 60 - (m.bit_length() - 1) + 1
-    alpha_m2 = repr(hll_alpha(m) * m * m)
+    src_cte = f"""hsrc AS (
+      SELECT 1 AS g, {_H60} AS h60 FROM events WHERE {pred})"""
     return f"""
-      SELECT CASE WHEN ({alpha_m2} / (s + ({m} - nz))) <= {2.5 * m} AND nz < {m}
-                  THEN ROUND({float(m)} * ln({float(m)} / ({m} - nz)), 4)
-                  ELSE ROUND({alpha_m2} / (s + ({m} - nz)), 4) END
-      FROM (
-        SELECT COUNT(*) AS nz, SUM(power(2.0, -r)) AS s FROM (
-          SELECT bucket, MAX(rank) AS r FROM (
-            SELECT h60 % {m} AS bucket,
-                   CASE WHEN h60 // {m} = 0 THEN {cap}
-                        ELSE bit_count(((h60 // {m}) & -(h60 // {m})) - 1) + 1
-                   END AS rank
-            FROM (SELECT {_H60} AS h60 FROM events WHERE {pred}) hh) bb
-          GROUP BY bucket) regs) agg
+      SELECT {_hll_est_case()}
+      FROM (WITH {_hll_core_ctes(src_cte, "g")} SELECT nz, s FROM agg) t
     """
 
 
@@ -920,31 +926,15 @@ def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _window_sketch_sql() -> str:
-    m = _SKETCH_M
-    cap = 60 - (m.bit_length() - 1) + 1
-    alpha_m2 = repr(hll_alpha(m) * m * m)
-    return f"""
-    WITH assigned AS (
+    src_cte = f"""assigned AS (
       SELECT DATE_TRUNC('hour', ts) AS window_start, user_id FROM events
       UNION ALL
       SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, user_id FROM events),
-    h AS (SELECT window_start, {_H60} AS h60 FROM assigned),
-    b AS (
-      SELECT window_start, h60 % {m} AS bucket,
-             CASE WHEN h60 // {m} = 0 THEN {cap}
-                  ELSE bit_count(((h60 // {m}) & -(h60 // {m})) - 1) + 1
-             END AS rank
-      FROM h),
-    regs AS (SELECT window_start, bucket, MAX(rank) AS r
-             FROM b GROUP BY window_start, bucket),
-    agg AS (SELECT window_start, COUNT(*) AS nz, SUM(power(2.0, -r)) AS s
-            FROM regs GROUP BY window_start),
+    hsrc AS (SELECT window_start, {_H60} AS h60 FROM assigned)"""
+    return f"""
+    WITH {_hll_core_ctes(src_cte, "window_start")},
     est AS (
-      SELECT window_start,
-             CASE WHEN ({alpha_m2} / (s + ({m} - nz))) <= {2.5 * m} AND nz < {m}
-                  THEN ROUND({float(m)} * ln({float(m)} / ({m} - nz)), 4)
-                  ELSE ROUND({alpha_m2} / (s + ({m} - nz)), 4)
-             END AS est_users
+      SELECT window_start, {_hll_est_case()} AS est_users
       FROM agg),
     ex AS (SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
            FROM assigned GROUP BY window_start)

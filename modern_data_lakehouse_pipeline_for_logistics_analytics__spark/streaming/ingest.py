@@ -381,14 +381,21 @@ def stream_sketch_registers(
             return
         s = batch_df.sparkSession
         batch_regs = hll_registers(batch_df, [group_col], val_col, m)
-        try:
+        # Existence is checked explicitly: treating ANY read failure as
+        # "first batch" would answer a transient FS error or corrupt
+        # footer by OVERWRITING months of accumulated registers with one
+        # batch's worth -- real read errors must propagate.
+        hconf = s.sparkContext._jsc.hadoopConfiguration()
+        jpath = s._jvm.org.apache.hadoop.fs.Path(state_path)
+        exists = jpath.getFileSystem(hconf).exists(jpath)
+        if exists:
             state = s.read.parquet(state_path)
             merged = (
                 state.unionByName(batch_regs)
                 .groupBy(group_col, "bucket")
                 .agg(F.max("r").alias("r"))
             )
-        except Exception:  # first batch: no state yet
+        else:  # first batch: no state yet
             merged = batch_regs
         # localCheckpoint materializes the merge BEFORE the overwrite --
         # `merged` reads state_path, so writing it back unstaged would

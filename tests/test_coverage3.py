@@ -342,14 +342,19 @@ def test_pagerank_final_checkpoint_bounded(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
     )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        _pinned_finals,
+    )
+
     spark.catalog.clearCache()
+    release_caches()
     graph.pagerank_fixedpoint(edges, 2).collect()
-    first = graph._final_ckpt
+    first = _pinned_finals.get("graph.pagerank")
     assert first is not None
     graph.pagerank_fixedpoint(edges, 3).collect()
-    assert graph._final_ckpt is not first  # superseded, old unpersisted
+    assert _pinned_finals.get("graph.pagerank") is not first  # superseded
     release_caches()
-    assert graph._final_ckpt is None
+    assert "graph.pagerank" not in _pinned_finals
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached == 0, f"{n_cached} RDDs still pinned after release"
 
@@ -451,3 +456,112 @@ def test_frequent_pairs_basket_cap(spark):
     capped = frequent_pairs(df, "basket", "item", 2, max_basket_items=3)
     # only items 0,1,2 survive the deterministic cap -> C(3,2)=3 pairs
     assert capped.count() == 3
+
+
+# --------------------------------------------- review-finding regressions
+def test_pagerank_keeps_indegree_zero_nodes(spark):
+    """Directed graph with a source node (in-degree 0): the node keeps
+    its teleport-rank row every round and keeps pushing mass -- matches
+    the documented recurrence replayed in Python over ALL nodes."""
+    from collections import defaultdict
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        SCALE,
+        pagerank_fixedpoint,
+    )
+
+    raw = [(1, 2), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["node"]: r["rank_fp"] for r in pagerank_fixedpoint(edges, 3).collect()}
+
+    out = defaultdict(list)
+    for a, b in raw:
+        out[a].append(b)
+    ranks = {n: SCALE for n in out}
+    for _ in range(3):
+        sums = {n: 0 for n in out}
+        for u, vs in out.items():
+            c = ranks[u] // len(vs)
+            for v in vs:
+                if v in sums:
+                    sums[v] += c
+        ranks = {v: 15 * SCALE // 100 + (85 * s) // 100 for v, s in sums.items()}
+    assert got == ranks
+    assert 1 in got  # the source node never vanishes
+
+
+def test_cross_operator_pinned_results_coexist(spark):
+    """pagerank's returned frame stays usable after hierarchy_flatten
+    runs (per-operator pinning keys; a shared slot used to kill it)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        hierarchy_flatten,
+        pagerank_fixedpoint,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    pr = pagerank_fixedpoint(edges, 2)
+    before = sorted(pr.collect())
+    nodes = spark.createDataFrame([(1, None), (2, 1)], "node long, parent long")
+    hierarchy_flatten(nodes).collect()
+    assert sorted(pr.collect()) == before  # still alive, same values
+
+
+def test_hierarchy_dangling_parent_becomes_root(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        hierarchy_flatten,
+    )
+
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 99)], "node long, parent long"
+    )
+    got = {(r["node"], r["root"], r["depth"]) for r in hierarchy_flatten(nodes).collect()}
+    assert got == {(1, 1, 0), (2, 1, 1), (3, 99, 1)}  # 3 kept, rooted at 99
+
+
+def test_k_anonymize_null_quasi_suppressed_not_dropped(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.privacy import (
+        k_anonymize,
+    )
+
+    rows = [(1, "A"), (2, "A"), (3, None), (4, "B")]
+    df = spark.createDataFrame(rows, "id long, seg string")
+    out = k_anonymize(df, "id", ["seg"], k=2, salt="s").collect()
+    assert len(out) == 4  # the NULL-quasi row is exported (suppressed), not dropped
+    assert sum(r["suppressed"] for r in out) == 2  # NULL group + 'B' group
+
+
+def test_frequent_pairs_cap_none_and_zero(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.mining import (
+        frequent_pairs,
+    )
+
+    rows = [(b, i) for b in (1, 2) for i in range(4)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    assert frequent_pairs(df, "basket", "item", 2, max_basket_items=None).count() == 6
+    assert frequent_pairs(df, "basket", "item", 2, max_basket_items=0).count() == 0
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    words = bloom_build(df, "k", 1 << 12, 3)  # must not crash
+    ok = spark.createDataFrame([(1,), (2,)], "k long")
+    assert ok.filter(bloom_might_contain(F.col("k"), words, 1 << 12, 3)).count() == 2
+
+
+def test_sketch_ignores_nulls_like_count_distinct(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+        distinct_sketch,
+    )
+
+    with_null = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", None)], "g string, v long"
+    )
+    without = spark.createDataFrame([("g", 1), ("g", 2)], "g string, v long")
+    est_n = distinct_sketch(with_null, ["g"], "v").first()["est"]
+    est_w = distinct_sketch(without, ["g"], "v").first()["est"]
+    assert est_n == est_w
