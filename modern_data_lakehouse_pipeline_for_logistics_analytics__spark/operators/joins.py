@@ -168,6 +168,14 @@ def interval_overlap_join(
     interval = span/cell + 1, so pick ``cell`` near the typical span.
     Left/right column names must be disjoint.  Output: all left + right
     columns for each overlapping pair, deduplicated.
+
+    Hot-cell caveat: per-cell cost is left_count x right_count, the same
+    Σ bucket² shape as every blocking join here -- but overlap is EXACT
+    semantics, so (unlike LSH/fuzzy) a silent drop guard would be wrong.
+    A degenerate cell (millions of intervals crossing one boundary)
+    needs a different plan: composite equi keys to split the domain, or
+    a sort-merge interval join.  AQE's skew-join split handles moderate
+    cases automatically since the candidate join IS an equi join.
     """
     cells = lambda s, e: F.explode(  # noqa: E731
         F.sequence((F.col(s) / cell).cast("long"), (F.col(e) / cell).cast("long"))
