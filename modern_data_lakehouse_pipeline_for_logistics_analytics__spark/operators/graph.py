@@ -152,6 +152,10 @@ def hierarchy_flatten(
     that subtree's root label: the walk stops there with the depth
     counted up to it, rather than silently dropping the node (an inner
     hop join lost referentially-broken org-chart rows with no error).
+    A CYCLE in the pointers can never converge; the loop raises after
+    ``max_iter`` rounds instead of returning wrong roots (2^max_iter
+    depth coverage means 20 rounds handle any acyclic hierarchy ever
+    seen in practice).
     """
     state = nodes.select(
         F.col(node_col).alias("node"),
@@ -183,5 +187,26 @@ def hierarchy_flatten(
         prev = stepped
         if not moved:
             break
+    else:
+        # Pointers still moving after max_iter: either the hierarchy is
+        # deeper than 2^max_iter (raise max_iter) or it contains a CYCLE,
+        # where pointer chasing never converges.  Returning the partial
+        # state would silently hand out wrong roots/depths.
+        hold_pinned("graph.hierarchy", prev)
+        raise RuntimeError(
+            f"hierarchy_flatten did not converge in {max_iter} rounds: "
+            "cycle in the parent pointers, or depth > 2^max_iter"
+        )
     hold_pinned("graph.hierarchy", prev)
+    # Even-length cycles do not trip the moved-guard: doubling jumps of
+    # 2^k land every cycle node back on ITSELF (a "converged"
+    # self-pointer) with a nonzero distance.  A true root has depth 0 by
+    # construction and a dangling root is absent from the node set, so
+    # anc == node with depth > 0 is possible ONLY inside a cycle.
+    n_cycle = state.filter((F.col("anc") == F.col("node")) & (F.col("depth") > 0)).count()
+    if n_cycle:
+        raise RuntimeError(
+            f"hierarchy contains a cycle ({n_cycle} self-converged nodes "
+            "with nonzero depth); roots/depths are undefined"
+        )
     return state.select("node", F.col("anc").alias("root"), "depth")

@@ -565,3 +565,20 @@ def test_sketch_ignores_nulls_like_count_distinct(spark):
     est_n = distinct_sketch(with_null, ["g"], "v").first()["est"]
     est_w = distinct_sketch(without, ["g"], "v").first()["est"]
     assert est_n == est_w
+
+
+def test_hierarchy_cycle_raises_not_silently_wrong(spark):
+    import pytest as _pytest
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        hierarchy_flatten,
+    )
+
+    # even cycle: pointer doubling self-converges -> post-check fires
+    nodes = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
+    with _pytest.raises(RuntimeError, match="cycle"):
+        hierarchy_flatten(nodes, max_iter=4)
+    # odd cycle: pointers never stabilize -> non-convergence guard fires
+    odd = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "node long, parent long")
+    with _pytest.raises(RuntimeError):
+        hierarchy_flatten(odd, max_iter=4)
