@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "window_rank_family",
     "robust_outliers_mad",
     "markov_event_transitions",
+    "triangle_copurchase_parts",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

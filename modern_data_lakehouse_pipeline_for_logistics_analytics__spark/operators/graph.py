@@ -98,20 +98,25 @@ def pagerank_fixedpoint(
     ranks = deg.select("node", F.lit(SCALE).cast("long").alias("r"))
     teleport = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
     maybe_bcast = F.broadcast if n_nodes <= broadcast_rank_rows else (lambda df: df)
-    all_nodes = deg.select("node")
+    # Zero-contribution self rows keep EVERY node in the rank table each
+    # round (in-degree-0 nodes hold the bare teleport rank yet still
+    # push mass out); folding them into the aggregate input costs one
+    # map-side-combined union row per node -- an extra LEFT JOIN against
+    # the node set measured ~2x the whole query.  Materialized ONCE
+    # (deriving from deg would re-run the edge derivation per round);
+    # the final ranks checkpoint cuts lineage, so this releases on exit.
+    zero_rows = deg.select("node", F.lit(0).cast("long").alias("c")).localCheckpoint(
+        eager=True
+    )
     prev = None
     try:
         for _ in range(iterations):
-            contribs = (
+            full = (
                 e.join(maybe_bcast(ranks), "node")
                 .select(F.col("to").alias("node"), F.expr("r div deg").alias("c"))
+                .unionByName(zero_rows)
                 .groupBy("node")
                 .agg(F.sum("c").cast("long").alias("s"))
-            )
-            # LEFT join from the full node set: in-degree-0 nodes keep a
-            # rank row (s = 0 -> bare teleport) and keep contributing.
-            full = all_nodes.join(contribs, "node", "left").select(
-                "node", F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s")
             )
             ranks = full.select(
                 "node",
@@ -124,6 +129,7 @@ def pagerank_fixedpoint(
             prev = ranks
     finally:
         e.unpersist()
+        _unpersist_checkpoint(zero_rows)
     if prev is not None:
         hold_pinned("graph.pagerank", prev)
     return ranks.select("node", F.col("r").alias("rank_fp"))
@@ -210,3 +216,28 @@ def hierarchy_flatten(
             "with nonzero depth); roots/depths are undefined"
         )
     return state.select("node", F.col("anc").alias("root"), "depth")
+
+
+def triangle_count(edges: DataFrame, lo: str = "lo", hi: str = "hi") -> DataFrame:
+    """Global triangle count over an undirected edge list given in
+    canonical form (``lo < hi``, deduplicated).
+
+    The canonical MapReduce graph kernel: enumerate wedges a<b<c by
+    joining ordered edges on the middle node, then close each wedge
+    against the edge set -- every triangle is counted exactly once (its
+    vertices appear in sorted order).  The node ordering bounds wedge
+    fan-out by each node's HIGHER-numbered degree, the classic
+    degeneracy trick that keeps hub nodes from exploding the wedge join.
+    Two equi joins, all integer -- SQL-replayable.  Output: one row
+    ``(n_edges, n_wedges, n_triangles)``.
+    """
+    e = edges.select(F.col(lo).alias("a"), F.col(hi).alias("b"))
+    ey = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e.join(ey, "b").select("a", "b", "c")
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    return (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    )

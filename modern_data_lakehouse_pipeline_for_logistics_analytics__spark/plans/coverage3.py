@@ -1132,3 +1132,49 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round_half_up(F.col("n") / F.col("row_n"), 6).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "triangle_copurchase_parts",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+    pairs AS (
+      SELECT a.item AS lo, b.item AS hi, COUNT(*) AS n_ab
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item),
+    e AS (SELECT lo AS a, hi AS b FROM pairs WHERE n_ab >= 2),
+    wedges AS (
+      SELECT x.a, x.b, y.b AS c
+      FROM e x JOIN e y ON y.a = x.b),
+    tri AS (
+      SELECT w.a, w.b, w.c FROM wedges w JOIN e z ON z.a = w.a AND z.b = w.c)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edges = part pairs
+    co-occurring in >= 2 orders): ordered-wedge enumeration + closing
+    join, each triangle counted once in vertex-sorted form.  Completes
+    the graph family (components, PageRank, hierarchy, triangles)."""
+    from ..operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("ia"))
+    b = items.select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("ib"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy(F.col("ia").alias("lo"), F.col("ib").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return triangle_count(pairs, "lo", "hi")

@@ -582,3 +582,16 @@ def test_hierarchy_cycle_raises_not_silently_wrong(spark):
     odd = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "node long, parent long")
     with _pytest.raises(RuntimeError):
         hierarchy_flatten(odd, max_iter=4)
+
+
+def test_triangle_count_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (0 new)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "lo long, hi long")
+    r = triangle_count(df).first()
+    assert r["n_edges"] == 7
+    assert r["n_triangles"] == 4

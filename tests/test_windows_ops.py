@@ -48,9 +48,14 @@ def test_connected_components_bounded_storage(spark):
     per-iteration label frames must be unpersisted (r1 leaked one per round)."""
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
         connected_components,
+        release_caches,
     )
 
+    # Baseline from a clean slate: other operators legitimately hold ONE
+    # pinned final each (dedup._pinned_finals, bounded + released here),
+    # and this test measures CC's own footprint, not theirs.
     spark.catalog.clearCache()
+    release_caches()
     # 0-1-2-3-4-5 chain: needs several label-propagation rounds
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(6)] + [(10, 11)], "doc_a long, doc_b long"
