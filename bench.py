@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "robust_outliers_mad",
     "markov_event_transitions",
     "triangle_copurchase_parts",
+    "cusum_revenue_alerts",
+    "skyline_record_orders",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

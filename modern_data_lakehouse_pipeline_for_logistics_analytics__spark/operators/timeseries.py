@@ -101,3 +101,33 @@ def resample_interpolate(
         round_half_up(filled, round_to).alias(f"{val_col}_filled"),
         v.isNull().cast("int").alias("was_gap"),
     )
+
+
+def cusum_positive(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    dev_col: str,
+) -> DataFrame:
+    """One-sided CUSUM (statistical process control) without iteration:
+
+        S_i = max(0, S_{i-1} + d_i)   ==   P_i - min_{j<=i}(P_j, 0)
+
+    where P is the running prefix sum of the deviations -- the recursive
+    reset collapses into prefix-sum minus running-minimum, two ordinary
+    per-key window frames, no loop, no UDF.  Callers pass INTEGER
+    deviations (cents, counts) and the whole statistic stays exact
+    BIGINT -- drift detection where a float replay could disagree about
+    the alert day is worthless.
+
+    Adds ``cusum`` to the frame.  Scale: both windows share one hash
+    partitioning on the key.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(dev_col).over(w)
+    floor_p = F.least(F.min(F.sum(dev_col).over(w)).over(w), F.lit(0))
+    return df.withColumn("cusum", (p - floor_p).cast("long"))

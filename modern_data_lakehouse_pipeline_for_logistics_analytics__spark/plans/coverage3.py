@@ -1178,3 +1178,102 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ab") >= 2)
     )
     return triangle_count(pairs, "lo", "hi")
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection (exact integer SPC)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cusum_revenue_alerts",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    med AS (
+      SELECT pri, quantile_disc(cents, 0.5) AS med_cents FROM daily GROUP BY pri),
+    dev AS (
+      SELECT d.pri, d.day, d.cents - m.med_cents AS dev
+      FROM daily d JOIN med m ON m.pri = d.pri),
+    mad AS (
+      SELECT pri, quantile_disc(ABS(dev), 0.5) AS mad_cents FROM dev GROUP BY pri),
+    pre AS (
+      SELECT pri, day, dev,
+             SUM(dev) OVER (PARTITION BY pri ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM dev),
+    cu AS (
+      SELECT pri, day, p - LEAST(MIN(p) OVER (PARTITION BY pri ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+      FROM pre)
+    SELECT c.pri, c.day, CAST(c.cusum AS BIGINT) AS cusum,
+           CAST(c.cusum > 8 * m.mad_cents AS INTEGER) AS alert
+    FROM cu c JOIN mad m ON m.pri = c.pri
+    """,
+)
+def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control drift detection on daily revenue:
+    one-sided CUSUM of integer-cent deviations from the per-priority
+    median, alerting past 8x the MAD -- the recursive reset collapses to
+    prefix-sum-minus-running-min (two shared-partitioning windows, zero
+    iteration), and every quantity is exact BIGINT so the alert days
+    replay identically in any engine."""
+    from ..operators.timeseries import cusum_positive
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    med = daily.groupBy("pri").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias("med_cents")
+    )
+    dev = daily.join(med, "pri").withColumn("dev", F.col("cents") - F.col("med_cents"))
+    mad = dev.groupBy("pri").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(dev))").alias("mad_cents")
+    )
+    cu = cusum_positive(dev.select("pri", "day", "dev"), "pri", "day", "dev")
+    return cu.join(mad, "pri").select(
+        "pri",
+        "day",
+        "cusum",
+        (F.col("cusum") > 8 * F.col("mad_cents")).cast("int").alias("alert"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+
+@register(
+    "skyline_record_orders",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT o_totalprice AS price,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no
+      FROM orders)
+    SELECT p.price, CAST(p.day_no AS BIGINT) AS day_no
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price >= p.price AND q.day_no <= p.day_no
+        AND (q.price > p.price OR q.day_no < p.day_no))
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-setting orders: the Pareto frontier maximizing price and
+    minimizing order date -- every frontier point was the largest order
+    ever seen at its date.  Two-phase distributed skyline (bucketed
+    local frontiers -> frontier-sized final pass) vs the oracle's
+    quadratic NOT EXISTS."""
+    from ..operators.skyline import skyline_2d
+
+    o = _t(spark, sf_dir, "orders")
+    base = F.lit("1995-01-01").cast("date")
+    pts = o.select(
+        F.col("o_totalprice").alias("price"),
+        F.datediff(F.to_date("o_orderdate"), base).cast("long").alias("day_no"),
+    )
+    return skyline_2d(pts, "price", "day_no")

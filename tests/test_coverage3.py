@@ -595,3 +595,44 @@ def test_triangle_count_hand_case(spark):
     r = triangle_count(df).first()
     assert r["n_edges"] == 7
     assert r["n_triangles"] == 4
+
+
+# ---------------------------------------------------------- cusum / skyline
+def test_cusum_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+        cusum_positive,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, d) for i, d in enumerate([5, -3, -9, 4, 6, -2])],
+        "k string, i long, d long",
+    )
+    got = [r["cusum"] for r in cusum_positive(df, "k", "i", "d").orderBy("i").collect()]
+    # S_i = max(0, S_{i-1} + d_i)
+    want, s = [], 0
+    for d in [5, -3, -9, 4, 6, -2]:
+        s = max(0, s + d)
+        want.append(s)
+    assert got == want
+
+
+def test_skyline_matches_bruteforce(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(100), rng.randrange(100)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "mx long, mn long")
+    got = {(r["mx"], r["mn"]) for r in skyline_2d(df, "mx", "mn", num_partitions=5).collect()}
+    distinct = set(pts)
+    want = {
+        (x, y)
+        for (x, y) in distinct
+        if not any(
+            (qx >= x and qy <= y and (qx > x or qy < y)) for (qx, qy) in distinct
+        )
+    }
+    assert got == want
