@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "triangle_copurchase_parts",
     "cusum_revenue_alerts",
     "skyline_record_orders",
+    "cumulative_user_reach",
+    "allocate_fleet_largest_remainder",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

@@ -1277,3 +1277,112 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("o_orderdate"), base).cast("long").alias("day_no"),
     )
     return skyline_2d(pts, "price", "day_no")
+
+
+# --------------------------------------------------------------------------
+# Cumulative reach; largest-remainder allocation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_user_reach",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+    daily_new AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS reach
+    FROM days d LEFT JOIN daily_new n ON n.day = d.day
+    """,
+)
+def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative reach (distinct users ever seen, per day) WITHOUT a
+    running COUNT(DISTINCT): each user collapses to a first-seen day
+    (one aggregate), daily first-seen counts cumulative-sum over the
+    date spine.  The running-distinct window every analytics team writes
+    quadratically, done in two map-side-combinable aggregates + one
+    dim-sized window.  The global-order window is legitimate HERE
+    because its input is the per-day table (bounded by the calendar,
+    not the event volume) -- the first-seen collapse is precisely what
+    buys that."""
+    from pyspark.sql import Window
+
+    e = read_events(spark, sf_dir).select(F.to_date("ts").alias("day"), "user_id")
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    days = e.select("day").distinct()
+    joined = days.join(daily_new, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.withColumn("reach", F.sum("new_users").over(w).cast("long"))
+
+
+@register(
+    "allocate_fleet_largest_remainder",
+    oracle="""
+    WITH w AS (
+      SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM customer GROUP BY c_nationkey),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+    q AS (
+      SELECT nation, weight,
+             (weight * 1000) // tw AS base,
+             (weight * 1000) % tw AS rem
+      FROM w CROSS JOIN tot),
+    ranked AS (
+      SELECT q.*,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS rk,
+             CAST(1000 - (SELECT SUM(base) FROM q) AS BIGINT) AS leftover
+      FROM q)
+    SELECT nation, weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS allocated
+    FROM ranked
+    """,
+)
+def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional integer allocation by LARGEST REMAINDER (Hamilton's
+    method): split a fleet of 1000 vehicles across nations by customer
+    count so the allocations are integers summing EXACTLY to 1000 --
+    floor quotas plus one extra for the largest fractional remainders
+    (deterministic tie-break).  Pure BIGINT arithmetic: quota floors and
+    remainders via integer div/mod, ranked by one dim-sized window; the
+    float-rounding version misallocates and never sums exactly."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    total = 1000
+    w = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("tw"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "weight",
+        F.expr(f"(weight * {total}) div tw").alias("base"),
+        ((F.col("weight") * total) % F.col("tw")).alias("rem"),
+    )
+    base_sum = q.agg(F.sum("base").cast("long").alias("bs"))
+    win = Window.orderBy(F.desc("rem"), F.asc("nation"))
+    ranked = q.crossJoin(F.broadcast(base_sum)).withColumn(
+        "rk", F.row_number().over(win)
+    )
+    return ranked.select(
+        "nation",
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= (F.lit(total) - F.col("bs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated"),
+    )

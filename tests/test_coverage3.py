@@ -636,3 +636,27 @@ def test_skyline_matches_bruteforce(spark):
         )
     }
     assert got == want
+
+
+def test_allocation_sums_exactly_and_is_proportional(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["allocate_fleet_largest_remainder"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert sum(r["allocated"] for r in rows) == 1000  # exact, always
+    tw = sum(r["weight"] for r in rows)
+    for r in rows:  # within 1 of the exact proportional share
+        assert abs(r["allocated"] - r["weight"] * 1000 / tw) < 1
+
+
+def test_cumulative_reach_semantics(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["cumulative_user_reach"](spark, "/root/testdata/sf0.001")
+    rows = sorted(df.collect(), key=lambda r: r["day"])
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    total_users = e.select("user_id").distinct().count()
+    assert rows[-1]["reach"] == total_users  # final reach = all users ever
+    assert all(a["reach"] <= b["reach"] for a, b in zip(rows, rows[1:]))  # monotone

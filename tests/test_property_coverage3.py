@@ -183,3 +183,50 @@ def test_interval_overlap_join_matches_bruteforce(spark, ivs, cell):
         if s1 <= e2 and s2 <= e1
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(devs=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=25))
+def test_cusum_property(spark, devs):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+        cusum_positive,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, d) for i, d in enumerate(devs)], "k string, i long, d long"
+    )
+    got = [r["cusum"] for r in cusum_positive(df, "k", "i", "d").orderBy("i").collect()]
+    want, s = [], 0
+    for d in devs:
+        s = max(0, s + d)
+        want.append(s)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_triangle_count_property(spark, edges):
+    from itertools import combinations
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        triangle_count,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    df = spark.createDataFrame(sorted(canon), "lo long, hi long")
+    got = triangle_count(df).first()["n_triangles"]
+    nodes = {v for e in canon for v in e}
+    want = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (a, c), (b, c)} <= canon
+    )
+    assert got == want
