@@ -74,6 +74,23 @@ def pagerank_fixedpoint(
     deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+    # Enforce the documented precondition LOUDLY: a dst-only (dangling)
+    # node has no degree row, so its rank semantics are undefined -- the
+    # two historical behaviors (excluded vs teleport-only row) differed
+    # silently depending on implementation details.  One cheap anti-join
+    # probe at call time beats either silent answer.
+    dangling = (
+        edges.select(F.col(dst).alias("node"))
+        .distinct()
+        .join(deg.select("node"), "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            "pagerank_fixedpoint: edge list has dangling destination nodes "
+            "(no outgoing edges); symmetrize the graph or add self-loops first"
+        )
     # Materialize (node, to, deg) ONCE, pre-partitioned on the join key:
     # without this every iteration re-runs the upstream edge derivation
     # (scan + distinct + degree join -- measured 2x the whole query at
@@ -169,7 +186,12 @@ def hierarchy_flatten(
         F.when(F.col(parent_col).isNull(), 0).otherwise(1).cast("long").alias("depth"),
     ).localCheckpoint(eager=True)
     prev = state
-    for _ in range(max_iter):
+    converged = False
+    # max_iter + 1 rounds: depth <= 2^max_iter resolves within max_iter
+    # doubling rounds, and convergence DETECTION (moved == 0) needs one
+    # further observation round -- without it, depths in
+    # (2^(max_iter-1), 2^max_iter] spuriously raised.
+    for _ in range(max_iter + 1):
         hop = state.select(
             F.col("node").alias("h_node"),
             F.col("anc").alias("h_anc"),
@@ -192,23 +214,26 @@ def hierarchy_flatten(
         state = stepped.drop("__moved")
         prev = stepped
         if not moved:
+            converged = True
             break
-    else:
-        # Pointers still moving after max_iter: either the hierarchy is
-        # deeper than 2^max_iter (raise max_iter) or it contains a CYCLE,
-        # where pointer chasing never converges.  Returning the partial
-        # state would silently hand out wrong roots/depths.
+    if not converged:
+        # Pointers still moving after the detection round: either the
+        # hierarchy is deeper than 2^max_iter (raise max_iter) or it
+        # contains a cycle whose length is not a power of two, where
+        # pointer chasing never stabilizes.  Returning the partial state
+        # would silently hand out wrong roots/depths.
         hold_pinned("graph.hierarchy", prev)
         raise RuntimeError(
             f"hierarchy_flatten did not converge in {max_iter} rounds: "
             "cycle in the parent pointers, or depth > 2^max_iter"
         )
     hold_pinned("graph.hierarchy", prev)
-    # Even-length cycles do not trip the moved-guard: doubling jumps of
-    # 2^k land every cycle node back on ITSELF (a "converged"
-    # self-pointer) with a nonzero distance.  A true root has depth 0 by
-    # construction and a dangling root is absent from the node set, so
-    # anc == node with depth > 0 is possible ONLY inside a cycle.
+    # POWER-OF-TWO-length cycles evade the moved-guard: jumps of 2^k land
+    # every cycle node back on ITSELF (2^k mod L == 0 only when L divides
+    # 2^k), a "converged" self-pointer with nonzero distance; all other
+    # cycle lengths keep moving and trip the guard above.  A true root
+    # has depth 0 by construction and a dangling root is absent from the
+    # node set, so anc == node with depth > 0 proves a cycle.
     n_cycle = state.filter((F.col("anc") == F.col("node")) & (F.col("depth") > 0)).count()
     if n_cycle:
         raise RuntimeError(

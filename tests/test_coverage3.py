@@ -638,12 +638,10 @@ def test_skyline_matches_bruteforce(spark):
     assert got == want
 
 
-def test_allocation_sums_exactly_and_is_proportional(spark):
+def test_allocation_sums_exactly_and_is_proportional(spark, sf_dir):
     import __spark_entry__ as entry
 
-    df = entry.queries()["allocate_fleet_largest_remainder"](
-        spark, "/root/testdata/sf0.001"
-    )
+    df = entry.queries()["allocate_fleet_largest_remainder"](spark, sf_dir)
     rows = df.collect()
     assert sum(r["allocated"] for r in rows) == 1000  # exact, always
     tw = sum(r["weight"] for r in rows)
@@ -651,12 +649,38 @@ def test_allocation_sums_exactly_and_is_proportional(spark):
         assert abs(r["allocated"] - r["weight"] * 1000 / tw) < 1
 
 
-def test_cumulative_reach_semantics(spark):
+def test_cumulative_reach_semantics(spark, sf_dir):
     import __spark_entry__ as entry
 
-    df = entry.queries()["cumulative_user_reach"](spark, "/root/testdata/sf0.001")
+    df = entry.queries()["cumulative_user_reach"](spark, sf_dir)
     rows = sorted(df.collect(), key=lambda r: r["day"])
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
     total_users = e.select("user_id").distinct().count()
     assert rows[-1]["reach"] == total_users  # final reach = all users ever
     assert all(a["reach"] <= b["reach"] for a, b in zip(rows, rows[1:]))  # monotone
+
+
+def test_hierarchy_depth_at_doubling_boundary_converges(spark):
+    """Depth exactly 2^max_iter must flatten (the detection round is
+    extra, not part of the coverage budget)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        hierarchy_flatten,
+    )
+
+    depth = 8  # 2^3
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, depth + 1)]
+    nodes = spark.createDataFrame(rows, "node long, parent long")
+    got = {r["node"]: (r["root"], r["depth"]) for r in hierarchy_flatten(nodes, max_iter=3).collect()}
+    assert got[depth] == (0, depth)
+
+
+def test_pagerank_rejects_dangling_destinations(spark):
+    import pytest as _pytest
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")  # 2 never a src
+    with _pytest.raises(ValueError, match="dangling"):
+        pagerank_fixedpoint(edges, 2)
