@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "skyline_record_orders",
     "cumulative_user_reach",
     "allocate_fleet_largest_remainder",
+    "weekly_revenue_wow_growth",
+    "ops_drift_capacity_pipeline",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

@@ -1386,3 +1386,195 @@ def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar-aligned week-over-week growth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "weekly_revenue_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS week,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1)
+    SELECT w.week, w.cents,
+           p.cents AS prev_cents,
+           CASE WHEN p.cents IS NULL THEN NULL
+                ELSE CAST(FLOOR(((w.cents - p.cents) * 10000.0 / p.cents)) AS BIGINT)
+           END AS growth_bps
+    FROM weekly w
+    LEFT JOIN weekly p ON p.week = w.week - INTERVAL 7 DAY
+    """,
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth aligned by CALENDAR, not by row offset: the
+    previous week comes from a date-shifted self join, so a MISSING week
+    yields NULL growth instead of silently comparing against whatever
+    row happened to precede (the lag(1) bug every reporting stack ships
+    once).  Growth in integer basis points (floor) -- exact BIGINT."""
+    weekly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date(F.date_trunc("week", F.to_date("o_orderdate"))).alias("week"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    prev = weekly.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("cents").alias("prev_cents"),
+    )
+    return weekly.join(prev, "week", "left").select(
+        "week",
+        "cents",
+        "prev_cents",
+        F.floor(
+            (F.col("cents") - F.col("prev_cents")) * 10000.0 / F.col("prev_cents")
+        )
+        .cast("long")
+        .alias("growth_bps"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Capstone composition: gap-fill -> CUSUM -> capacity allocation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ops_drift_capacity_pipeline",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1, 2),
+    bounds AS (SELECT pri, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY pri),
+    spine AS (
+      SELECT pri, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    j AS (
+      SELECT s.pri, s.day, d.rev FROM spine s
+      LEFT JOIN daily d ON d.pri = s.pri AND d.day = s.day),
+    f AS (
+      SELECT pri, day, rev,
+        LAST_VALUE(rev IGNORE NULLS) OVER
+          (PARTITION BY pri ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY pri ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        FIRST_VALUE(rev IGNORE NULLS) OVER
+          (PARTITION BY pri ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY pri ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j),
+    filled AS (
+      SELECT pri, day,
+             CAST(FLOOR((CASE WHEN rev IS NOT NULL THEN rev
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        ELSE pv + (nv - pv) *
+                             (CAST(date_diff('day', pd, day) AS DOUBLE) /
+                              CAST(date_diff('day', pd, nd) AS DOUBLE))
+                   END) * 10000 + 0.5) AS BIGINT) AS units
+      FROM f),
+    med AS (SELECT pri, quantile_disc(units, 0.5) AS med_u FROM filled GROUP BY pri),
+    dev AS (
+      SELECT fl.pri, fl.day, fl.units - m.med_u AS dev
+      FROM filled fl JOIN med m ON m.pri = fl.pri),
+    mad AS (SELECT pri, quantile_disc(ABS(dev), 0.5) AS mad_u FROM dev GROUP BY pri),
+    pre AS (
+      SELECT pri, day, dev,
+             SUM(dev) OVER (PARTITION BY pri ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM dev),
+    cu AS (
+      SELECT pri, day, p - LEAST(MIN(p) OVER (PARTITION BY pri ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+      FROM pre),
+    alerts AS (
+      SELECT c.pri,
+             CAST(COUNT(CASE WHEN c.cusum > 8 * m.mad_u THEN 1 END) AS BIGINT)
+               AS n_alert_days
+      FROM cu c JOIN mad m ON m.pri = c.pri GROUP BY c.pri),
+    w AS (SELECT pri, n_alert_days, n_alert_days + 1 AS weight FROM alerts),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+    q AS (
+      SELECT pri, n_alert_days, weight,
+             (weight * 100) // tw AS base, (weight * 100) % tw AS rem
+      FROM w CROSS JOIN tot),
+    ranked AS (
+      SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, pri) AS rk,
+             CAST(100 - (SELECT SUM(base) FROM q) AS BIGINT) AS leftover
+      FROM q)
+    SELECT pri, n_alert_days,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS inspect_slots
+    FROM ranked
+    """,
+)
+def q_ops_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of three r7 operators, one oracle replaying
+    the whole chain: per-priority daily revenue -> dense gap-filled
+    series (resample_interpolate, quantized to exact 1e-4 units) ->
+    integer CUSUM drift alerts (8x MAD) -> largest-remainder allocation
+    of 100 inspection slots by alert load (+1 Laplace weight so a
+    zero-alert round still allocates).  Every stage is a verified
+    operator; the composition proves they compose exactly."""
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import cusum_positive, resample_interpolate
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    filled = resample_interpolate(daily, "pri", "day", "rev").select(
+        "pri",
+        "day",
+        F.floor(F.col("rev_filled") * 10000 + 0.5).cast("long").alias("units"),
+    )
+    med = filled.groupBy("pri").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY units)").alias("med_u")
+    )
+    dev = filled.join(med, "pri").withColumn("dev", F.col("units") - F.col("med_u"))
+    mad = dev.groupBy("pri").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(dev))").alias("mad_u")
+    )
+    cu = cusum_positive(dev.select("pri", "day", "dev"), "pri", "day", "dev")
+    alerts = (
+        cu.join(mad, "pri")
+        .groupBy("pri")
+        .agg(
+            F.count(F.when(F.col("cusum") > 8 * F.col("mad_u"), 1))
+            .cast("long")
+            .alias("n_alert_days")
+        )
+    )
+    w = alerts.withColumn("weight", F.col("n_alert_days") + 1)
+    tot = w.agg(F.sum("weight").cast("long").alias("tw"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "pri",
+        "n_alert_days",
+        "weight",
+        F.expr("(weight * 100) div tw").alias("base"),
+        ((F.col("weight") * 100) % F.col("tw")).alias("rem"),
+    )
+    bs = q.agg(F.sum("base").cast("long").alias("bs"))
+    win = Window.orderBy(F.desc("rem"), F.asc("pri"))
+    ranked = q.crossJoin(F.broadcast(bs)).withColumn("rk", F.row_number().over(win))
+    return ranked.select(
+        "pri",
+        "n_alert_days",
+        (
+            F.col("base") + F.when(F.col("rk") <= (F.lit(100) - F.col("bs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("inspect_slots"),
+    )
