@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "allocate_fleet_largest_remainder",
     "weekly_revenue_wow_growth",
     "ops_drift_capacity_pipeline",
+    "regression_price_vs_quantity",
+    "order_lifecycle_snapshot",
+    "fifo_match_demand_to_suppliers",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

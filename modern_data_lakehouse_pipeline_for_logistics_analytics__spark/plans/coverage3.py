@@ -1578,3 +1578,164 @@ def q_ops_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("inspect_slots"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped linear regression; accumulating snapshot
+# --------------------------------------------------------------------------
+
+
+@register(
+    "regression_price_vs_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form linear regression (price ~ quantity) via the
+    SQL-standard REGR_* aggregates -- one map-side-combinable pass
+    computing slope/intercept/R2 per group, no ML pipeline, no
+    iteration.  Rounded to absorb summation-order ulps (the corr-family
+    precedent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+    )
+
+
+@register(
+    "order_lifecycle_snapshot",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           MIN(CAST(l.l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l.l_shipdate AS DATE)) AS last_ship,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          MAX(CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS days_to_complete,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS line_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def q_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball ACCUMULATING SNAPSHOT: one row per order carrying its
+    lifecycle milestones (placed -> first ship -> last ship) plus
+    degenerate measures -- the fact-table shape that answers cycle-time
+    questions without touching the line grain twice.  Exact: dates,
+    integer day spans, integer cents."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship"), "l_extendedprice"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "order_date")
+        .agg(
+            F.min("ship").alias("first_ship"),
+            F.max("ship").alias("last_ship"),
+            F.datediff(F.max("ship"), F.first("order_date")).cast("long").alias("days_to_complete"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("line_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# FIFO supply-to-demand matching (cumulative-interval intersection)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fifo_match_demand_to_suppliers",
+    oracle="""
+    WITH d AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey, l_quantity
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_hi
+      FROM lineitem),
+    dd AS (SELECT l_partkey, l_orderkey, l_linenumber, qty,
+                  d_hi - qty AS d_lo, d_hi FROM d),
+    s0 AS (
+      SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    s AS (
+      SELECT l_partkey, l_suppkey, sqty,
+             SUM(sqty) OVER (PARTITION BY l_partkey ORDER BY l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_hi
+      FROM s0),
+    ss AS (SELECT l_partkey, l_suppkey, s_hi - sqty AS s_lo, s_hi FROM s)
+    SELECT dd.l_partkey, dd.l_orderkey, dd.l_linenumber, ss.l_suppkey,
+           CAST(LEAST(dd.d_hi, ss.s_hi) - GREATEST(dd.d_lo, ss.s_lo) AS BIGINT)
+             AS qty_alloc
+    FROM dd JOIN ss
+      ON ss.l_partkey = dd.l_partkey
+     AND dd.d_lo < ss.s_hi AND ss.s_lo < dd.d_hi
+    """,
+)
+def q_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching as CUMULATIVE-INTERVAL INTERSECTION: demand
+    lines (ship-date order) and supplier lots (key order) each become
+    half-open ranges on the per-part cumulative-quantity axis; a demand
+    consumes from a lot exactly where their ranges overlap, and the
+    allocated quantity is the overlap length.  The procedural
+    two-pointer loop every ERP writes becomes two partitioned running
+    sums plus one bounded range join -- exact BIGINT units, total
+    allocations provably equal total demand.  Completes against the
+    same-table supplier lots, so supply == demand per part by
+    construction."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"), "l_shipdate",
+    )
+    # (orderkey, linenumber) is NOT unique in the synthetic fixture --
+    # the FIFO ordering must be TOTAL or the two engines may order tied
+    # rows differently and allocate different lots; suppkey + qty extend
+    # the key, and any rows still tied are identical in every column the
+    # allocation reads, so a swap cannot change the result.
+    wd = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_suppkey", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = li.select(
+        "l_partkey", "l_orderkey", "l_linenumber", "qty",
+        F.sum("qty").over(wd).alias("d_hi"),
+    ).withColumn("d_lo", F.col("d_hi") - F.col("qty"))
+    s0 = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").cast("long").alias("sqty"))
+    ws = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ss = s0.select(
+        F.col("l_partkey").alias("s_part"), "l_suppkey",
+        F.sum("sqty").over(ws).alias("s_hi"), "sqty",
+    ).withColumn("s_lo", F.col("s_hi") - F.col("sqty"))
+    joined = dd.join(
+        ss,
+        (dd["l_partkey"] == ss["s_part"])
+        & (dd["d_lo"] < ss["s_hi"])
+        & (ss["s_lo"] < dd["d_hi"]),
+    )
+    return joined.select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_suppkey",
+        (F.least("d_hi", "s_hi") - F.greatest("d_lo", "s_lo")).cast("long").alias("qty_alloc"),
+    )

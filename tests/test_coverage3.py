@@ -684,3 +684,25 @@ def test_pagerank_rejects_dangling_destinations(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")  # 2 never a src
     with _pytest.raises(ValueError, match="dangling"):
         pagerank_fixedpoint(edges, 2)
+
+
+def test_fifo_match_conservation(spark, sf_dir):
+    """Every demand line is fully allocated and every lot fully consumed
+    (supply == demand per part by construction here)."""
+    import __spark_entry__ as entry
+
+    alloc = entry.queries()["fifo_match_demand_to_suppliers"](spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_line = alloc.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("qty_alloc").alias("got")
+    )
+    # (orderkey, linenumber) is not unique in the fixture -- aggregate
+    # the demand side to the same grain before comparing.
+    want = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("want")
+    )
+    bad = per_line.join(want, ["l_orderkey", "l_linenumber"]).filter(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0
+    assert alloc.filter(F.col("qty_alloc") <= 0).count() == 0
