@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "regression_price_vs_quantity",
     "order_lifecycle_snapshot",
     "fifo_match_demand_to_suppliers",
+    "dedup_jaccard_prefix",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

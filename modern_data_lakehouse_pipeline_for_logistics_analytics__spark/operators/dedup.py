@@ -949,3 +949,55 @@ def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame
         .filter(F.col("hamming") <= F.lit(12))
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def prefix_filter_candidates(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
+) -> DataFrame:
+    """LOSSLESS candidate pairs for shingle-Jaccard >= threshold via
+    AllPairs/PPJoin prefix filtering -- the exact-join counterpart of the
+    MinHash band (which trades recall for cost).
+
+    Order each doc's shingles rarest-first (global document frequency);
+    the PREFIX is the first ``|s| - ceil(t*|s|) + 1`` shingles.  If
+    J(A,B) >= t, the intersection MUST hit A's prefix: missing it caps
+    the intersection inside A's suffix of ceil(t*|A|) - 1 < t*|A| <=
+    t*|A∪B| shingles, forcing J < t.  So joining the smaller-id doc's
+    prefix against the other doc's FULL shingle set finds every
+    qualifying pair, while hot common shingles (the Σ bucket² cost of
+    the naive shared-shingle join) only pair through the few docs rare
+    enough to hold them in a prefix.  Candidates then take the standard
+    exact verify (``jaccard_verify_pairs``).
+    """
+    sh = _cache_aged("prefix_sh", shingle_sets(df, id_col, text_col, n))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.asc("df_s"), F.asc("s"))
+    ranked = (
+        sh.join(freq, "s")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc", "s")
+    cands = (
+        prefix.alias("p")
+        .join(sh.alias("f"), (F.col("p.s") == F.col("f.s")) & (F.col("p.doc") < F.col("f.doc")))
+        .select(F.col("p.doc").alias("doc_a"), F.col("f.doc").alias("doc_b"))
+        .distinct()
+    )
+    return cands
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
+) -> DataFrame:
+    """``jaccard_pairs`` semantics (exact, complete) through the
+    prefix-filtered candidate set: same answer, provably -- the filter is
+    lossless -- with the candidate join keyed on rare shingles instead of
+    every shared shingle."""
+    cands = prefix_filter_candidates(df, id_col, text_col, threshold, n)
+    return jaccard_verify_pairs(df, cands, id_col, text_col, threshold, n)

@@ -1739,3 +1739,23 @@ def q_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_orderkey", "l_linenumber", "l_suppkey",
         (F.least("d_hi", "s_hi") - F.greatest("d_lo", "s_lo")).cast("long").alias("qty_alloc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (same oracle as the naive join)
+# --------------------------------------------------------------------------
+
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@register("dedup_jaccard_prefix", oracle=_ORACLE["dedup_jaccard_pairs"])
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs prefix filtering: the EXACT Jaccard>=0.5 pair set through
+    a rarest-shingles-first candidate join -- registered against the
+    IDENTICAL oracle string as ``dedup_jaccard_pairs``, so the driver
+    hash-proves the lossless-filter claim (two physical plans, one
+    answer)."""
+    from ..operators.dedup import jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return jaccard_pairs_prefix(docs, "doc_id", "text", threshold=0.5)

@@ -706,3 +706,36 @@ def test_fifo_match_conservation(spark, sf_dir):
     )
     assert bad.count() == 0
     assert alloc.filter(F.col("qty_alloc") <= 0).count() == 0
+
+
+def test_prefix_filter_lossless_and_smaller(spark, sf_dir):
+    """Prefix-filtered exact Jaccard == naive shared-shingle Jaccard
+    (lossless), with a strictly smaller-or-equal candidate set."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        prefix_filter_candidates,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    naive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs_prefix(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert pref == naive
+    # candidate economics: prefix candidates <= all shared-shingle pairs
+    sh = shingle_sets(docs, "doc_id", "text")
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select("a.doc", "b.doc")
+        .distinct()
+        .count()
+    )
+    n_pref = prefix_filter_candidates(docs, "doc_id", "text", 0.5).count()
+    assert n_pref <= shared
