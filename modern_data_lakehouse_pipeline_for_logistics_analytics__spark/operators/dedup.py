@@ -200,6 +200,7 @@ def jaccard_verify_pairs(
     text_col: str,
     threshold: float,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard restricted to the given candidate pairs
     (``doc_a < doc_b``) -- the verify stage of an LSH dedup pipeline.
@@ -220,9 +221,13 @@ def jaccard_verify_pairs(
         .union(cands.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
+    # ``shingles``: callers that already materialized the (doc, s) frame
+    # (prefix filtering caches it for the ranking pass) hand it in so the
+    # corpus-tokenization mapInPandas scan runs ONCE, not once per stage.
+    base_sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
     sh = _cache_aged(
         "verify_sh",
-        shingle_sets(df, id_col, text_col, n).join(cand_docs, "doc", "left_semi"),
+        base_sh.join(cand_docs, "doc", "left_semi"),
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_doc"), F.col("s").alias("s_a"))
@@ -980,8 +985,15 @@ def prefix_filter_candidates(
         .withColumn("rk", F.row_number().over(w))
         .join(sizes, "doc")
     )
+    # The verify stage (and the shared oracle) accept pairs whose 4dp
+    # HALF-UP-rounded Jaccard reaches t, i.e. true J >= t - 5e-5.  The
+    # prefix length must therefore cover that slack -- sized at t
+    # exactly, a pair with true J in [t - 5e-5, t) could be pruned here
+    # yet emitted by the naive join, breaking the identical-oracle
+    # contract on huge documents (|s| >= 10^4).
+    t_eff = threshold - 0.00005
     prefix = ranked.filter(
-        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
     ).select("doc", "s")
     cands = (
         prefix.alias("p")
@@ -1000,4 +1012,6 @@ def jaccard_pairs_prefix(
     lossless -- with the candidate join keyed on rare shingles instead of
     every shared shingle."""
     cands = prefix_filter_candidates(df, id_col, text_col, threshold, n)
-    return jaccard_verify_pairs(df, cands, id_col, text_col, threshold, n)
+    return jaccard_verify_pairs(
+        df, cands, id_col, text_col, threshold, n, shingles=_sig_caches.get("prefix_sh")
+    )

@@ -116,10 +116,7 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "resample_interpolate_daily_revenue",
-    oracle="""
-    WITH daily AS (
+_GAPFILL_CTES = """daily AS (
       SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
              ROUND(SUM(o_totalprice), 2) AS rev
       FROM orders GROUP BY 1, 2),
@@ -144,15 +141,46 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
           (PARTITION BY pri ORDER BY day
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-      FROM j)
-    SELECT pri, day,
-           CAST(FLOOR((CASE WHEN rev IS NOT NULL THEN rev
+      FROM j)"""
+
+#: the interpolation CASE over an `f` row -- shared by the standalone
+#: resample oracle and the capstone pipeline so the arithmetic cannot
+#: drift between them (the same single-source rule as _hll_core_ctes).
+_INTERP_CASE = """CASE WHEN rev IS NOT NULL THEN rev
                       WHEN pv IS NULL THEN nv
                       WHEN nv IS NULL THEN pv
                       ELSE pv + (nv - pv) *
                            (CAST(date_diff('day', pd, day) AS DOUBLE) /
                             CAST(date_diff('day', pd, nd) AS DOUBLE))
-                 END) * 10000 + 0.5) AS BIGINT) / 10000.0 AS rev_filled,
+                 END"""
+
+
+def _cusum_ctes(src: str, val: str) -> str:
+    """median/MAD/prefix-sum/CUSUM chain over CTE ``src(pri, day, {val})``
+    -- shared by the standalone CUSUM oracle and the capstone pipeline."""
+    return f"""med AS (SELECT pri, quantile_disc({val}, 0.5) AS med_v FROM {src} GROUP BY pri),
+    dev AS (
+      SELECT s.pri, s.day, s.{val} - m.med_v AS dev
+      FROM {src} s JOIN med m ON m.pri = s.pri),
+    mad AS (SELECT pri, quantile_disc(ABS(dev), 0.5) AS mad_v FROM dev GROUP BY pri),
+    pre AS (
+      SELECT pri, day, dev,
+             SUM(dev) OVER (PARTITION BY pri ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM dev),
+    cu AS (
+      SELECT pri, day, p - LEAST(MIN(p) OVER (PARTITION BY pri ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+      FROM pre)"""
+
+
+@register(
+    "resample_interpolate_daily_revenue",
+    oracle=f"""
+    WITH {_GAPFILL_CTES}
+    SELECT pri, day,
+           CAST(FLOOR(({_INTERP_CASE}) * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS rev_filled,
            CAST(rev IS NULL AS INTEGER) AS was_gap
     FROM f
     """,
@@ -1187,29 +1215,14 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cusum_revenue_alerts",
-    oracle="""
-    WITH daily AS (
+    oracle=f"""
+    WITH cdaily AS (
       SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM orders GROUP BY 1, 2),
-    med AS (
-      SELECT pri, quantile_disc(cents, 0.5) AS med_cents FROM daily GROUP BY pri),
-    dev AS (
-      SELECT d.pri, d.day, d.cents - m.med_cents AS dev
-      FROM daily d JOIN med m ON m.pri = d.pri),
-    mad AS (
-      SELECT pri, quantile_disc(ABS(dev), 0.5) AS mad_cents FROM dev GROUP BY pri),
-    pre AS (
-      SELECT pri, day, dev,
-             SUM(dev) OVER (PARTITION BY pri ORDER BY day
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
-      FROM dev),
-    cu AS (
-      SELECT pri, day, p - LEAST(MIN(p) OVER (PARTITION BY pri ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
-      FROM pre)
+    {_cusum_ctes("cdaily", "cents")}
     SELECT c.pri, c.day, CAST(c.cusum AS BIGINT) AS cusum,
-           CAST(c.cusum > 8 * m.mad_cents AS INTEGER) AS alert
+           CAST(c.cusum > 8 * m.mad_v AS INTEGER) AS alert
     FROM cu c JOIN mad m ON m.pri = c.pri
     """,
 )
@@ -1447,60 +1460,16 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ops_drift_capacity_pipeline",
-    oracle="""
-    WITH daily AS (
-      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
-             ROUND(SUM(o_totalprice), 2) AS rev
-      FROM orders GROUP BY 1, 2),
-    bounds AS (SELECT pri, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY pri),
-    spine AS (
-      SELECT pri, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
-      FROM bounds),
-    j AS (
-      SELECT s.pri, s.day, d.rev FROM spine s
-      LEFT JOIN daily d ON d.pri = s.pri AND d.day = s.day),
-    f AS (
-      SELECT pri, day, rev,
-        LAST_VALUE(rev IGNORE NULLS) OVER
-          (PARTITION BY pri ORDER BY day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-        LAST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
-          (PARTITION BY pri ORDER BY day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-        FIRST_VALUE(rev IGNORE NULLS) OVER
-          (PARTITION BY pri ORDER BY day
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-        FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
-          (PARTITION BY pri ORDER BY day
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-      FROM j),
+    oracle=f"""
+    WITH {_GAPFILL_CTES},
     filled AS (
       SELECT pri, day,
-             CAST(FLOOR((CASE WHEN rev IS NOT NULL THEN rev
-                        WHEN pv IS NULL THEN nv
-                        WHEN nv IS NULL THEN pv
-                        ELSE pv + (nv - pv) *
-                             (CAST(date_diff('day', pd, day) AS DOUBLE) /
-                              CAST(date_diff('day', pd, nd) AS DOUBLE))
-                   END) * 10000 + 0.5) AS BIGINT) AS units
+             CAST(FLOOR(({_INTERP_CASE}) * 10000 + 0.5) AS BIGINT) AS units
       FROM f),
-    med AS (SELECT pri, quantile_disc(units, 0.5) AS med_u FROM filled GROUP BY pri),
-    dev AS (
-      SELECT fl.pri, fl.day, fl.units - m.med_u AS dev
-      FROM filled fl JOIN med m ON m.pri = fl.pri),
-    mad AS (SELECT pri, quantile_disc(ABS(dev), 0.5) AS mad_u FROM dev GROUP BY pri),
-    pre AS (
-      SELECT pri, day, dev,
-             SUM(dev) OVER (PARTITION BY pri ORDER BY day
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
-      FROM dev),
-    cu AS (
-      SELECT pri, day, p - LEAST(MIN(p) OVER (PARTITION BY pri ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
-      FROM pre),
+    {_cusum_ctes("filled", "units")},
     alerts AS (
       SELECT c.pri,
-             CAST(COUNT(CASE WHEN c.cusum > 8 * m.mad_u THEN 1 END) AS BIGINT)
+             CAST(COUNT(CASE WHEN c.cusum > 8 * m.mad_v THEN 1 END) AS BIGINT)
                AS n_alert_days
       FROM cu c JOIN mad m ON m.pri = c.pri GROUP BY c.pri),
     w AS (SELECT pri, n_alert_days, n_alert_days + 1 AS weight FROM alerts),
@@ -1644,11 +1613,14 @@ def q_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("ship").alias("first_ship"),
             F.max("ship").alias("last_ship"),
-            F.datediff(F.max("ship"), F.first("order_date")).cast("long").alias("days_to_complete"),
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
             .cast("long")
             .alias("line_cents"),
+        )
+        .withColumn(
+            "days_to_complete",
+            F.datediff("last_ship", "order_date").cast("long"),
         )
     )
 
