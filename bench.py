@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "order_lifecycle_snapshot",
     "fifo_match_demand_to_suppliers",
     "dedup_jaccard_prefix",
+    "spatial_hotspot_cells",
+    "referential_integrity_audit",
+    "benford_first_digit_audit",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

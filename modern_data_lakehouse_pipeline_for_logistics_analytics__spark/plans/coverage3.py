@@ -1731,3 +1731,162 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return jaccard_pairs_prefix(docs, "doc_id", "text", threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Spatial hotspots; referential-integrity audit; Benford digit audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "spatial_hotspot_cells",
+    oracle=f"""
+    WITH pts AS (SELECT c_custkey, {_xy_sql('x', 'c_custkey')} FROM customer),
+    cells AS (
+      SELECT x // {_NN_RADIUS} AS cx, y // {_NN_RADIUS} AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+    hood AS (
+      SELECT a.cx, a.cy, a.n,
+             CAST(SUM(b.n) AS BIGINT) AS hood_n,
+             CAST(COUNT(*) AS BIGINT) AS hood_cells
+      FROM cells a JOIN cells b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      GROUP BY a.cx, a.cy, a.n),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM cells)
+    SELECT h.cx, h.cy, h.n, h.hood_n,
+           CAST(h.hood_n * tot.k > 2 * h.hood_cells * tot.t AS INTEGER) AS hotspot
+    FROM hood h CROSS JOIN tot
+    """,
+)
+def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection (Getis-Ord shape, integer-exact): cell
+    occupancy counts, 3x3 neighborhood sums via the same cell-adjacency
+    join as the NN operator, flagged where the neighborhood density
+    exceeds 2x the global mean -- the density comparison cross-multiplies
+    so the entire statistic stays BIGINT."""
+    from ..operators.spatial import hashed_coords
+
+    pts = hashed_coords(
+        _t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", _GRID_SCALE
+    )
+    cells = pts.groupBy(
+        (F.col("x") / _NN_RADIUS).cast("long").alias("cx"),
+        (F.col("y") / _NN_RADIUS).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = cells.select(F.col("cx").alias("acx"), F.col("cy").alias("acy"), F.col("n").alias("an"))
+    hood = (
+        a.join(
+            cells,
+            (F.abs(F.col("acx") - F.col("cx")) <= 1)
+            & (F.abs(F.col("acy") - F.col("cy")) <= 1),
+        )
+        .groupBy(F.col("acx").alias("cx"), F.col("acy").alias("cy"), F.col("an").alias("n"))
+        .agg(
+            F.sum("n").cast("long").alias("hood_n"),
+            F.count(F.lit(1)).cast("long").alias("hood_cells"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return hood.crossJoin(F.broadcast(tot)).select(
+        "cx", "cy", "n", "hood_n",
+        (F.col("hood_n") * F.col("k") > 2 * F.col("hood_cells") * F.col("t"))
+        .cast("int")
+        .alias("hotspot"),
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    per FK edge via left-anti joins (each plans as one broadcast/shuffle
+    anti join -- never a per-row subquery).  The governance health check
+    every warehouse runs nightly."""
+    checks = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for label, child, fk, parent, pk in checks:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        n = c.join(p, "k", "left_anti").agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+        row = n.select(F.lit(label).alias("fk"), "orphans")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT obs.d, obs.n,
+           CAST(FLOOR((CAST(obs.n AS DOUBLE) / tot.t) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS observed_p,
+           CAST(FLOOR(log10(1.0 + 1.0 / obs.d) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS benford_p
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts (the classic
+    fabricated-numbers screen): observed first-significant-digit shares
+    vs log10(1 + 1/d), both half-up at 6dp.  Digits come from the exact
+    integer-cents string -- no float log extraction."""
+    from ..operators.textstats import round_half_up
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        round_half_up(F.col("n") / F.col("t"), 6).alias("observed_p"),
+        round_half_up(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6).alias("benford_p"),
+    )
