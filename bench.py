@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "spatial_hotspot_cells",
     "referential_integrity_audit",
     "benford_first_digit_audit",
+    "counter_reset_repair",
+    "revenue_bridge_h1_vs_h2",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

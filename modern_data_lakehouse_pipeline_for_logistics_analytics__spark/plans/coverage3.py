@@ -1890,3 +1890,128 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("n") / F.col("t"), 6).alias("observed_p"),
         round_half_up(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6).alias("benford_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Counter-reset repair; revenue bridge
+# --------------------------------------------------------------------------
+
+
+@register(
+    "counter_reset_repair",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS raw,
+             LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS prev_raw
+      FROM events WHERE event_type = 'view'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    deltas AS (
+      SELECT user_id, ts, event_id, raw,
+             CASE WHEN prev_raw IS NULL THEN raw
+                  WHEN raw >= prev_raw THEN raw - prev_raw
+                  ELSE raw END AS delta,
+             CAST(prev_raw IS NOT NULL AND raw < prev_raw AS INTEGER) AS was_reset
+      FROM seq)
+    SELECT user_id, event_id, raw,
+           CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS true_cumulative,
+           was_reset
+    FROM deltas
+    """,
+)
+def q_counter_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter repair (the odometer/telemetry reset problem):
+    a cumulative gauge that drops below its predecessor has reset, and
+    the true cumulative is the running sum of non-negative deltas with
+    each reset contributing its post-reset reading.  One lag + one
+    running sum per key, exact integer centi-units; Prometheus's
+    ``increase()`` semantics as a batch operator."""
+    from pyspark.sql import Window
+
+    e = read_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    raw = F.round(F.col("value") * 100).cast("long")
+    seq = e.select("user_id", "ts", "event_id", raw.alias("raw")).withColumn(
+        "prev_raw", F.lag("raw").over(w)
+    )
+    delta = (
+        F.when(F.col("prev_raw").isNull(), F.col("raw"))
+        .when(F.col("raw") >= F.col("prev_raw"), F.col("raw") - F.col("prev_raw"))
+        .otherwise(F.col("raw"))
+    )
+    was_reset = (
+        F.col("prev_raw").isNotNull() & (F.col("raw") < F.col("prev_raw"))
+    ).cast("int")
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return seq.select(
+        "user_id",
+        "event_id",
+        "raw",
+        F.sum(delta).over(ws).cast("long").alias("true_cumulative"),
+        was_reset.alias("was_reset"),
+    )
+
+
+@register(
+    "revenue_bridge_h1_vs_h2",
+    oracle="""
+    WITH p1 AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey),
+    p2 AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey),
+    joined AS (
+      SELECT COALESCE(p1.o_custkey, p2.o_custkey) AS k,
+             COALESCE(p1.c, 0) AS c1, COALESCE(p2.c, 0) AS c2
+      FROM p1 FULL OUTER JOIN p2 ON p2.o_custkey = p1.o_custkey)
+    SELECT CASE WHEN c1 = 0 THEN 'new'
+                WHEN c2 = 0 THEN 'churned'
+                WHEN c2 > c1 THEN 'expansion'
+                WHEN c2 < c1 THEN 'contraction'
+                ELSE 'flat' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(c2 - c1) AS BIGINT) AS bridge_cents
+    FROM joined GROUP BY 1
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue BRIDGE (waterfall) between two periods: every customer
+    classifies as new / churned / expansion / contraction / flat via a
+    full-outer join of per-period totals, and the per-segment deltas sum
+    exactly to total revenue movement -- the period-over-period
+    decomposition finance asks for, in exact integer cents."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    p1 = o.filter(F.col("o_orderdate") < cut).groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("c1")
+    )
+    p2 = o.filter(F.col("o_orderdate") >= cut).groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("c2")
+    )
+    joined = (
+        p1.join(p2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+    )
+    seg = (
+        F.when(F.col("c1") == 0, "new")
+        .when(F.col("c2") == 0, "churned")
+        .when(F.col("c2") > F.col("c1"), "expansion")
+        .when(F.col("c2") < F.col("c1"), "contraction")
+        .otherwise("flat")
+    )
+    return joined.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c2") - F.col("c1")).cast("long").alias("bridge_cents"),
+    )

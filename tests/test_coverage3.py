@@ -739,3 +739,41 @@ def test_prefix_filter_lossless_and_smaller(spark, sf_dir):
     )
     n_pref = prefix_filter_candidates(docs, "doc_id", "text", 0.5).count()
     assert n_pref <= shared
+
+
+def test_counter_repair_hand_case(spark):
+    """Readings 10, 25, 5 (reset), 8 -> cumulative 10, 25, 30, 33."""
+    import __spark_entry__  # noqa: F401 -- registry import side effects
+
+    from pyspark.sql import Window
+
+    rows = [(1, i, v) for i, v in enumerate([10, 25, 5, 8])]
+    df = spark.createDataFrame(rows, "k long, i long, raw long")
+    w = Window.partitionBy("k").orderBy("i")
+    seq = df.withColumn("prev", F.lag("raw").over(w))
+    delta = (
+        F.when(F.col("prev").isNull(), F.col("raw"))
+        .when(F.col("raw") >= F.col("prev"), F.col("raw") - F.col("prev"))
+        .otherwise(F.col("raw"))
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = [
+        r["cum"]
+        for r in seq.select(F.sum(delta).over(ws).alias("cum"), "i")
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == [10, 25, 30, 33]
+
+
+def test_revenue_bridge_reconciles(spark, sf_dir):
+    """Per-segment deltas sum exactly to total revenue movement."""
+    import __spark_entry__ as entry
+
+    br = entry.queries()["revenue_bridge_h1_vs_h2"](spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    t1 = o.filter(F.col("o_orderdate") < cut).agg(F.sum(cents)).first()[0] or 0
+    t2 = o.filter(F.col("o_orderdate") >= cut).agg(F.sum(cents)).first()[0] or 0
+    assert sum(r["bridge_cents"] for r in br) == t2 - t1
