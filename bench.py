@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "benford_first_digit_audit",
     "counter_reset_repair",
     "revenue_bridge_h1_vs_h2",
+    "rfm_customer_segments",
+    "cohort_ltv_curve",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

@@ -2015,3 +2015,120 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("c2") - F.col("c1")).cast("long").alias("bridge_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation; cohort LTV curve
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01')
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary
+      FROM orders GROUP BY o_custkey),
+    e AS (
+      SELECT quantile_disc(recency_days, 0.5) AS r_med,
+             quantile_disc(frequency, 0.5) AS f_med,
+             quantile_disc(monetary, 0.5) AS m_med
+      FROM rfm),
+    scored AS (
+      SELECT CASE WHEN recency_days <= e.r_med THEN 1 ELSE 0 END AS r_hi,
+             CASE WHEN frequency > e.f_med THEN 1 ELSE 0 END AS f_hi,
+             CASE WHEN monetary > e.m_med THEN 1 ELSE 0 END AS m_hi,
+             monetary
+      FROM rfm CROSS JOIN e)
+    SELECT r_hi, f_hi, m_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r_hi, f_hi, m_hi
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with EXACT median splits: recency / frequency /
+    monetary per customer, each scored against its percentile_disc
+    median (actual data values -- cross-engine-exact comparisons), eight
+    binary segments with population and revenue.  The CRM workhorse,
+    deterministic end to end."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = F.lit("2001-09-01").cast("date")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max(F.to_date("o_orderdate"))).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("monetary"),
+    )
+    e = rfm.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_days)").alias("r_med"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY frequency)").alias("f_med"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary)").alias("m_med"),
+    )
+    scored = rfm.crossJoin(F.broadcast(e)).select(
+        F.when(F.col("recency_days") <= F.col("r_med"), 1).otherwise(0).alias("r_hi"),
+        F.when(F.col("frequency") > F.col("f_med"), 1).otherwise(0).alias("f_hi"),
+        F.when(F.col("monetary") > F.col("m_med"), 1).otherwise(0).alias("m_hi"),
+        "monetary",
+    )
+    return scored.groupBy("r_hi", "f_hi", "m_hi").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("long").alias("segment_cents"),
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('year', MIN(CAST(o_orderdate AS DATE))) AS cohort
+      FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('year', f.cohort,
+                       date_trunc('year', CAST(o.o_orderdate AS DATE))) AS age_years,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey),
+    agg AS (
+      SELECT cohort, age_years, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM rev GROUP BY cohort, age_years)
+    SELECT CAST(cohort AS DATE) AS cohort, CAST(age_years AS BIGINT) AS age_years,
+           cents,
+           CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age_years
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+    FROM agg
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers cohorted by first-order year, revenue
+    accumulated by cohort age -- the lifetime-value grid subscription
+    analytics reads daily.  First-seen collapse + one windowed cumsum per
+    cohort, exact integer cents."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("year", F.min("day"))).alias("cohort")
+    )
+    rev = o.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            F.year(F.date_trunc("year", F.col("day"))) - F.year(F.col("cohort"))
+        ).cast("long").alias("age_years"),
+        "cents",
+    )
+    agg = rev.groupBy("cohort", "age_years").agg(F.sum("cents").cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
