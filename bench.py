@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "revenue_bridge_h1_vs_h2",
     "rfm_customer_segments",
     "cohort_ltv_curve",
+    "forecast_backtest_seasonal_naive",
+    "peak_concurrent_order_windows",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

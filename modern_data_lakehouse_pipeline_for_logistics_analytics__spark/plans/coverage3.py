@@ -2132,3 +2132,107 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return agg.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest (seasonal naive); sweep-line peak concurrency
+# --------------------------------------------------------------------------
+
+
+@register(
+    "forecast_backtest_seasonal_naive",
+    oracle=f"""
+    WITH {_GAPFILL_CTES},
+    filled AS (
+      SELECT pri, day,
+             CAST(FLOOR(({_INTERP_CASE}) * 10000 + 0.5) AS BIGINT) AS units
+      FROM f),
+    pred AS (
+      SELECT a.pri, a.day, a.units,
+             l.units AS yhat
+      FROM filled a JOIN filled l
+        ON l.pri = a.pri AND l.day = a.day - INTERVAL 7 DAY)
+    SELECT pri,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(units - yhat)) AS BIGINT) AS abs_err_units,
+           CAST(FLOOR((CAST(SUM(ABS(units - yhat)) AS DOUBLE) / COUNT(*))
+                * 100 + 0.5) AS BIGINT) / 100.0 AS mae_units
+    FROM pred GROUP BY pri
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST of the seasonal-naive baseline (predict today =
+    same weekday last week) on the gap-filled revenue series: absolute
+    errors in exact 1e-4 units, MAE half-up at 2dp.  The evaluation
+    harness every forecasting effort needs BEFORE any model -- a model
+    that can't beat seasonal-naive MAE is noise; the date-shifted self
+    join reuses the WoW-alignment idiom."""
+    from ..operators.timeseries import resample_interpolate
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    filled = resample_interpolate(daily, "pri", "day", "rev").select(
+        "pri", "day", F.floor(F.col("rev_filled") * 10000 + 0.5).cast("long").alias("units")
+    )
+    lagged = filled.select(
+        "pri", F.date_add("day", 7).alias("day"), F.col("units").alias("yhat")
+    )
+    pred = filled.join(lagged, ["pri", "day"])
+    err = F.abs(F.col("units") - F.col("yhat"))
+    from ..operators.textstats import round_half_up
+
+    return pred.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(err).cast("long").alias("abs_err_units"),
+        round_half_up(F.sum(err) / F.count(F.lit(1)), 2).alias("mae_units"),
+    )
+
+
+@register(
+    "peak_concurrent_order_windows",
+    oracle="""
+    WITH ev AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(1 AS BIGINT) AS delta
+      FROM orders
+      UNION ALL
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 8,
+             CAST(-1 AS BIGINT)
+      FROM orders),
+    per_day AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM ev GROUP BY d),
+    run AS (
+      SELECT d, SUM(net) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM per_day)
+    SELECT CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST((SELECT d FROM run ORDER BY live DESC, d ASC LIMIT 1) AS BIGINT)
+             AS peak_day_no
+    FROM run
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by SWEEP LINE: each 8-day order window emits a
+    +1 open and a -1 close event, net changes aggregate per day (the
+    heavy reduction -- map-side combinable), and one calendar-bounded
+    running sum finds the maximum simultaneous load and its day.  The
+    interval-overlap question at its cheapest: no pair join at all when
+    only the COUNT of concurrent intervals matters."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = F.lit("1995-01-01").cast("date")
+    d0 = F.datediff(F.to_date("o_orderdate"), base).cast("long")
+    opens = o.select(d0.alias("d"), F.lit(1).cast("long").alias("delta"))
+    closes = o.select((d0 + 8).alias("d"), F.lit(-1).cast("long").alias("delta"))
+    per_day = opens.unionByName(closes).groupBy("d").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = per_day.withColumn("live", F.sum("net").over(w))
+    peak = run.orderBy(F.desc("live"), F.asc("d")).limit(1)
+    return peak.select(
+        F.col("live").cast("long").alias("peak_concurrent"),
+        F.col("d").cast("long").alias("peak_day_no"),
+    )
