@@ -131,3 +131,34 @@ def cusum_positive(
     p = F.sum(dev_col).over(w)
     floor_p = F.least(F.min(F.sum(dev_col).over(w)).over(w), F.lit(0))
     return df.withColumn("cusum", (p - floor_p).cast("long"))
+
+
+def counter_repair(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    raw_col: str,
+) -> DataFrame:
+    """Monotonic-counter reset repair (Prometheus ``increase()``
+    semantics as a batch operator): a cumulative gauge that drops below
+    its predecessor has reset, and the true cumulative is the running
+    sum of non-negative deltas with each reset contributing its
+    post-reset reading.  One lag + one running sum per key; adds
+    ``true_cumulative`` and ``was_reset`` columns.  Exact on integer
+    readings."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seq = df.withColumn("__prev", F.lag(raw_col).over(w))
+    delta = (
+        F.when(F.col("__prev").isNull(), F.col(raw_col))
+        .when(F.col(raw_col) >= F.col("__prev"), F.col(raw_col) - F.col("__prev"))
+        .otherwise(F.col(raw_col))
+    )
+    was_reset = (
+        F.col("__prev").isNotNull() & (F.col(raw_col) < F.col("__prev"))
+    ).cast("int")
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        seq.withColumn("true_cumulative", F.sum(delta).over(ws).cast("long"))
+        .withColumn("was_reset", was_reset)
+        .drop("__prev")
+    )

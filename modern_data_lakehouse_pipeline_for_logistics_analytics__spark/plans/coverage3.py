@@ -1928,30 +1928,13 @@ def q_counter_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     each reset contributing its post-reset reading.  One lag + one
     running sum per key, exact integer centi-units; Prometheus's
     ``increase()`` semantics as a batch operator."""
-    from pyspark.sql import Window
+    from ..operators.timeseries import counter_repair
 
     e = read_events(spark, sf_dir).filter(F.col("event_type") == "view")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     raw = F.round(F.col("value") * 100).cast("long")
-    seq = e.select("user_id", "ts", "event_id", raw.alias("raw")).withColumn(
-        "prev_raw", F.lag("raw").over(w)
-    )
-    delta = (
-        F.when(F.col("prev_raw").isNull(), F.col("raw"))
-        .when(F.col("raw") >= F.col("prev_raw"), F.col("raw") - F.col("prev_raw"))
-        .otherwise(F.col("raw"))
-    )
-    was_reset = (
-        F.col("prev_raw").isNotNull() & (F.col("raw") < F.col("prev_raw"))
-    ).cast("int")
-    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return seq.select(
-        "user_id",
-        "event_id",
-        "raw",
-        F.sum(delta).over(ws).cast("long").alias("true_cumulative"),
-        was_reset.alias("was_reset"),
-    )
+    seq = e.select("user_id", "ts", "event_id", raw.alias("raw"))
+    out = counter_repair(seq, "user_id", ["ts", "event_id"], "raw")
+    return out.select("user_id", "event_id", "raw", "true_cumulative", "was_reset")
 
 
 @register(
@@ -2120,9 +2103,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = o.join(firsts, "o_custkey").select(
         "cohort",
-        (
-            F.year(F.date_trunc("year", F.col("day"))) - F.year(F.col("cohort"))
-        ).cast("long").alias("age_years"),
+        (F.year(F.col("day")) - F.year(F.col("cohort"))).cast("long").alias("age_years"),
         "cents",
     )
     agg = rev.groupBy("cohort", "age_years").agg(F.sum("cents").cast("long").alias("cents"))
@@ -2167,8 +2148,6 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness every forecasting effort needs BEFORE any model -- a model
     that can't beat seasonal-naive MAE is noise; the date-shifted self
     join reuses the WoW-alignment idiom."""
-    from ..operators.timeseries import resample_interpolate
-
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderpriority").alias("pri"), F.to_date("o_orderdate").alias("day")

@@ -742,28 +742,18 @@ def test_prefix_filter_lossless_and_smaller(spark, sf_dir):
 
 
 def test_counter_repair_hand_case(spark):
-    """Readings 10, 25, 5 (reset), 8 -> cumulative 10, 25, 30, 33."""
-    import __spark_entry__  # noqa: F401 -- registry import side effects
-
-    from pyspark.sql import Window
+    """Readings 10, 25, 5 (reset), 8 -> cumulative 10, 25, 30, 33 --
+    exercised through the PRODUCTION operator (the registered query
+    wraps the same function), not a private re-implementation."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+        counter_repair,
+    )
 
     rows = [(1, i, v) for i, v in enumerate([10, 25, 5, 8])]
     df = spark.createDataFrame(rows, "k long, i long, raw long")
-    w = Window.partitionBy("k").orderBy("i")
-    seq = df.withColumn("prev", F.lag("raw").over(w))
-    delta = (
-        F.when(F.col("prev").isNull(), F.col("raw"))
-        .when(F.col("raw") >= F.col("prev"), F.col("raw") - F.col("prev"))
-        .otherwise(F.col("raw"))
-    )
-    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    got = [
-        r["cum"]
-        for r in seq.select(F.sum(delta).over(ws).alias("cum"), "i")
-        .orderBy("i")
-        .collect()
-    ]
-    assert got == [10, 25, 30, 33]
+    out = counter_repair(df, "k", ["i"], "raw").orderBy("i").collect()
+    assert [r["true_cumulative"] for r in out] == [10, 25, 30, 33]
+    assert [r["was_reset"] for r in out] == [0, 0, 1, 0]
 
 
 def test_revenue_bridge_reconciles(spark, sf_dir):
