@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "cohort_ltv_curve",
     "forecast_backtest_seasonal_naive",
     "peak_concurrent_order_windows",
+    "event_lateness_audit",
     "docs_training_prep",
     "docs_training_prep_lsh",
 ]

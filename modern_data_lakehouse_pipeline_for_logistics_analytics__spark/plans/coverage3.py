@@ -2215,3 +2215,107 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("live").cast("long").alias("peak_concurrent"),
         F.col("d").cast("long").alias("peak_day_no"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-lateness audit (watermark tuning evidence)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, ts, CAST(ts AS DATE) AS d,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 2, 15)) AS BIGINT)
+               AS h
+      FROM events),
+    seq AS (
+      SELECT event_id, ts,
+             MAX(ts) OVER (ORDER BY d, h, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water
+      FROM arr),
+    late AS (
+      SELECT date_diff('second', ts, high_water) AS late_s FROM seq)
+    SELECT CASE WHEN late_s = 0 THEN 'on_time'
+                WHEN late_s <= 60 THEN 'within_1m'
+                WHEN late_s <= 600 THEN 'within_10m'
+                WHEN late_s <= 3600 THEN 'within_1h'
+                ELSE 'over_1h' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM late GROUP BY 1
+    """,
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late does data actually arrive?  Per event, lateness = the
+    stream's high-water mark at its arrival (running MAX of event time
+    over arrival order, event_id as the arrival sequence) minus its own
+    event time -- the exact measurement that justifies a watermark
+    setting (SURVEY T2), bucketed for the ops dashboard.
+
+    The fixture stream is perfectly ordered (event_id follows ts), so
+    arrival is SIMULATED deterministically: events arrive day by day but
+    hash-shuffled WITHIN each day (portable hash of event_id) -- the
+    dirty-supplier derivation precedent applied to arrival order, giving
+    a real intra-day lateness distribution both engines reproduce.
+
+    The global running max runs as the repo's two-phase scheme (the
+    ntile/pack_sequences pattern, here on MAX): day-range buckets as a
+    pure function of the arrival day, per-bucket running max over the
+    (day, hash, id) arrival order, driver-side prefix max over the tiny
+    per-bucket maxima broadcast back -- no single-task window over the
+    fact table; the oracle's one-window formulation hash-matches it
+    exactly."""
+    from ..operators.dedup import portable_base_hash
+    from ..operators.windows import range_partition_ids
+    from pyspark.sql import Window
+
+    e = read_events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        F.to_date("ts").alias("d"),
+        portable_base_hash(F.col("event_id").cast("string")).alias("h"),
+    )
+    ranged = range_partition_ids(
+        e.withColumn("__dno", F.datediff("d", F.lit("2024-01-01").cast("date"))),
+        "__dno",
+        32,
+        desc=False,
+    )
+    bmax = {
+        r["__pid"]: r["m"]
+        for r in ranged.groupBy("__pid").agg(F.max("ts").alias("m")).collect()
+    }
+    prefix, acc = [], None
+    for pid in sorted(bmax):
+        prefix.append((pid, acc))
+        acc = bmax[pid] if acc is None or bmax[pid] > acc else acc
+    spark_sess = e.sparkSession
+    pre_df = spark_sess.createDataFrame(
+        [(p, m) for p, m in prefix], "__pid int, pre_max timestamp"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("d", "h", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = (
+        ranged.join(F.broadcast(pre_df), "__pid")
+        .withColumn("local_max", F.max("ts").over(w))
+        .withColumn("high_water", F.greatest(F.col("local_max"), F.coalesce(F.col("pre_max"), F.col("local_max"))))
+    )
+    late = seq.select(
+        (F.unix_timestamp("high_water") - F.unix_timestamp("ts")).alias("late_s")
+    )
+    bucket = (
+        F.when(F.col("late_s") == 0, "on_time")
+        .when(F.col("late_s") <= 60, "within_1m")
+        .when(F.col("late_s") <= 600, "within_10m")
+        .when(F.col("late_s") <= 3600, "within_1h")
+        .otherwise("over_1h")
+    )
+    return late.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    )
