@@ -145,6 +145,13 @@ def quantile_bucketize(
     copy of the column (measured 4.3x slower at sf0.1 for deciles); the
     array form collects the column once and answers every quantile from
     the same buffer.
+
+    NULL ``col`` -> NULL ``bin``: NULLs never participated in the edge
+    computation (percentile_disc skips them), so assigning them a bin
+    would be a lie -- before r8 every NULL comparison fell through to
+    ``otherwise(0)`` and NULLs silently landed in bin 1.  Oracles over
+    nullable columns must carry the same ``CASE WHEN x IS NULL THEN NULL``
+    guard.
     """
     plist = ", ".join(repr(float(p)) for p in probs)
     edges = df.agg(
@@ -156,6 +163,7 @@ def quantile_bucketize(
     bin_expr = F.lit(1)
     for i in range(len(probs)):
         bin_expr = bin_expr + F.when(F.col(col) > F.col(f"__e{i}"), 1).otherwise(0)
+    bin_expr = F.when(F.col(col).isNull(), F.lit(None)).otherwise(bin_expr)
     return binned.withColumn("bin", bin_expr.cast("long")).drop(
         *[f"__e{i}" for i in range(len(probs))]
     )

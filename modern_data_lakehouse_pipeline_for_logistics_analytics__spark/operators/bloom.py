@@ -146,7 +146,17 @@ def bloom_prune_join(
     the bloom-surviving subset -- at 100 TB that is the difference
     between shuffling the full fact table and shuffling the ~selectivity
     fraction the dimension predicate actually keeps.
+
+    Only ``left_semi``/``inner`` are meaningful: the bloom pre-filter
+    DROPS probe rows before the join, so any outer flavor would silently
+    lose rows that must survive with NULLs.  Loud guard, same contract
+    style as fuzzy_join's max_dist check.
     """
+    if how not in ("left_semi", "inner"):
+        raise ValueError(
+            f"bloom_prune_join supports how='left_semi'|'inner', got {how!r}: "
+            "the bloom pre-filter drops probe rows, which corrupts outer joins"
+        )
     words = bloom_build(build, build_key, num_bits, k)
     pruned = probe.filter(bloom_might_contain(F.col(probe_key), words, num_bits, k))
     dim = build.select(F.col(build_key).alias("__bloom_bk")).distinct()

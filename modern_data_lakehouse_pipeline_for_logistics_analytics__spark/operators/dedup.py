@@ -25,6 +25,8 @@ repartition when the corpus arrives as few files.  Set algebra
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -790,13 +792,17 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
 # superseded cache (CC-loop discipline); a repeat call over the SAME
 # logical plan keeps it, preserving CacheManager reuse across calls.
 #
-# Single-threaded assumption: this is a module-global registry with no
-# lock.  Two pipelines interleaving calls over DIFFERENT inputs from
-# separate threads would thrash each other's keyed entry -- correctness
-# is unaffected (cache() is an optimization), but the promised reuse is
-# silently defeated.  Long-lived sessions that finish a batch of dedup/
-# similarity work should call release_caches() to return the pinned
-# storage memory to the execution pool.
+# Thread-safety: every mutation of the two registries happens under
+# ``_cache_lock`` (RLock: release_caches() runs hooks that may call
+# release_pinned), so concurrent pipelines can interleave without
+# corrupting the dicts or double-unpersisting a frame.  Two threads
+# racing on the SAME key over DIFFERENT inputs still thrash each other's
+# cached frame -- correctness is unaffected (cache() is an optimization)
+# and the registry stays bounded, but the promised reuse is defeated;
+# give concurrent pipelines distinct keys if that matters.  Long-lived
+# sessions that finish a batch of dedup/similarity work should call
+# release_caches() to return pinned storage memory to the execution pool.
+_cache_lock = threading.RLock()
 _sig_caches: dict[str, DataFrame] = {}
 
 #: Extra release callbacks from operators whose pinned state is not a
@@ -822,7 +828,8 @@ _pinned_finals: dict[str, DataFrame] = {}
 
 
 def release_pinned(key: str) -> None:
-    df = _pinned_finals.pop(key, None)
+    with _cache_lock:
+        df = _pinned_finals.pop(key, None)
     if df is not None:
         _unpersist_checkpoint(df)
 
@@ -830,12 +837,17 @@ def release_pinned(key: str) -> None:
 def hold_pinned(key: str, df: DataFrame) -> None:
     """Supersede-and-hold the checkpointed frame backing ``key``'s most
     recent result.  Storage bound: ONE pinned final per operator key."""
-    release_pinned(key)
-    _pinned_finals[key] = df
+    with _cache_lock:
+        prev = _pinned_finals.pop(key, None)
+        _pinned_finals[key] = df
+    if prev is not None and prev is not df:
+        _unpersist_checkpoint(prev)
 
 
 def _release_all_pinned() -> None:
-    for key in list(_pinned_finals):
+    with _cache_lock:
+        keys = list(_pinned_finals)
+    for key in keys:
         release_pinned(key)
 
 
@@ -853,13 +865,15 @@ def release_caches() -> int:
     at composition exit or between unrelated workloads.  Caching within
     one query's repeated runs remains the documented policy -- callers
     that want reuse simply don't release between those runs."""
-    n = len(_sig_caches)
-    for df in _sig_caches.values():
+    with _cache_lock:
+        held = list(_sig_caches.values())
+        n = len(held)
+        _sig_caches.clear()
+    for df in held:
         try:
             df.unpersist()
         except Exception:
             pass  # best-effort: a leak here degrades memory, not correctness
-    _sig_caches.clear()
     for hook in _release_hooks:
         try:
             hook()
@@ -881,15 +895,25 @@ def _same_plan(a: DataFrame, b: DataFrame) -> bool:
 
 def _cache_aged(key: str, df: DataFrame) -> DataFrame:
     """Cache ``df`` under ``key``, unpersisting the previous holder of the
-    key when it came from a different logical plan (see ``_sig_caches``)."""
+    key when it came from a different logical plan (see ``_sig_caches``).
+
+    The registry swap happens under ``_cache_lock``; the superseded
+    frame's unpersist runs OUTSIDE it (it's a JVM call that can take
+    milliseconds and needs no registry state).  ``_same_plan`` is also
+    evaluated outside: worst case a racing thread swaps the key between
+    the check and the swap, and the loser unpersists a frame the winner
+    just cached -- cache() is an optimization, so that costs a recompute,
+    never a wrong result, and the registry itself stays consistent."""
     prev = _sig_caches.get(key)
-    if prev is not None and not _same_plan(prev, df):
+    stale = prev is not None and not _same_plan(prev, df)
+    df = df.cache()
+    with _cache_lock:
+        _sig_caches[key] = df
+    if stale:
         try:
             prev.unpersist()
         except Exception:
             pass  # best-effort: a leak here degrades memory, not correctness
-    df = df.cache()
-    _sig_caches[key] = df
     return df
 
 

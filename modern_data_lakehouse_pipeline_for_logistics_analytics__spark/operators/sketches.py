@@ -90,8 +90,15 @@ def hll_estimate(regs: DataFrame, group_cols: list[str], m: int = DEFAULT_M) -> 
     Raw HLL estimate with the standard small-range linear-counting
     correction (est <= 2.5m and empty buckets exist).  All terms are
     exact powers of two plus shared literals, so the oracle reproduces
-    the double bit-for-bit; ROUND(4) guards the last ulp.
+    the double bit-for-bit; rounding guards the last ulp and uses the
+    repo-wide ``round_half_up`` (floor(x*10^4+0.5)) rather than
+    engine-native ROUND -- a transcendental estimate landing exactly on
+    a 4th-decimal half is vanishingly unlikely, but the half-up floor is
+    bit-identical across engines BY CONSTRUCTION, so the hash contract
+    never rests on that probability argument.
     """
+    from .textstats import round_half_up
+
     alpha = hll_alpha(m)
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nz"),
@@ -102,7 +109,7 @@ def hll_estimate(regs: DataFrame, group_cols: list[str], m: int = DEFAULT_M) -> 
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     ).otherwise(raw)
-    return agg.select(*group_cols, F.round(est, 4).alias("est"))
+    return agg.select(*group_cols, round_half_up(est, 4).alias("est"))
 
 
 def distinct_sketch(

@@ -19,6 +19,7 @@ from ..operators.aggregates import quantile_bucketize
 from ..operators.bloom import bloom_build, bloom_might_contain, bloom_params
 from ..operators.fuzzyjoin import fuzzy_join
 from ..operators.sketches import hll_alpha, hll_estimate, hll_registers
+from ..operators.textstats import sql_round_half_up
 from ..operators.timeseries import resample_interpolate
 from .registry import read_events, register, table_path
 
@@ -287,12 +288,14 @@ def _hll_core_ctes(src_cte: str, group_alias: str) -> str:
 
 def _hll_est_case() -> str:
     """The estimate expression over an ``agg`` row (nz, s): raw HLL with
-    the small-range linear-counting branch, 4dp."""
+    the small-range linear-counting branch, 4dp half-up (the repo-wide
+    floor formula, mirroring ``hll_estimate``'s round_half_up -- never
+    engine-native ROUND, whose binary-.5 behavior differs by engine)."""
     m = _SKETCH_M
     alpha_m2 = repr(hll_alpha(m) * m * m)
     return f"""CASE WHEN ({alpha_m2} / (s + ({m} - nz))) <= {2.5 * m} AND nz < {m}
-                  THEN ROUND({float(m)} * ln({float(m)} / ({m} - nz)), 4)
-                  ELSE ROUND({alpha_m2} / (s + ({m} - nz)), 4)
+                  THEN {sql_round_half_up(f'{float(m)} * ln({float(m)} / ({m} - nz))', 4)}
+                  ELSE {sql_round_half_up(f'{alpha_m2} / (s + ({m} - nz))', 4)}
              END"""
 
 
@@ -376,8 +379,9 @@ _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
       FROM orders),
     binned AS (
       SELECT o_totalprice,
+             CASE WHEN o_totalprice IS NULL THEN NULL ELSE
              1 + {' + '.join(f'(CASE WHEN o_totalprice > e{i} THEN 1 ELSE 0 END)' for i in range(len(_DECILES)))}
-               AS bin
+             END AS bin
       FROM orders CROSS JOIN e)
     SELECT CAST(bin AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -568,6 +572,12 @@ def _sketch_est_sql(pred: str) -> str:
     """
 
 
+_EST_VIEW = _sketch_est_sql("event_type = 'view'")
+_EST_PURCHASE = _sketch_est_sql("event_type = 'purchase'")
+_EST_UNION = _sketch_est_sql("event_type IN ('view', 'purchase')")
+_OVERLAP_EST_EXPR = f"({_EST_VIEW}) + ({_EST_PURCHASE}) - ({_EST_UNION})"
+
+
 @register(
     "sketch_event_type_overlap",
     oracle=f"""
@@ -579,9 +589,7 @@ def _sketch_est_sql(pred: str) -> str:
                    (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
                  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
                    ON p.user_id = v.user_id) AS BIGINT) AS exact_overlap,
-           ROUND(({_sketch_est_sql("event_type = 'view'")})
-               + ({_sketch_est_sql("event_type = 'purchase'")})
-               - ({_sketch_est_sql("event_type IN ('view', 'purchase')")}), 4)
+           {sql_round_half_up(_OVERLAP_EST_EXPR, 4)}
              AS est_overlap
     """,
 )
@@ -598,6 +606,7 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = hll_registers(a.withColumn("g", F.lit(1)), ["g"], "user_id", _SKETCH_M)
     rb = hll_registers(b.withColumn("g", F.lit(1)), ["g"], "user_id", _SKETCH_M)
     from ..operators.sketches import hll_merge
+    from ..operators.textstats import round_half_up
 
     est_a = hll_estimate(ra, ["g"], _SKETCH_M).select(F.col("est").alias("ea"))
     est_b = hll_estimate(rb, ["g"], _SKETCH_M).select(F.col("est").alias("eb"))
@@ -622,7 +631,13 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_a",
             "exact_b",
             "exact_overlap",
-            F.round(F.col("ea") + F.col("eb") - F.col("eab"), 4).alias("est_overlap"),
+            # Same floor-based half-up as the per-estimate rounding (the
+            # difference of 4dp estimates can land on an exact half; the
+            # formula stays cross-engine-exact even for negatives --
+            # floor is toward -inf in both engines).
+            round_half_up(
+                F.col("ea") + F.col("eb") - F.col("eab"), 4
+            ).alias("est_overlap"),
         )
     )
 
@@ -1027,7 +1042,14 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mining import frequent_pairs
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    # max_basket_items=None: the oracle applies NO basket cap, so the
+    # registered query must not either -- with the default cap the hash
+    # contract would silently depend on fixture baskets staying narrower
+    # than 1000 items (r7 ADVICE).  The cap stays the operator's default
+    # for production use; correctness queries mirror their oracle exactly.
+    return frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket_items=None
+    )
 
 
 # --------------------------------------------------------------------------

@@ -60,6 +60,19 @@ def test_bloom_prune_join_equals_exact_semi(spark):
     assert sorted(got.select("k", "v").collect()) == sorted(want.select("k", "v").collect())
 
 
+def test_bloom_prune_join_rejects_outer(spark):
+    """The bloom pre-filter drops probe rows BEFORE the join, so an outer
+    flavor would silently lose rows that must survive with NULLs -- the
+    operator must refuse loudly (r7 ADVICE)."""
+    probe = spark.range(0, 10).select(F.col("id").alias("k"))
+    build = spark.range(0, 5).select(F.col("id").alias("bk"))
+    with pytest.raises(ValueError, match="left_semi"):
+        bloom_prune_join(probe, build, "k", "bk", how="left")
+    # the two sound flavors still work
+    assert bloom_prune_join(probe, build, "k", "bk", how="inner").count() == 5
+    assert bloom_prune_join(probe, build, "k", "bk", how="left_semi").count() == 5
+
+
 def test_bloom_word_array_bounded(spark):
     words = bloom_build(spark.range(0, 10).select(F.col("id").alias("k")), "k", 1 << 12, 3)
     assert len(words) == (1 << 12) // 32
@@ -195,6 +208,20 @@ def test_quantile_bins_partition_and_order(spark, sf_dir_medium):
     n = o.count()
     for r in stats:  # quartiles of a near-continuous column: ~n/4 each
         assert abs(r["n"] - n / 4) / n < 0.05
+
+
+def test_quantile_bins_null_input_gets_null_bin(spark):
+    """NULLs never participate in the quantile edges, so they must get a
+    NULL bin -- not silently land in bin 1 (r7 ADVICE)."""
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 9)] + [(None,), (None,)],
+        "x double",
+    )
+    binned = quantile_bucketize(df, "x", [0.5])
+    rows = binned.select("x", "bin").collect()
+    assert {r["bin"] for r in rows if r["x"] is None} == {None}
+    assert all(r["bin"] in (1, 2) for r in rows if r["x"] is not None)
+    assert binned.count() == 10  # NULL rows are kept, just unbinned
 
 
 def test_quantile_edges_distributed_matches_percentile_disc(spark, sf_dir_medium):

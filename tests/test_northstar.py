@@ -808,6 +808,72 @@ def test_spread_skips_wide_input(spark, tmp_path):
     joined = narrow.join(mem.select("doc"), "doc")
     assert _spread(joined) is joined
 
+    # A CACHED shuffled frame optimizes to InMemoryRelation (the shuffle
+    # nodes vanish from the plan) and has no input files -- it must still
+    # pass through rather than eat a redundant full repartition.
+    cached = narrow.groupBy("text").count().cache()
+    try:
+        cached.count()  # materialize so the InMemoryRelation substitutes
+        assert _spread(cached) is cached
+    finally:
+        cached.unpersist()
+
+
+def test_sig_cache_concurrent_pipelines(spark):
+    """The cache registries must survive concurrent pipelines: two threads
+    interleaving dedup calls over DIFFERENT inputs plus a releaser thread
+    hammering release_caches().  Correctness must hold in every thread
+    (cache thrash costs recomputes, never wrong results) and the registry
+    must end empty and consistent -- the r7 single-threaded assumption,
+    now a lock-backed guarantee."""
+    import threading
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import (
+        dedup as dmod,
+    )
+
+    docs_a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    docs_b = spark.createDataFrame(
+        [(i, f"omega psi chi phi doc {i % 7}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    errors: list = []
+    expected = {}
+    for tag, docs in (("a", docs_a), ("b", docs_b)):
+        expected[tag] = dmod.jaccard_pairs(docs, "doc_id", "text", threshold=0.9).count()
+    dmod.release_caches()
+
+    def worker(tag, docs):
+        try:
+            for _ in range(3):
+                got = dmod.jaccard_pairs(docs, "doc_id", "text", threshold=0.9).count()
+                assert got == expected[tag], f"{tag}: {got} != {expected[tag]}"
+        except Exception as exc:  # noqa: BLE001 -- surface in main thread
+            errors.append(exc)
+
+    def releaser():
+        try:
+            for _ in range(6):
+                dmod.release_caches()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=("a", docs_a)),
+        threading.Thread(target=worker, args=("b", docs_b)),
+        threading.Thread(target=releaser),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    dmod.release_caches()
+    assert not dmod._sig_caches and not dmod._pinned_finals
+
 
 def test_pii_udtf_lateral_and_python_api(spark):
     """Spark 4 UDTF: variable rows per input row, via both the Python

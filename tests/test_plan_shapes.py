@@ -243,18 +243,78 @@ def test_trainprep_decontaminate_broadcasts_benchmark(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- coverage3
+def _node_depth(line: str) -> int:
+    """Depth of a physical-plan tree line = offset where the node name
+    starts, after the ``:  +- `` scaffolding and the ``*(n)`` codegen
+    marker."""
+    import re
+
+    m = re.match(r"^[\s:+-]*(\*\(\d+\)\s)?", line)
+    return m.end()
+
+
+def _join_subtree(plan_tree: str, join_marker: str = "BroadcastHashJoin") -> list[str]:
+    """Lines strictly inside the first ``join_marker`` node's subtree
+    (contiguous deeper-indented lines below it); [] if the join is absent."""
+    lines = [l for l in plan_tree.splitlines() if l.strip()]
+    ji = next((i for i, l in enumerate(lines) if join_marker in l), None)
+    if ji is None:
+        return []
+    jdepth = _node_depth(lines[ji])
+    subtree = []
+    for line in lines[ji + 1 :]:
+        if _node_depth(line) <= jdepth:
+            break
+        subtree.append(line)
+    return subtree
+
+
 def test_bloom_probe_filters_before_join(spark, sf_dir):
-    """The bloom predicate must evaluate ON THE SCAN side, upstream of the
-    membership join -- a Filter containing the bloom arithmetic below the
-    BroadcastHashJoin.  If the filter migrated above the join the runtime
-    filter would prune nothing."""
+    """The bloom arithmetic must evaluate ON THE SCAN side, upstream of the
+    membership join -- i.e. inside the BroadcastHashJoin's SUBTREE, in a
+    node that sits above the probe FileScan.  The r7 assertion compared
+    flat string positions, which passes whenever element_at appears
+    anywhere after the join text (ADVICE: nearly vacuous); this walks the
+    indentation tree instead.
+
+    Two shapes are pinned:
+    1. ``bloom_prune_join`` (the pruning operator): a Filter node carrying
+       element_at strictly between the join and the probe scan.
+    2. ``bloom_prune_orders`` (the registered audit query, which must NOT
+       filter -- false positives are counted): the element_at arithmetic
+       still evaluates below the join, scan-side.
+    """
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.bloom import (
+        bloom_prune_join,
+    )
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_acctbal") > 9000
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pruned = bloom_prune_join(orders, cust, "o_custkey", "c_custkey")
+    ptree = pruned._jdf.queryExecution().executedPlan().toString()
+    sub = _join_subtree(ptree)
+    assert sub, "bloom_prune_join membership join stopped broadcasting"
+    filt_i = next(
+        (i for i, l in enumerate(sub) if "Filter" in l and "element_at" in l), None
+    )
+    assert filt_i is not None, (
+        "bloom element_at Filter is not a descendant of the BroadcastHashJoin"
+    )
+    fdepth = _node_depth(sub[filt_i])
+    assert any(
+        "FileScan" in l and _node_depth(l) > fdepth for l in sub[filt_i + 1 :]
+    ), "no probe FileScan beneath the bloom Filter"
+    assert "SortMergeJoin" not in ptree
+
     p = _plan(spark, sf_dir, "bloom_prune_orders")
-    assert "BroadcastHashJoin" in p, "exact membership join stopped broadcasting"
-    join_pos = p.index("BroadcastHashJoin")
-    # the probe-side bloom predicate: element_at over the embedded word array
-    filt_pos = p.index("element_at")
-    assert filt_pos > join_pos or "element_at" in p[join_pos:], (
-        "bloom predicate not in the probe-side filter"
+    tree = p.split("== Physical Plan ==")[0]
+    audit_sub = _join_subtree(tree)
+    assert audit_sub, "audit membership join stopped broadcasting"
+    assert any("element_at" in l for l in audit_sub), (
+        "bloom arithmetic migrated above the audit join (no longer scan-side)"
     )
     assert "SortMergeJoin" not in p
 
