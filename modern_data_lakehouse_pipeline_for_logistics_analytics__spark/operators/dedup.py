@@ -213,6 +213,16 @@ def jaccard_verify_pairs(
     intersection join is keyed on the candidate pair itself, so only
     candidate pairs ever materialize.  Output: ``doc_a, doc_b, n_common,
     n_a, n_b, jaccard``.
+
+    Per-doc set sizes ride ON the cached shingle rows (one count window
+    partitioned by doc, computed once when the cache materializes)
+    instead of a separate sizes aggregate joined back twice: that
+    r1-r7 shape paid two extra shuffle rounds of the INTER result --
+    which scales with candidate PAIRS, a strictly larger frame than the
+    candidate-doc shingle rows the window touches -- and at bench scale
+    two extra AQE stage-jobs per run (~30% of the warm-run cost of
+    every LSH query).  The window needs no ORDER BY (unbounded frame);
+    its one exchange replaces the sizes groupBy's identical exchange.
     """
     # Keyed/aged caches (see _sig_caches): both frames feed multiple plan
     # branches within this call, and aging stops superseded copies from
@@ -227,32 +237,33 @@ def jaccard_verify_pairs(
     # (prefix filtering caches it for the ranking pass) hand it in so the
     # corpus-tokenization mapInPandas scan runs ONCE, not once per stage.
     base_sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
+    from pyspark.sql import Window
+
     sh = _cache_aged(
         "verify_sh",
-        base_sh.join(cand_docs, "doc", "left_semi"),
+        base_sh.join(cand_docs, "doc", "left_semi").withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        ),
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc").alias("a_doc"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("doc").alias("b_doc"), F.col("s").alias("s_b"))
+    a = sh.select(
+        F.col("doc").alias("a_doc"), F.col("s").alias("s_a"), F.col("n_sh").alias("n_a")
+    )
+    b = sh.select(
+        F.col("doc").alias("b_doc"), F.col("s").alias("s_b"), F.col("n_sh").alias("n_b")
+    )
     inter = (
         cands.join(a, F.col("doc_a") == F.col("a_doc"))
         .join(b, (F.col("doc_b") == F.col("b_doc")) & (F.col("s_a") == F.col("s_b")))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     from .textstats import round_half_up
 
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            round_half_up(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
-            ),
-        )
+    out = inter.withColumn(
+        "jaccard",
+        round_half_up(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+        ),
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
