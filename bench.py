@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_clusters_lsh",
     "dedup_clusters_portable",
+    "dedup_clusters_portable_hiband",
     "embedding_neardup_lsh",
     "embedding_neardup_portable",
     "unpivot_lineitem_measures",

@@ -202,6 +202,37 @@ def q_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "dedup_clusters_portable_hiband",
+    oracle=f"""
+    WITH RECURSIVE {_portable_minhash_sql(threshold=0.6, bands=16)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+    SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc
+    """,
+)
+def q_dedup_clusters_portable_hiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH -> exact-verify -> connected-components composition at a
+    SECOND banding configuration: 16 bands x 2 rows (high-recall regime,
+    S-curve threshold ~ (1/16)^(1/2) = 0.25) with verify at Jaccard >=
+    0.6 -- vs the default 8x4 / 0.7 of ``dedup_clusters_portable``
+    (r6 driver hash-green, CORRECTNESS_r06.json).  Two configurations
+    hash-verified end-to-end pin that the banding arithmetic, hot-bucket
+    guard, candidate join AND transitive closure stay engine-exact as
+    the band geometry changes, not just at one tuned point.  Same 100 TB
+    posture: cost ~ sum(bucket^2) per band; more bands buy recall with
+    linearly more bucket rows, never corpus^2."""
+    pairs = minhash_portable_lsh(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.6, bands=16
+    )
+    return connected_components(pairs)
+
+
 # The exact-Jaccard >= 0.7 pair set, shared by the dedup_clusters oracle:
 # pairs are a ratio of integer counts (bit-identical across engines), so
 # the edge set the recursive closure runs on is engine-independent.
