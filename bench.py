@@ -168,6 +168,11 @@ BENCH_QUERIES = [
     "event_lateness_audit",
     "docs_training_prep",
     "docs_training_prep_lsh",
+    "bfs_hops_part_supplier",
+    "snb_supplier_near_names",
+    "embedding_gram_fixedpoint",
+    "key_skew_audit",
+    "gini_order_value_by_segment",
 ]
 
 

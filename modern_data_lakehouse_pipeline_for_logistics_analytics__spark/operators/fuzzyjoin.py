@@ -129,3 +129,94 @@ def fuzzy_join(
         right_id,
         F.levenshtein(F.col(left_str), F.col(right_str)).alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    max_dist: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): sort records by a
+    blocking key, slide a window of ``window`` rows, verify each in-window
+    pair with exact ``levenshtein <= max_dist``.  The SECOND classic
+    entity-resolution blocking scheme next to ``fuzzy_join``'s deletion
+    neighborhoods: SNB catches near-dups whose edits fall OUTSIDE a
+    delete-d neighborhood (transposed words, long suffixes) as long as
+    the sort key still lands them near each other.  Output:
+    ``id_a, id_b, dist`` with rank(id_a) < rank(id_b).
+
+    Scale shape -- NO single-task global sort:
+
+      1. the global rank comes from the two-phase scheme
+         (``windows.range_partition_ids``): a monotone int64 proxy of
+         the key range-buckets rows as a pure function of the value,
+         per-bucket ``row_number`` + broadcast bucket offsets = exact
+         global rank (same scaffolding as ``global_ntile``);
+      2. the proxy is the first 7 bytes AFTER the corpus-wide longest
+         common prefix, big-endian -- monotone for ASCII keys (7 bytes
+         < 2^56 keeps the sign bit clear; the lcp strip stops a shared
+         literal prefix like 'supplier#' collapsing every row into one
+         range bucket).  lcp(min, max) == lcp of ALL rows, so it costs
+         one tiny min/max agg;
+      3. in-window candidates are ``window`` equi-joins on
+         ``rn_b = rn_a + k`` (an explode of sequence(1, window)), so the
+         candidate join shuffles (rank, id, key) rows -- never a
+         single-partition window over the corpus.
+
+    The ranking must be TOTAL for the pair set to be deterministic:
+    ties on the key fall back to ``id_col``.
+    """
+    spark = df.sparkSession
+    from .windows import range_partition_ids
+
+    key = F.lower(F.trim(F.col(key_col)))
+    src = df.select(F.col(id_col).alias("__id"), key.alias("__key"))
+    mm = src.agg(F.min("__key").alias("lo"), F.max("__key").alias("hi")).first()
+    lo, hi = mm["lo"] or "", mm["hi"] or ""
+    lcp = 0
+    while lcp < min(len(lo), len(hi)) and lo[lcp] == hi[lcp]:
+        lcp += 1
+    proxy = F.conv(
+        F.hex(
+            F.rpad(F.substring(F.col("__key"), lcp + 1, 7), 7, "\x00").cast("binary")
+        ),
+        16,
+        10,
+    ).cast("long")
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = range_partition_ids(src.withColumn("__px", proxy), "__px", P)
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__pid").orderBy("__key", "__id")
+    ranked = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("__rn", F.row_number().over(w) + F.col("__off"))
+        .select("__rn", "__id", "__key")
+    )
+    # CACHED: both sides of the window join read the ranked frame.
+    from .dedup import _cache_aged
+
+    ranked = _cache_aged("snb_ranked", ranked)
+    a = ranked.select(
+        F.col("__rn").alias("rn_a"), F.col("__id").alias("id_a"), F.col("__key").alias("k_a")
+    ).withColumn("__k", F.explode(F.sequence(F.lit(1), F.lit(window))))
+    b = ranked.select(
+        F.col("__rn").alias("rn_b"), F.col("__id").alias("id_b"), F.col("__key").alias("k_b")
+    )
+    pairs = a.join(b, F.col("rn_b") == F.col("rn_a") + F.col("__k"))
+    out = pairs.select(
+        "id_a", "id_b", F.levenshtein("k_a", "k_b").cast("long").alias("dist")
+    )
+    return out.filter(F.col("dist") <= max_dist)

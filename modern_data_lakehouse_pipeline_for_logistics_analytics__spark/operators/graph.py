@@ -266,3 +266,76 @@ def triangle_count(edges: DataFrame, lo: str = "lo", hi: str = "hi") -> DataFram
         .crossJoin(wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: min-hop distance from any seed, bounded by
+    ``max_depth``.  Output ``(node, dist)`` for every node reachable in
+    <= max_depth hops (seeds at dist 0).
+
+    Classic iterative min-relaxation: round k sets
+    ``dist(v) = min(dist(v), 1 + min over in-neighbors dist(u))``, so
+    after ``max_depth`` rounds every distance <= max_depth is exact
+    (monotone decreasing, unit edges).  Early exit when a round changes
+    nothing -- the fixpoint is already the bounded answer.  Distances
+    are integers, so the result is bit-identical on any engine/
+    partitioning -- a recursive CTE with UNION-dedup replays it in SQL.
+
+    Scale posture: per round one join keyed on the edge src (the cached
+    edge partitioning is reused across rounds) + one map-side-combinable
+    min.  Frontier rows are (node, int) pairs; ``localCheckpoint`` per
+    round caps plan growth, superseded checkpoints released -- the same
+    loop discipline as connected_components/pagerank.  max_depth bounds
+    work: this is the bounded-reachability primitive (ego networks,
+    blast-radius audits), not all-pairs.
+    """
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).cache()
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    try:
+        for _ in range(max_depth):
+            relaxed = (
+                e.join(dist, F.col("e_src") == F.col("node"))
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg((F.min("dist") + 1).alias("nd"))
+            )
+            stepped = (
+                dist.join(relaxed, "node", "full")
+                .select(
+                    "node",
+                    F.least(
+                        F.coalesce(F.col("dist"), F.col("nd")),
+                        F.coalesce(F.col("nd"), F.col("dist")),
+                    ).alias("dist"),
+                    (F.col("dist").isNull()).cast("long").alias("__new"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_new = stepped.agg(F.sum("__new")).first()[0] or 0
+            if prev is not None:
+                _unpersist_checkpoint(prev)
+            prev, dist = dist, stepped.drop("__new")
+            if not n_new:
+                # no node joined the reachable set this round; distances
+                # of already-reached nodes can still only have IMPROVED
+                # to their exact value in earlier rounds (unit edges:
+                # a node first reached in round k has exact dist k)
+                break
+    finally:
+        e.unpersist()
+    if prev is not None:
+        _unpersist_checkpoint(prev)
+    hold_pinned("graph.bfs", dist)
+    return dist

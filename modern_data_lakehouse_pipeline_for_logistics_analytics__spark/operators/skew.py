@@ -61,3 +61,39 @@ def salted_aggregate(
         F.sum("__n").alias("n_rows"),
         *[F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sum_cols],
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/agg-key skew audit: the histogram a planner (or an engineer
+    choosing between plain, broadcast, and salted joins) actually needs.
+    Groups keys into power-of-two frequency buckets and reports, per
+    bucket: how many distinct keys, how many rows they carry, and the
+    bucket's share of all rows in exact fixed-point (6dp half-up).  A
+    heavy-tail visible as high-bucket rows = salt or AQE-skew-join
+    territory; ``salted_join``'s docstring points here.
+
+    All integer arithmetic: ``bucket = bit_length(n) - 1`` (== floor
+    log2 without transcendental log -- length(bin(n)) - 1 in both
+    engines' SQL), shares are ratios of BIGINTs rounded with the repo
+    floor formula.  Two aggregates: per-key counts (one shuffle on the
+    key -- the thing being audited; map-side combine keeps it partial),
+    then a d<=64-group rollup.  Output: ``bucket, n_keys, n_rows,
+    rows_share`` ordered by bucket.
+    """
+    from .textstats import round_half_up
+
+    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bucket = (F.length(F.expr("bin(n)")) - 1).cast("long")
+    by_bucket = per_key.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    total = df.count()
+    return by_bucket.select(
+        "bucket",
+        "n_keys",
+        "n_rows",
+        round_half_up(F.col("n_rows") / F.lit(float(total)), 6).alias("rows_share"),
+    )

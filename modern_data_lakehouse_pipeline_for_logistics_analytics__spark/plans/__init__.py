@@ -61,6 +61,7 @@ def _load_all() -> None:
         "product_analytics",
         "trainprep",
         "coverage3",
+        "coverage4",
     ):
         try:
             __import__(f"{__name__}.{mod}")

@@ -1,0 +1,140 @@
+"""Operator-level tests for the round-8 widening batch: bounded BFS,
+sorted-neighborhood blocking, fixed-point Gram, key-skew audit, Gini.
+
+Each operator gets a HAND-COMPUTABLE case (the oracle queries prove
+fixture-scale parity; these prove the semantics a fixture might dodge --
+unreachable nodes, window edges, negative components, skew tails)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+    sorted_neighborhood_pairs,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+    bfs_distances,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+    gram_fixedpoint,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.skew import (
+    key_skew_profile,
+)
+
+
+# ------------------------------------------------------------------ BFS
+def test_bfs_hand_case_chain_and_unreachable(spark):
+    # 1 -> 2 -> 3 -> 4 -> 5, plus isolated 9; seeds {1}: depth 3 reaches 4.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_depth=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond depth, 9 unreachable
+
+
+def test_bfs_multi_source_takes_min(spark):
+    # seeds {1, 5} on the chain: node 3 is 2 hops from either side.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 4), (4, 3), (3, 2), (2, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_depth=10).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_early_exit_matches_full_depth(spark):
+    # a 3-node cycle converges in 2 rounds; max_depth 20 must early-exit
+    # to the same answer (fixpoint == bounded answer).
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    a = sorted(bfs_distances(edges, seeds, max_depth=20).collect())
+    b = sorted(bfs_distances(edges, seeds, max_depth=3).collect())
+    assert a == b == [(1, 0), (2, 1), (3, 2)]
+
+
+# ------------------------------------------------- sorted neighborhood
+def test_snb_matches_bruteforce_rank_window(spark):
+    """The two-phase distributed rank must produce EXACTLY the single
+    ROW_NUMBER pair set, including across range-bucket boundaries."""
+    rows = [(i, f"name {chr(97 + i % 23)}{i:04d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=4, max_dist=5).collect()
+    }
+    # brute force: rank in Python, same total order (lower(trim(key)), id)
+    ranked = sorted(rows, key=lambda r: (r[1].lower().strip(), r[0]))
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for x in range(len(ranked)):
+        for y in range(x + 1, min(x + 5, len(ranked))):
+            d = lev(ranked[x][1].lower(), ranked[y][1].lower())
+            if d <= 5:
+                want.add((ranked[x][0], ranked[y][0], d))
+    assert got == want
+
+
+def test_snb_no_single_partition_window(spark, sf_dir):
+    """The global rank must never plan a SinglePartition window -- that
+    is the whole point of the two-phase scheme."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("key")
+    )
+    out = sorted_neighborhood_pairs(sup, "id", "key", window=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+# ------------------------------------------------------------- gram
+def test_gram_matches_numpy(spark):
+    import numpy as np
+
+    rng = [[(-1) ** (i + j) * ((i * 7 + j * 3) % 11) / 11.0 for j in range(5)]
+           for i in range(40)]
+    df = spark.createDataFrame([(r,) for r in rng], "embedding array<float>")
+    got = {(r["i"], r["j"]): r["gram_fp"] for r in gram_fixedpoint(df, scale=1000).collect()}
+    x = np.array(rng, dtype=np.float32).astype(np.float64)
+    xf = np.floor(x * 1000 + 0.5).astype(np.int64)
+    g = xf.T @ xf
+    want = {(i, j): int(g[i, j]) for i in range(5) for j in range(i, 5)}
+    assert got == want
+
+
+def test_gram_single_aggregate_no_join(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = gram_fixedpoint(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "gram must be an aggregate, never a self-join"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------- skew
+def test_key_skew_profile_hand_case(spark):
+    # key a x1 (bucket 0), b x2, c x3 (bucket 1), d x8 (bucket 3)
+    rows = [("a",)] + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 8
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["bucket"]: (r["n_keys"], r["n_rows"], r["rows_share"])
+           for r in key_skew_profile(df, "k").collect()}
+    assert got[0] == (1, 1, round(1 / 14, 6))
+    assert got[1] == (2, 5, round(5 / 14, 6))
+    assert got[3] == (1, 8, round(8 / 14, 6))
+    assert set(got) == {0, 1, 3}
