@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "embedding_gram_fixedpoint",
     "key_skew_audit",
     "gini_order_value_by_segment",
+    "text_bigram_logprob",
+    "text_repetition_audit",
+    "train_weighted_sample",
 ]
 
 

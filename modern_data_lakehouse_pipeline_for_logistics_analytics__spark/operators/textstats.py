@@ -203,3 +203,108 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.avg("s"), 6).alias("avg_surprisal"),
         )
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram negative log-probability under the
+    corpus's own add-one-smoothed bigram LM -- the next model up from
+    ``unigram_surprisal`` in the CCNet-style quality ladder (a real
+    pipeline swaps in a pretrained KenLM; the plan shape is identical).
+
+    ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 .) + V)`` with V = corpus
+    vocabulary size; score = mean over the doc's bigrams of ``-ln P``.
+
+    Determinism: each bigram's ``-ln P`` is quantized to 1e-9 units
+    (floor half-up) BEFORE the per-doc mean, so the document sum is
+    exact BIGINT arithmetic under ANY partitioning -- unlike a float
+    ``avg``, whose partial-sum order is engine- and partition-dependent.
+    Only the final sum/count ratio crosses back into doubles.
+
+    Shape: bigrams come from ONE in-row ``arrays_zip(slice, slice)``
+    expansion (codegen, no position self-join); then three map-side
+    combinable aggregates (bigram counts, context counts, per-doc mean)
+    and two hash joins on the bigram/context keys.  Output:
+    ``<id>, n_bigrams, avg_logprob`` (6dp).
+    """
+    from .dedup import tokenize
+
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__ts"))
+    n = F.size("__ts")
+    pairs = toks.filter(n >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("__ts", 1, n - 1).alias("w1"),
+                F.expr("slice(__ts, 2, size(__ts) - 1)").alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    vocab = (
+        df.select(F.explode(tokenize(text_col)).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+        .first()["v"]
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cbg"))
+    cw = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cctx"))
+    p = (F.col("cbg") + 1).cast("double") / (F.col("cctx") + F.lit(vocab)).cast("double")
+    scored = cb.join(cw, "w1").select(
+        "w1", "w2",
+        F.floor(-F.log(p) * 1_000_000_000 + F.lit(0.5)).cast("long").alias("s_fp"),
+    )
+    agg = (
+        pairs.join(scored, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("s_fp").cast("long").alias("sum_fp"),
+        )
+    )
+    avg = F.col("sum_fp").cast("double") / (
+        F.col("n_bigrams").cast("double") * 1_000_000_000.0
+    )
+    return agg.select(id_col, "n_bigrams", round_half_up(avg, 6).alias("avg_logprob"))
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, flag_ratio: float = 0.02
+) -> DataFrame:
+    """C4-style repetition filter feature: per document, the share of
+    trigram INSTANCES taken by the single most repeated trigram
+    (multiset counts -- NOT the deduped shingle sets the Jaccard family
+    uses; repetition is precisely what dedup throws away).  Boilerplate
+    and looping generations show a dominant repeated n-gram; natural
+    prose stays near 1/n_grams.
+
+    Pure codegen: one in-row window expansion (no distinct), one
+    (doc, gram) count, one per-doc max/sum rollup; ratios exact via the
+    floor half-up formula.  Output: ``<id>, n_grams, top_count,
+    rep_ratio, is_repetitive`` (flag as int for portable hashing).
+    """
+    from .dedup import tokenize
+
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__ts"))
+    idx = F.sequence(F.lit(0), F.size("__ts") - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__ts", (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    g = toks.filter(F.size("__ts") >= n).select(
+        F.col(id_col), F.explode(grams).alias("g")
+    )
+    counts = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    ratio = round_half_up(
+        F.col("top_count").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "top_count",
+        ratio.alias("rep_ratio"),
+        (ratio >= flag_ratio).cast("long").alias("is_repetitive"),
+    )

@@ -354,3 +354,35 @@ def chunk_documents(
         F.size(F.col("chunk_toks")).cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weight-biased top-k sample: priority =
+    ``portable_hash(id) div weight`` (integer division), keep the k
+    smallest.  A document with twice the weight halves its priority
+    scale, so expected inclusion grows ~linearly with weight -- the
+    linearized stand-in for Efraimidis-Spirakis exponential priorities
+    (``-ln(u)/w``), whose transcendental pow/ln would put the hash
+    contract at the mercy of libm.  All-integer arithmetic: the sample
+    is bit-identical on any engine and REPRODUCIBLE run-to-run -- the
+    property a training-data pipeline needs from its sampling stage
+    (re-runs must emit the same corpus).
+
+    One scan + TakeOrderedAndProject (no global sort); rows with
+    non-positive or NULL weight are excluded (documented, loud in the
+    row count).  Output: ``<id>, <weight>, priority``.
+    """
+    hashed = df.filter(F.col(weight_col) > 0).select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        portable_base_hash(F.col(id_col).cast("string")).alias("__h"),
+    )
+    return (
+        hashed.select(
+            id_col, weight_col, F.expr(f"__h div {weight_col}").alias("priority")
+        )
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

@@ -255,3 +255,126 @@ def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.lit(2) * F.col("t") - (F.col("n") + 1) * F.col("s")).cast("double")
     den = (F.col("n") * F.col("s")).cast("double")
     return a.select("seg", "n", round_half_up(num / den, 6).alias("gini"))
+
+
+# --------------------------------------------------------------------------
+# Bigram LM quality score (next rung after unigram surprisal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([ts[i] for i in range(1, len(ts))]) AS w1,
+             unnest([ts[i + 1] for i in range(1, len(ts))]) AS w2
+      FROM tok WHERE len(ts) >= 2),
+    vocab AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM tok)),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY 1, 2),
+    cw AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cctx FROM bg GROUP BY 1),
+    scored AS (
+      SELECT cb.w1, cb.w2,
+             CAST(FLOOR(-ln(CAST(cbg + 1 AS DOUBLE) / CAST(cctx + vocab.v AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS s_fp
+      FROM cb JOIN cw ON cw.w1 = cb.w1 CROSS JOIN vocab),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(s_fp) AS BIGINT) AS sum_fp
+      FROM bg JOIN scored ON scored.w1 = bg.w1 AND scored.w2 = bg.w2
+      GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           CAST(FLOOR((CAST(sum_fp AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000000.0))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS avg_logprob
+    FROM agg
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram -ln P under the corpus's add-one-smoothed
+    bigram LM (`operators/textstats.py::bigram_logprob`): the quality
+    rung above `text_unigram_surprisal`.  Each bigram's log-prob is
+    quantized to 1e-9 units BEFORE the per-doc mean, so the document
+    sums are exact BIGINT under any partitioning -- the float-avg
+    order-dependence the unigram query tolerates is engineered out
+    here."""
+    from ..operators.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Repetition-ratio quality feature
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                     for i in range(1, len(ts) - 1)]) AS g
+      FROM tok WHERE len(ts) >= 3),
+    counts AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id, n_grams, top_count,
+           CAST(FLOOR((CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS rep_ratio,
+           CAST(CAST(FLOOR((CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 >= 0.02 AS BIGINT) AS is_repetitive
+    FROM per_doc
+    """,
+)
+def q_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repetition feature: share of trigram INSTANCES held by
+    each doc's single most repeated trigram, multiset counts (what the
+    dedup family's distinct shingles deliberately discard), exact 6dp
+    ratio + flag (`operators/textstats.py::repetition_profile`)."""
+    from ..operators.textstats import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling
+# --------------------------------------------------------------------------
+
+_WSAMPLE_K = 500
+
+
+@register(
+    "train_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 15)) AS BIGINT)
+             // CAST(n_chars AS BIGINT) AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic top-k document sample
+    (`operators/trainprep.py::weighted_sample`): priority =
+    portable_hash(id) div weight, k smallest -- the all-integer
+    linearization of Efraimidis-Spirakis that keeps the sampling stage
+    reproducible AND hash-verifiable (a training pipeline re-run must
+    emit the identical corpus).  Plans as one scan +
+    TakeOrderedAndProject; no global sort."""
+    from ..operators.trainprep import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=_WSAMPLE_K
+    )

@@ -138,3 +138,90 @@ def test_key_skew_profile_hand_case(spark):
     assert got[1] == (2, 5, round(5 / 14, 6))
     assert got[3] == (1, 8, round(8 / 14, 6))
     assert set(got) == {0, 1, 3}
+
+
+# ------------------------------------------------------- bigram LM
+def test_bigram_logprob_hand_case(spark):
+    """2-doc corpus, hand-computed add-one bigram LM."""
+    import math
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    # doc1: "a b a b" -> bigrams (a,b) (b,a) (a,b); doc2: "a b" -> (a,b)
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in bigram_logprob(df, "doc_id", "text").collect()}
+    V = 2  # vocab {a, b}
+    # contexts: a appears as w1 3x, b 1x; bigram counts: (a,b)=3, (b,a)=1
+    p_ab = (3 + 1) / (3 + V)
+    p_ba = (1 + 1) / (1 + V)
+    fp = lambda p: math.floor(-math.log(p) * 1e9 + 0.5)
+    exp1 = math.floor(((fp(p_ab) * 2 + fp(p_ba)) / (3 * 1e9)) * 1e6 + 0.5) / 1e6
+    exp2 = math.floor((fp(p_ab) / 1e9) * 1e6 + 0.5) / 1e6
+    assert got[1] == (3, exp1)
+    assert got[2] == (1, exp2)
+
+
+def test_bigram_logprob_short_docs_dropped(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words here")], "doc_id long, text string"
+    )
+    got = bigram_logprob(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in got} == {2}  # 1-token doc has no bigram
+
+
+# ------------------------------------------------------- repetition
+def test_repetition_profile_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        repetition_profile,
+    )
+
+    # "x y z x y z x y z" -> 7 trigram instances, "x y z" occurs 3x
+    df = spark.createDataFrame(
+        [(1, "x y z x y z x y z"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["top_count"], r["rep_ratio"], r["is_repetitive"])
+           for r in repetition_profile(df, "doc_id", "text", flag_ratio=0.4).collect()}
+    assert got[1] == (7, 3, 0.428571, 1)  # floor(3/7 * 1e6 + 0.5) / 1e6
+    assert got[2] == (3, 1, 0.333333, 0)
+
+
+# ------------------------------------------------------- weighted sample
+def test_weighted_sample_deterministic_and_filtered(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(100)] + [(1000, 0), (1001, -5)],
+        "doc_id long, w long",
+    )
+    a = [tuple(r) for r in weighted_sample(df, "doc_id", "w", k=10).collect()]
+    b = [tuple(r) for r in weighted_sample(df, "doc_id", "w", k=10).collect()]
+    assert a == b  # reproducible
+    assert len(a) == 10
+    assert all(r[1] > 0 for r in a)  # non-positive weights excluded
+    # priorities are sorted ascending with id tie-break
+    ps = [(r[2], r[0]) for r in a]
+    assert ps == sorted(ps)
+
+
+def test_weighted_sample_bias_toward_heavy(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        weighted_sample,
+    )
+
+    # half the ids have weight 100, half weight 1: the heavy half should
+    # dominate a k=100 sample from 1000 candidates.
+    df = spark.createDataFrame(
+        [(i, 100 if i % 2 == 0 else 1) for i in range(1000)], "doc_id long, w long"
+    )
+    got = weighted_sample(df, "doc_id", "w", k=100).collect()
+    heavy = sum(1 for r in got if r["w"] == 100)
+    assert heavy > 80
