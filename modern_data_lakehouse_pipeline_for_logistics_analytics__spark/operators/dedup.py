@@ -806,13 +806,25 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
 # Thread-safety: every mutation of the two registries happens under
 # ``_cache_lock`` (RLock: release_caches() runs hooks that may call
 # release_pinned), so concurrent pipelines can interleave without
-# corrupting the dicts or double-unpersisting a frame.  Two threads
-# racing on the SAME key over DIFFERENT inputs still thrash each other's
-# cached frame -- correctness is unaffected (cache() is an optimization)
-# and the registry stays bounded, but the promised reuse is defeated;
-# give concurrent pipelines distinct keys if that matters.  Long-lived
-# sessions that finish a batch of dedup/similarity work should call
-# release_caches() to return pinned storage memory to the execution pool.
+# corrupting the dicts or double-unpersisting a frame.  The guarantees
+# differ by registry (r8 review):
+#
+# - ``_sig_caches`` (plain .cache()): two threads racing on the SAME key
+#   over DIFFERENT inputs thrash each other's entry -- cache() is an
+#   optimization, so that costs recomputes, never wrong results, and
+#   ``_cache_aged`` unpersists exactly the frame it displaces from the
+#   registry, so no cached frame becomes unreachable.
+# - ``_pinned_finals`` (localCheckpoint-backed): a checkpoint IS its
+#   frame's data (lineage truncated), so a same-key race unpersists a
+#   checkpoint another thread's still-running job needs -- that job
+#   FAILS with missing blocks.  Concurrent same-operator runs that pin
+#   finals (frequent_pairs, pagerank, bfs) are therefore UNSUPPORTED
+#   from separate threads; serialize them or consume the result before
+#   the next run starts.  Distinct operators are safe (per-key slots).
+#
+# Long-lived sessions that finish a batch of dedup/similarity work
+# should call release_caches() to return pinned storage memory to the
+# execution pool.
 _cache_lock = threading.RLock()
 _sig_caches: dict[str, DataFrame] = {}
 
@@ -908,21 +920,26 @@ def _cache_aged(key: str, df: DataFrame) -> DataFrame:
     """Cache ``df`` under ``key``, unpersisting the previous holder of the
     key when it came from a different logical plan (see ``_sig_caches``).
 
-    The registry swap happens under ``_cache_lock``; the superseded
-    frame's unpersist runs OUTSIDE it (it's a JVM call that can take
-    milliseconds and needs no registry state).  ``_same_plan`` is also
-    evaluated outside: worst case a racing thread swaps the key between
-    the check and the swap, and the loser unpersists a frame the winner
-    just cached -- cache() is an optimization, so that costs a recompute,
-    never a wrong result, and the registry itself stays consistent."""
-    prev = _sig_caches.get(key)
-    stale = prev is not None and not _same_plan(prev, df)
+    The swap reads AND replaces the registry entry under ``_cache_lock``,
+    and the caller unpersists exactly the frame IT displaced -- never a
+    stale read from before the lock.  (The r8 review found the
+    check-outside-lock version leaked: two threads could both read the
+    same old entry, both displace, and the first writer's fresh cache
+    became unreachable forever.)  The unpersist itself and the
+    ``_same_plan`` probe run OUTSIDE the lock -- they are py4j calls that
+    can take milliseconds and need no registry state.  A racing thread
+    may still displace this thread's frame before its action runs; that
+    costs a recompute (cache() is an optimization), never a wrong result
+    or a leak.  Displacing a SAME-plan frame keeps it persisted: Spark's
+    CacheManager dedups sameResult plans onto one entry, so unpersisting
+    the displaced twin would also drop the winner's data."""
     df = df.cache()
     with _cache_lock:
+        displaced = _sig_caches.get(key)
         _sig_caches[key] = df
-    if stale:
+    if displaced is not None and displaced is not df and not _same_plan(displaced, df):
         try:
-            prev.unpersist()
+            displaced.unpersist()
         except Exception:
             pass  # best-effort: a leak here degrades memory, not correctness
     return df

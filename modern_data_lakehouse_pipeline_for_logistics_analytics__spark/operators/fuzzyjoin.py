@@ -167,13 +167,20 @@ def sorted_neighborhood_pairs(
          single-partition window over the corpus.
 
     The ranking must be TOTAL for the pair set to be deterministic:
-    ties on the key fall back to ``id_col``.
+    ties on the key fall back to ``id_col``.  Rows with a NULL key are
+    EXCLUDED -- a NULL blocking key cannot be meaningfully sorted next
+    to anything, and engines disagree on where NULLs rank (Spark windows
+    default NULLS FIRST, DuckDB ORDER BY defaults NULLS LAST), so
+    including them would silently shift every downstream window pair
+    (r8 review finding).
     """
     spark = df.sparkSession
     from .windows import range_partition_ids
 
     key = F.lower(F.trim(F.col(key_col)))
-    src = df.select(F.col(id_col).alias("__id"), key.alias("__key"))
+    src = df.select(F.col(id_col).alias("__id"), key.alias("__key")).filter(
+        F.col("__key").isNotNull()
+    )
     mm = src.agg(F.min("__key").alias("lo"), F.max("__key").alias("hi")).first()
     lo, hi = mm["lo"] or "", mm["hi"] or ""
     lcp = 0

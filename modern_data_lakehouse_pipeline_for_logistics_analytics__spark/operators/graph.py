@@ -297,13 +297,19 @@ def bfs_distances(
     blast-radius audits), not all-pairs.
     """
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).cache()
-    dist = (
+    # Lifecycle bookkeeping tracks the CHECKPOINT FRAMES themselves, never
+    # a projection over one: _unpersist_checkpoint/hold_pinned inspect the
+    # analyzed plan for a bare LogicalRDD, so a `.drop()` view would make
+    # every release a silent no-op and leak one frontier frame per round
+    # (r8 review finding).  `dist` below is always a thin view over `ckpt`.
+    ckpt = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    prev = None
+    dist = ckpt
+    prev_ckpt = None
     try:
         for _ in range(max_depth):
             relaxed = (
@@ -311,7 +317,7 @@ def bfs_distances(
                 .groupBy(F.col("e_dst").alias("node"))
                 .agg((F.min("dist") + 1).alias("nd"))
             )
-            stepped = (
+            stepped_ckpt = (
                 dist.join(relaxed, "node", "full")
                 .select(
                     "node",
@@ -323,10 +329,11 @@ def bfs_distances(
                 )
                 .localCheckpoint(eager=True)
             )
-            n_new = stepped.agg(F.sum("__new")).first()[0] or 0
-            if prev is not None:
-                _unpersist_checkpoint(prev)
-            prev, dist = dist, stepped.drop("__new")
+            n_new = stepped_ckpt.agg(F.sum("__new")).first()[0] or 0
+            if prev_ckpt is not None:
+                _unpersist_checkpoint(prev_ckpt)
+            prev_ckpt, ckpt = ckpt, stepped_ckpt
+            dist = stepped_ckpt.drop("__new")
             if not n_new:
                 # no node joined the reachable set this round; distances
                 # of already-reached nodes can still only have IMPROVED
@@ -335,7 +342,7 @@ def bfs_distances(
                 break
     finally:
         e.unpersist()
-    if prev is not None:
-        _unpersist_checkpoint(prev)
-    hold_pinned("graph.bfs", dist)
+    if prev_ckpt is not None:
+        _unpersist_checkpoint(prev_ckpt)
+    hold_pinned("graph.bfs", ckpt)
     return dist

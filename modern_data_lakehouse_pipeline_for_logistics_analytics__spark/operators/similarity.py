@@ -700,6 +700,7 @@ def gram_fixedpoint(
     df: DataFrame,
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Fixed-point Gram matrix of an embedding column: for every
     dimension pair (i <= j), ``gram_fp = Σ_rows vf[i] * vf[j]`` where
@@ -728,7 +729,18 @@ def gram_fixedpoint(
     """
     from .dedup import _spread
 
-    d = len(df.select(vec_col).first()[0])
+    # ``dim``: pass the known vector width (the plan layer does); the
+    # probe fallback costs a driver job and raises cleanly on an empty
+    # table / NULL first vector instead of TypeError-ing (r8 review).
+    if dim is None:
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                f"gram_fixedpoint: cannot infer dim from an empty table or "
+                f"NULL leading {vec_col!r}; pass dim= explicitly"
+            )
+        dim = len(head[0])
+    d = dim
     # A small-SF embedding table often arrives as ONE parquet file; the
     # d^2/2-cell expansion would then run in one task.  _spread widens
     # narrow scans only -- a 100 TB table with thousands of files passes

@@ -75,25 +75,33 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     All integer arithmetic: ``bucket = bit_length(n) - 1`` (== floor
     log2 without transcendental log -- length(bin(n)) - 1 in both
     engines' SQL), shares are ratios of BIGINTs rounded with the repo
-    floor formula.  Two aggregates: per-key counts (one shuffle on the
-    key -- the thing being audited; map-side combine keeps it partial),
-    then a d<=64-group rollup.  Output: ``bucket, n_keys, n_rows,
-    rows_share`` ordered by bucket.
+    floor formula.  Two aggregates, ONE scan of ``df``: per-key counts
+    (one shuffle on the key -- the thing being audited; map-side combine
+    keeps it partial), then a <=64-group rollup.  The row total is the
+    SUM over the bucket rollup (a broadcast 1-row cross join), never a
+    second scan of the fact table -- the audit target is by definition
+    the biggest table in the job (r8 review finding).  Output:
+    ``bucket, n_keys, n_rows, rows_share`` ordered by bucket.
     """
+    from .dedup import _cache_aged
     from .textstats import round_half_up
 
     per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
         F.count(F.lit(1)).alias("n")
     )
     bucket = (F.length(F.expr("bin(n)")) - 1).cast("long")
-    by_bucket = per_key.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum("n").cast("long").alias("n_rows"),
+    # Cached: the <=64-row rollup feeds both the total and the output.
+    by_bucket = _cache_aged(
+        "skew_buckets",
+        per_key.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+        ),
     )
-    total = df.count()
-    return by_bucket.select(
+    total = by_bucket.agg(F.sum("n_rows").cast("double").alias("__total"))
+    return by_bucket.crossJoin(F.broadcast(total)).select(
         "bucket",
         "n_keys",
         "n_rows",
-        round_half_up(F.col("n_rows") / F.lit(float(total)), 6).alias("rows_share"),
+        round_half_up(F.col("n_rows") / F.col("__total"), 6).alias("rows_share"),
     )

@@ -223,12 +223,16 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Shape: bigrams come from ONE in-row ``arrays_zip(slice, slice)``
     expansion (codegen, no position self-join); then three map-side
     combinable aggregates (bigram counts, context counts, per-doc mean)
-    and two hash joins on the bigram/context keys.  Output:
-    ``<id>, n_bigrams, avg_logprob`` (6dp).
+    and two hash joins on the bigram/context keys.  The token-array
+    frame and the pair frame are keyed/aged caches: without them the
+    scan+tokenize pipeline would run once per consumer (four times --
+    r8 review finding).  Output: ``<id>, n_bigrams, avg_logprob`` (6dp).
     """
-    from .dedup import tokenize
+    from .dedup import _cache_aged, tokenize
 
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("__ts"))
+    toks = _cache_aged(
+        "bigram_toks", df.select(F.col(id_col), tokenize(text_col).alias("__ts"))
+    )
     n = F.size("__ts")
     pairs = toks.filter(n >= 2).select(
         F.col(id_col),
@@ -239,8 +243,9 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = _cache_aged("bigram_pairs", pairs)
     vocab = (
-        df.select(F.explode(tokenize(text_col)).alias("t"))
+        toks.select(F.explode("__ts").alias("t"))
         .agg(F.countDistinct("t").alias("v"))
         .first()["v"]
     )

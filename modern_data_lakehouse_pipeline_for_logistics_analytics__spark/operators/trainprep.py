@@ -370,18 +370,23 @@ def weighted_sample(
     property a training-data pipeline needs from its sampling stage
     (re-runs must emit the same corpus).
 
-    One scan + TakeOrderedAndProject (no global sort); rows with
-    non-positive or NULL weight are excluded (documented, loud in the
-    row count).  Output: ``<id>, <weight>, priority``.
+    One scan + TakeOrderedAndProject (no global sort); rows whose weight
+    is NULL or non-positive AFTER the integer cast are excluded (a
+    fractional weight in (0, 1) truncates to 0 and would otherwise
+    divide-to-NULL and sort FIRST -- r8 review finding; quantize
+    fractional weights before calling).  Output: ``<id>, <weight>,
+    priority``.
     """
-    hashed = df.filter(F.col(weight_col) > 0).select(
+    hashed = df.select(
         F.col(id_col),
-        F.col(weight_col).cast("long").alias(weight_col),
+        F.col(weight_col).cast("long").alias("__w"),
         portable_base_hash(F.col(id_col).cast("string")).alias("__h"),
-    )
+    ).filter(F.col("__w") > 0)
     return (
         hashed.select(
-            id_col, weight_col, F.expr(f"__h div {weight_col}").alias("priority")
+            id_col,
+            F.col("__w").alias(weight_col),
+            F.expr("__h div __w").alias("priority"),
         )
         .orderBy("priority", id_col)
         .limit(k)

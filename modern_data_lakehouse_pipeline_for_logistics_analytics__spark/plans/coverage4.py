@@ -164,7 +164,7 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic, so DuckDB reproduces all 2,080 cells
     bit-for-bit (`operators/similarity.py::gram_fixedpoint`)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return gram_fixedpoint(emb, "embedding", scale=_GRAM_SCALE)
+    return gram_fixedpoint(emb, "embedding", scale=_GRAM_SCALE, dim=_GRAM_DIM)
 
 
 # --------------------------------------------------------------------------
@@ -177,7 +177,7 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pk AS (
       SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
-    t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM lineitem),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM pk),
     b AS (
       SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n_keys,

@@ -225,3 +225,71 @@ def test_weighted_sample_bias_toward_heavy(spark):
     got = weighted_sample(df, "doc_id", "w", k=100).collect()
     heavy = sum(1 for r in got if r["w"] == 100)
     assert heavy > 80
+
+
+# ------------------------------------------------- r8 review regressions
+def test_bfs_pins_the_checkpoint_frame_itself(spark):
+    """The pinned final must be the bare LogicalRDD checkpoint, not a
+    projection over it -- otherwise release is a silent no-op and every
+    round leaks (r8 review finding 1)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import (
+        dedup as dmod,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    bfs_distances(edges, seeds, max_depth=2).count()
+    pinned = dmod._pinned_finals.get("graph.bfs")
+    assert pinned is not None
+    plan = pinned._jdf.queryExecution().analyzed()
+    assert plan.getClass().getSimpleName() == "LogicalRDD", (
+        "graph.bfs pins a non-checkpoint frame; _unpersist_checkpoint "
+        "cannot release it"
+    )
+    dmod.release_caches()
+    assert "graph.bfs" not in dmod._pinned_finals
+
+
+def test_weighted_sample_fractional_weights_excluded(spark):
+    """Weights in (0,1) truncate to 0 on the long cast and must be
+    EXCLUDED, not divide-to-NULL and sort first (r8 review finding 2)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 5.0), (4, 2.0)], "doc_id long, w double"
+    )
+    got = weighted_sample(df, "doc_id", "w", k=10).collect()
+    assert {r["doc_id"] for r in got} == {3, 4}
+    assert all(r["priority"] is not None for r in got)
+
+
+def test_gram_empty_and_null_raise_cleanly(spark):
+    empty = spark.createDataFrame([], "embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        gram_fixedpoint(empty)
+    # explicit dim makes the empty table a valid (0-row) result
+    assert gram_fixedpoint(empty, dim=3).count() == 0
+
+
+def test_key_skew_single_scan(spark, sf_dir):
+    """The row total must come from the cached bucket rollup, not a
+    second scan of the audited table (r8 review finding 6): both the
+    output branch and the total branch must read InMemoryTableScan (the
+    FileScan strings in the plan sit inside the InMemoryRelation's
+    cached-plan description -- the file is scanned once, when the cache
+    materializes)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = key_skew_profile(li, "l_partkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "bucket rollup is not shared via cache; the fact table would be "
+        "scanned once per consumer"
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        release_caches,
+    )
+
+    out.count()
+    release_caches()
