@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "text_repetition_audit",
     "train_weighted_sample",
+    "pca_power_iteration_topvec",
+    "sql_lateral_top2_per_segment",
 ]
 
 

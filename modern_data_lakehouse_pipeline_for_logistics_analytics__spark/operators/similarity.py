@@ -762,3 +762,82 @@ def gram_fixedpoint(
         )
         .agg(F.sum("c.p").alias("gram_fp"))
     )
+
+
+def power_iteration_topvec(
+    cells: DataFrame,
+    iterations: int = 6,
+    gram_div: int = 1_000_000,
+    vec_scale: int = 1_000_000,
+) -> DataFrame:
+    """Dominant eigenvector of a symmetric matrix given as upper-triangle
+    ``(i, j, gram_fp)`` cells (the ``gram_fixedpoint`` output) -- the
+    PCA top component, by power iteration in EXACT integer arithmetic:
+
+        g      = gram_fp div gram_div          (matrix, int64)
+        v_0    = vec_scale everywhere
+        w      = G v_t                         (exact BIGINT matvec)
+        v_t+1  = w div greatest(1, max|w| div vec_scale)
+
+    so every iterate is bit-identical on any engine/partitioning -- the
+    fourth hash-verified iterative fixed point next to PageRank, CC and
+    BFS.  Float power iteration can never hash-match (order-dependent
+    sums); the div-renormalization keeps |v| <= vec_scale, bounding
+    every product at |g|max * vec_scale * d < 2^63 for any realistic
+    Gram (the caller's gram_div controls |g|max).
+
+    Scale: the matvec joins the d^2-cell matrix (distributed, cached)
+    with the d-row vector; per-iteration cost is one join + one
+    map-side-combinable sum + one 1-row max -- independent of the corpus
+    rows that built the Gram.  Each round's ``w`` is eagerly
+    localCheckpoint-ed (the CC/PageRank/BFS loop discipline): ``w``
+    feeds BOTH the max subquery and the renormalized vector, so an
+    uncheckpointed loop embeds TWO copies of the previous round per
+    round -- a 2^k plan blowup that measured 24s for 6 rounds at sf0.1
+    versus ~1s checkpointed.  Superseded checkpoints are released; the
+    final one is pinned under ``similarity.power``.
+
+    Output: ``(node, eigvec_fp)`` -- components in vec_scale units, the
+    dominant component at +-vec_scale.
+    """
+    from .dedup import _unpersist_checkpoint, hold_pinned
+    full = cells.select(
+        F.col("i").alias("fi"),
+        F.col("j").alias("fj"),
+        F.expr(f"gram_fp div {gram_div}").alias("g"),
+    ).unionByName(
+        cells.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("fi"),
+            F.col("i").alias("fj"),
+            F.expr(f"gram_fp div {gram_div}").alias("g"),
+        )
+    )
+    from .dedup import _cache_aged
+
+    full = _cache_aged("power_cells", full)
+    v = full.select(F.col("fi").alias("node")).distinct().withColumn(
+        "val", F.lit(vec_scale).cast("long")
+    )
+    prev_ckpt = None
+    for _ in range(iterations):
+        w_ckpt = (
+            full.join(v, full["fj"] == v["node"])
+            .groupBy(F.col("fi").alias("wnode"))
+            .agg(F.sum(F.col("g") * F.col("val")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        if prev_ckpt is not None:
+            _unpersist_checkpoint(prev_ckpt)  # successor materialized; safe
+        prev_ckpt = w_ckpt
+        m = w_ckpt.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"max(abs(w)) div {vec_scale}"),
+            ).alias("__m")
+        )
+        v = w_ckpt.crossJoin(F.broadcast(m)).select(
+            F.col("wnode").alias("node"), F.expr("w div __m").alias("val")
+        )
+    if prev_ckpt is not None:
+        hold_pinned("similarity.power", prev_ckpt)
+    return v.select("node", F.col("val").alias("eigvec_fp"))

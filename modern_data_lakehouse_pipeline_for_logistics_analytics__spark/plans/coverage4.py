@@ -378,3 +378,101 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         _t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=_WSAMPLE_K
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component: power iteration over the fixed-point Gram
+# --------------------------------------------------------------------------
+
+_POWER_ITERS = 6
+_POWER_GDIV = 1_000_000
+_POWER_VSCALE = 1_000_000
+
+
+def _power_sql() -> str:
+    """Unrolled power-iteration CTE chain (recursive CTEs cannot aggregate
+    over the recursive table, so the fixed iteration count unrolls --
+    same pattern as the PageRank oracle)."""
+    gram_inner = f"""
+      SELECT gi.i AS i, gj.j AS j, CAST(SUM(vf[gi.i + 1] * vf[gj.j + 1]) AS BIGINT) AS gram_fp
+      FROM (SELECT list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5) AS BIGINT)) AS vf
+            FROM embeddings) v
+      CROSS JOIN (SELECT unnest(generate_series(0, {_GRAM_DIM - 1})) AS i) gi
+      CROSS JOIN (SELECT unnest(generate_series(0, {_GRAM_DIM - 1})) AS j) gj
+      WHERE gj.j >= gi.i
+      GROUP BY gi.i, gj.j"""
+    ctes = [
+        f"cells AS ({gram_inner})",
+        f"""fullm AS (
+      SELECT i AS fi, j AS fj, gram_fp // {_POWER_GDIV} AS g FROM cells
+      UNION ALL
+      SELECT j, i, gram_fp // {_POWER_GDIV} FROM cells WHERE i <> j)""",
+        f"v0 AS (SELECT DISTINCT fi AS node, CAST({_POWER_VSCALE} AS BIGINT) AS val FROM fullm)",
+    ]
+    for t in range(1, _POWER_ITERS + 1):
+        ctes.append(
+            f"""w{t} AS (
+      SELECT f.fi AS node, CAST(SUM(f.g * v.val) AS BIGINT) AS w
+      FROM fullm f JOIN v{t - 1} v ON v.node = f.fj GROUP BY f.fi)"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+      SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(w)) // {_POWER_VSCALE}) AS d FROM w{t})"""
+        )
+        ctes.append(
+            f"v{t} AS (SELECT node, w // m{t}.d AS val FROM w{t} CROSS JOIN m{t})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, val AS eigvec_fp FROM v{_POWER_ITERS}"
+    )
+
+
+@register("pca_power_iteration_topvec", oracle=_power_sql())
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top component of the embedding table: the hash-verified Gram
+    (X^T X) feeds ``power_iteration_topvec`` -- 6 rounds of exact-BIGINT
+    matvec + div-renormalization, the repo's FOURTH hash-verified
+    iterative fixed point (PageRank, CC, BFS, now PCA).  The corpus-sized
+    work is the one-pass Gram build; each iteration then costs d^2-cell
+    join + sum, independent of rows -- the 100 TB PCA recipe.  DuckDB
+    replays all 6 iterations as unrolled CTEs, bit-for-bit."""
+    from ..operators.similarity import power_iteration_topvec
+
+    cells = gram_fixedpoint(
+        _t(spark, sf_dir, "embeddings"), "embedding", scale=_GRAM_SCALE, dim=_GRAM_DIM
+    )
+    return power_iteration_topvec(
+        cells,
+        iterations=_POWER_ITERS,
+        gram_div=_POWER_GDIV,
+        vec_scale=_POWER_VSCALE,
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL surface: correlated LATERAL derived table with LIMIT
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT s.seg, t.o_orderkey, t.cents
+FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s,
+LATERAL (
+  SELECT o.o_orderkey, CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = s.seg
+  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+"""
+
+
+@register("sql_lateral_top2_per_segment", oracle=_LATERAL_SQL)
+def q_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with ORDER BY ... LIMIT -- the
+    top-N-per-group idiom ANSI SQL writes as a lateral join, executed by
+    Spark's lateral-subquery support and replayed verbatim by DuckDB
+    (one SQL string, both engines).  Completes the subquery surface
+    (IN / scalar-correlated / EXISTS already covered)."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

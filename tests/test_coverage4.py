@@ -293,3 +293,65 @@ def test_key_skew_single_scan(spark, sf_dir):
 
     out.count()
     release_caches()
+
+
+# ------------------------------------------------------- power iteration
+def test_power_iteration_matches_numpy_integer_replay(spark):
+    """Replay the exact integer recurrence in numpy and compare every
+    component; also sanity-check convergence toward numpy's float
+    dominant eigenvector."""
+    import numpy as np
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        gram_fixedpoint,
+        power_iteration_topvec,
+    )
+
+    rows = [[((i * 13 + j * 7) % 17 - 8) / 17.0 for j in range(6)] for i in range(50)]
+    df = spark.createDataFrame([(r,) for r in rows], "embedding array<float>")
+    cells = gram_fixedpoint(df, scale=10_000, dim=6)
+    got = {
+        r["node"]: r["eigvec_fp"]
+        for r in power_iteration_topvec(
+            cells, iterations=5, gram_div=100, vec_scale=10_000
+        ).collect()
+    }
+    # integer replay
+    x = np.array(rows, dtype=np.float32).astype(np.float64)
+    xf = np.floor(x * 10_000 + 0.5).astype(np.int64)
+    G = (xf.T @ xf) // 100  # trunc == floor: PSD diag-dominant-ish but
+    # entries can be negative -> use python ints for exact trunc division
+    Gp = [[int(v) for v in row] for row in ((xf.T @ xf)).tolist()]
+    trunc = lambda a, b: int(a / b) if (a < 0) != (b < 0) else a // b
+    Gt = [[trunc(v, 100) for v in row] for row in Gp]
+    v = [10_000] * 6
+    for _ in range(5):
+        w = [sum(Gt[i][j] * v[j] for j in range(6)) for i in range(6)]
+        m = max(1, max(abs(c) for c in w) // 10_000)
+        v = [trunc(c, m) for c in w]
+    assert got == {i: v[i] for i in range(6)}
+    # direction sanity vs float eigensolver
+    evals, evecs = np.linalg.eigh(np.array(Gt, dtype=np.float64))
+    top = evecs[:, np.argmax(evals)]
+    mine = np.array([v[i] for i in range(6)], dtype=np.float64)
+    cos = abs(top @ mine) / (np.linalg.norm(top) * np.linalg.norm(mine))
+    assert cos > 0.99
+
+
+def test_power_iteration_releases_checkpoints(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators import (
+        dedup as dmod,
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        gram_fixedpoint,
+        power_iteration_topvec,
+    )
+
+    rows = [[(i + j) / 10.0 for j in range(4)] for i in range(10)]
+    df = spark.createDataFrame([(r,) for r in rows], "embedding array<float>")
+    power_iteration_topvec(gram_fixedpoint(df, scale=100, dim=4), iterations=3).count()
+    pinned = dmod._pinned_finals.get("similarity.power")
+    assert pinned is not None
+    assert pinned._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD"
+    dmod.release_caches()
+    assert "similarity.power" not in dmod._pinned_finals
