@@ -54,3 +54,39 @@ def test_catalog_views_sql_join(spark, sf_dir):
         """
     ).collect()
     assert len(out) == 5 and all(r.n_orders > 0 for r in out)
+
+
+def test_dynamic_partition_pruning_on_join(spark, tmp_path_factory):
+    """DYNAMIC partition pruning (SURVEY §4): when the partition column is
+    a join key and the dim side carries a selective filter, Catalyst must
+    inject a runtime ``dynamicpruning`` subquery into the fact scan's
+    PartitionFilters -- at 100 TB this is the difference between scanning
+    every date and scanning the dates the dim actually selects.  Static
+    pruning (literal filter) is the test above; this pins the runtime
+    variant the reference's hand-built per-date paths approximate."""
+    root = str(tmp_path_factory.mktemp("dpp")) + "/silver"
+    dates = ("2024-05-01", "2024-05-02", "2024-05-03", "2024-05-04")
+    for d in dates:
+        write_silver(silver_transform(generate_bronze_day(spark, d, 40), d), root)
+
+    fact = spark.read.parquet(root)
+    # DPP preconditions (each found the hard way): the join key must be
+    # the BARE partition column (a cast over it defeats the rule), the
+    # selective predicate must sit on the dim side, and it must be a
+    # COMPARISON (isLikelySelective matches =/IN/LIKE etc.; a bare
+    # boolean attribute does not count as selective).
+    dim = spark.createDataFrame(
+        [(d, "target" if d.endswith("3") else "other") for d in dates],
+        "dim_date string, seg string",
+    ).select(F.col("dim_date").cast("date").alias("dim_date"), "seg")
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("seg") == "target")),
+        F.col("load_date") == F.col("dim_date"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "no runtime partition-pruning subquery on the partitioned scan"
+    )
+    # and the result is exactly the selected date's rows
+    want = fact.filter(F.col("load_date").cast("string") == "2024-05-03").count()
+    assert joined.count() == want > 0
