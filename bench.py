@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "train_weighted_sample",
     "pca_power_iteration_topvec",
     "sql_lateral_top2_per_segment",
+    "multimodal_video_frame_index",
+    "multimodal_resize_plan",
 ]
 
 

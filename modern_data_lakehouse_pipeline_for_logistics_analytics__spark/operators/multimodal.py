@@ -144,6 +144,14 @@ def decode_media(df: DataFrame, decoders: dict | None = None) -> DataFrame:
     ship -- pass the registry explicitly to customize.
     """
     decoders = dict(DECODERS if decoders is None else decoders)
+    from .dedup import _spread
+
+    # Small-SF media tables often arrive as ONE parquet file -> one
+    # Python worker for the whole decode.  _spread widens narrow scans
+    # only (a real media lake with thousands of files passes through),
+    # trading one cheap shuffle of the payloads for full decode
+    # parallelism -- the same policy as shingle_sets/gram.
+    df = _spread(df)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -176,3 +184,124 @@ def decode_media(df: DataFrame, decoders: dict | None = None) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+#: Output schema of the frame-sampling stage: one row per sampled frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_sha8", StringType()),
+    ]
+)
+
+
+def sample_video_frames(decoded: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Frame sampling plumbing over DECODED video rows: one input row
+    fans out to ``duration_ms div every_ms + 1`` frame rows (timestamps
+    0, every_ms, 2*every_ms, ...).  The variable-fanout mapInPandas
+    shape IS the real thing a video pipeline needs (one row in, N
+    Arrow rows out, bounded per batch); the frame PAYLOAD is a
+    deterministic stub digest (``sha256(payload_sha8:idx)[:8]``) --
+    no codec exists in this sandbox, and a real extractor swaps in at
+    the marked line exactly like the decode registry.
+
+    Deterministic end-to-end: duration comes from the (digest-derived)
+    stub decode and the fanout/timestamps/frame ids are integer+string
+    arithmetic, so a SQL oracle replays the ENTIRE sampling plan --
+    the multimodal family's first hash-verified query (previously
+    rows-only).  Output: ``doc_id, frame_idx, ts_ms, frame_sha8``.
+    """
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, shas = [], [], [], []
+            for doc_id, dur, sha8 in zip(
+                pdf["doc_id"], pdf["duration_ms"], pdf["sha256_8"]
+            ):
+                if dur is None or pd.isna(dur):
+                    continue
+                n = int(dur) // every_ms + 1
+                for i in range(n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    # STUB frame bytes: digest chain.  Real extractor:
+                    # ffmpeg -ss {i*every_ms}ms -frames:v 1 ... here.
+                    shas.append(
+                        hashlib.sha256(f"{sha8}:{i}".encode()).hexdigest()[:8]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_sha8": shas}
+            )
+
+    return decoded.select("doc_id", "duration_ms", "sha256_8").mapInPandas(
+        sample_batches, schema=FRAME_SCHEMA
+    )
+
+
+#: Output schema of the resize planner.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def plan_image_resize(decoded: DataFrame, max_side: int = 96) -> DataFrame:
+    """Aspect-preserving resize planning over DECODED image rows: target
+    dims = dims scaled so the longer side equals ``max_side`` (integer
+    truncating arithmetic, min 1px), pass-through when already within
+    bounds.  The dimension math and the batch plumbing are real; the
+    pixel resample itself is where PIL's ``Image.resize`` drops in (same
+    soft-import pattern as ``_decode_real`` -- absent here, so the
+    operator plans and accounts, it does not re-encode).  All-integer ->
+    SQL-replayable.  Output: ``doc_id, width, height, out_width,
+    out_height, status`` (status: resize | keep | no_dims).
+    """
+
+    def plan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                if w is None or pd.isna(w) or h is None or pd.isna(h):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "width": None,
+                            "height": None,
+                            "out_width": None,
+                            "out_height": None,
+                            "status": "no_dims",
+                        }
+                    )
+                    continue
+                w, h = int(w), int(h)
+                long_side = max(w, h)
+                if long_side <= max_side:
+                    ow, oh, status = w, h, "keep"
+                else:
+                    ow = max(1, (w * max_side) // long_side)
+                    oh = max(1, (h * max_side) // long_side)
+                    status = "resize"
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "out_width": ow,
+                        "out_height": oh,
+                        "status": status,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        plan_batches, schema=RESIZE_SCHEMA
+    )

@@ -18,3 +18,95 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     media = attach_binary_payload(docs, "doc_id", "text")
     return decode_media(media)
+
+
+# The deterministic stub-decode arithmetic, replayed in SQL: payload =
+# utf8(text), so DuckDB's sha256(text) (VARCHAR -> hex) equals Python's
+# hashlib.sha256(payload).hexdigest() byte-for-byte, and every metadata
+# field is integer arithmetic over digest bytes.  The decode/sampling
+# PLUMBING stays Arrow-batched Python (the real path); the oracle proves
+# the whole composition end-to-end -- the multimodal family's first
+# hash-verified queries (previously rows-only).
+_D0 = "CAST(('0x' || substr(sha256(text), 1, 2)) AS BIGINT)"
+_D1 = "CAST(('0x' || substr(sha256(text), 3, 2)) AS BIGINT)"
+_D23 = "CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT)"
+
+_FRAME_MS = 500
+
+
+@register(
+    "multimodal_video_frame_index",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             substr(sha256(text), 1, 8) AS sha8,
+             1000 + {_D23} AS duration_ms
+      FROM documents),
+    frames AS (
+      SELECT doc_id, sha8, duration_ms,
+             unnest(generate_series(0, duration_ms // {_FRAME_MS})) AS frame_idx
+      FROM meta)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * {_FRAME_MS} AS BIGINT) AS ts_ms,
+           substr(sha256(sha8 || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS frame_sha8
+    FROM frames
+    """,
+)
+def q_video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end: binary payloads -> Arrow-batched
+    stub decode (duration from the digest) -> variable-fanout frame
+    sampler (one row per 500ms tick, stub frame digests).  The fanout,
+    timestamps and frame ids are deterministic arithmetic, so DuckDB
+    replays the ENTIRE two-stage Python pipeline and the driver
+    hash-verifies the multimodal plumbing -- schema, batching, fanout --
+    not just row counts (`operators/multimodal.py::sample_video_frames`)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import sample_video_frames
+    from pyspark.sql.types import BinaryType
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id"),
+        F.lit("video/fake").alias("mime"),
+        F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("content"),
+    )
+    return sample_video_frames(decode_media(media), every_ms=_FRAME_MS)
+
+
+_RESIZE_MAX = 96
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             64 + ({_D0}) % 192 AS width,
+             64 + ({_D1}) % 192 AS height
+      FROM documents),
+    sized AS (
+      SELECT doc_id, width, height, GREATEST(width, height) AS long_side
+      FROM meta)
+    SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+           CAST(CASE WHEN long_side <= {_RESIZE_MAX} THEN width
+                ELSE GREATEST(1, (width * {_RESIZE_MAX}) // long_side) END AS BIGINT)
+             AS out_width,
+           CAST(CASE WHEN long_side <= {_RESIZE_MAX} THEN height
+                ELSE GREATEST(1, (height * {_RESIZE_MAX}) // long_side) END AS BIGINT)
+             AS out_height,
+           CASE WHEN long_side <= {_RESIZE_MAX} THEN 'keep' ELSE 'resize' END AS status
+    FROM sized
+    """,
+)
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize planning over the decoded stub
+    dims: integer target-dimension math + pass-through policy, computed
+    in the Arrow-batched planner (where PIL's resample drops in on a
+    real cluster) and replayed exactly in SQL
+    (`operators/multimodal.py::plan_image_resize`)."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    media = attach_binary_payload(docs, "doc_id", "text")
+    from ..operators.multimodal import plan_image_resize
+
+    return plan_image_resize(decode_media(media), max_side=_RESIZE_MAX)

@@ -355,3 +355,56 @@ def test_power_iteration_releases_checkpoints(spark):
     assert pinned._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD"
     dmod.release_caches()
     assert "similarity.power" not in dmod._pinned_finals
+
+
+# ------------------------------------------------------- multimodal r8
+def test_frame_sampler_fanout_and_determinism(spark):
+    """Variable fanout: duration 1200ms at 500ms ticks -> frames at
+    0/500/1000; NULL duration rows (images) produce no frames; repeat
+    runs produce identical frame digests."""
+    import hashlib
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        sample_video_frames,
+    )
+
+    rows = [
+        (1, "video/fake", 10, "aaaa1111", None, None, None, None, 1200, "ok"),
+        (2, "image/fake", 10, "bbbb2222", 64, 64, None, None, None, "ok"),
+    ]
+    decoded = spark.createDataFrame(rows, DECODED_SCHEMA)
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], r["ts_ms"], r["frame_sha8"])
+        for r in sample_video_frames(decoded, every_ms=500).collect()
+    )
+    want = [
+        (1, i, i * 500, hashlib.sha256(f"aaaa1111:{i}".encode()).hexdigest()[:8])
+        for i in range(3)
+    ]
+    assert got == want
+    assert got == sorted(
+        (r["doc_id"], r["frame_idx"], r["ts_ms"], r["frame_sha8"])
+        for r in sample_video_frames(decoded, every_ms=500).collect()
+    )
+
+
+def test_resize_plan_hand_cases(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        plan_image_resize,
+    )
+
+    rows = [
+        (1, "image/fake", 10, "x", 200, 100, None, None, None, "ok"),  # resize
+        (2, "image/fake", 10, "x", 50, 96, None, None, None, "ok"),    # keep
+        (3, "image/fake", 10, "x", 1000, 3, None, None, None, "ok"),   # min 1px? -> 96, 0->1
+        (4, "audio/wav", 10, "x", None, None, 1, 8000, 100, "ok"),     # no dims
+    ]
+    decoded = spark.createDataFrame(rows, DECODED_SCHEMA)
+    got = {r["doc_id"]: (r["out_width"], r["out_height"], r["status"])
+           for r in plan_image_resize(decoded, max_side=96).collect()}
+    assert got[1] == (96, 48, "resize")
+    assert got[2] == (50, 96, "keep")
+    assert got[3] == (96, 1, "resize")  # floor((3*96)/1000)=0 clamps to 1
+    assert got[4] == (None, None, "no_dims")
