@@ -53,11 +53,20 @@ DECODED_SCHEMA = StructType(
 _META_FIELDS = ("width", "height", "channels", "sample_rate", "duration_ms")
 
 
+#: Stub-decode digest arithmetic, shared with the SQL-oracle builders in
+#: ``plans/multimodal.py`` (single source: tuning a stub without touching
+#: the oracle would otherwise surface only as an opaque hash failure).
+IMG_DIM_BASE, IMG_DIM_MOD = 64, 192
+VID_W_BASE, VID_W_MOD = 160, 352
+VID_H_BASE, VID_H_MOD = 120, 264
+VID_DUR_BASE = 1000
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     """Deterministic fake decode: dimensions derived from the payload
     digest.  Replace with PIL: ``Image.open(io.BytesIO(payload)).size``."""
     d = hashlib.sha256(payload).digest()
-    return 64 + d[0] % 192, 64 + d[1] % 192
+    return IMG_DIM_BASE + d[0] % IMG_DIM_MOD, IMG_DIM_BASE + d[1] % IMG_DIM_MOD
 
 
 def _decode_real(payload: bytes) -> tuple[int, int]:
@@ -103,9 +112,9 @@ def _decode_video_stub(payload: bytes) -> dict:
     and read the container header only."""
     d = hashlib.sha256(payload).digest()
     return {
-        "width": 160 + d[0] % 352,
-        "height": 120 + d[1] % 264,
-        "duration_ms": 1000 + int.from_bytes(d[2:4], "big"),
+        "width": VID_W_BASE + d[0] % VID_W_MOD,
+        "height": VID_H_BASE + d[1] % VID_H_MOD,
+        "duration_ms": VID_DUR_BASE + int.from_bytes(d[2:4], "big"),
     }
 
 
@@ -120,13 +129,15 @@ DECODERS = {
 }
 
 
-def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def attach_binary_payload(
+    df: DataFrame, id_col: str, text_col: str, mime: str = "image/fake"
+) -> DataFrame:
     """Test-fixture adapter: derive a binary payload column from text (the
     fixtures carry no real media).  Production tables have this column
     natively.  Output: ``doc_id, mime, content``."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.lit("image/fake").alias("mime"),
+        F.lit(mime).alias("mime"),
         F.encode(F.col(text_col), "utf-8").cast(BinaryType()).alias("content"),
     )
 
@@ -157,6 +168,21 @@ def decode_media(df: DataFrame, decoders: dict | None = None) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, mime, content in zip(pdf["doc_id"], pdf["mime"], pdf["content"]):
+                if content is None:
+                    # NULL payloads must yield a status row, not a task
+                    # crash (bytes(None) raised before the try block --
+                    # r8 second-review finding).
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "mime": mime,
+                            "n_bytes": 0,
+                            "sha256_8": None,
+                            **{f: None for f in _META_FIELDS},
+                            "status": "null_payload",
+                        }
+                    )
+                    continue
                 payload = bytes(content)
                 rec = {
                     "doc_id": int(doc_id),

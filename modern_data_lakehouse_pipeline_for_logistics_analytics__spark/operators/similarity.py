@@ -776,15 +776,18 @@ def power_iteration_topvec(
 
         g      = gram_fp div gram_div          (matrix, int64)
         v_0    = vec_scale everywhere
-        w      = G v_t                         (exact BIGINT matvec)
-        v_t+1  = w div greatest(1, max|w| div vec_scale)
+        v_t+1  = w div greatest(1, ceil(max|w| / vec_scale)),  w = G v_t
 
     so every iterate is bit-identical on any engine/partitioning -- the
     fourth hash-verified iterative fixed point next to PageRank, CC and
     BFS.  Float power iteration can never hash-match (order-dependent
-    sums); the div-renormalization keeps |v| <= vec_scale, bounding
-    every product at |g|max * vec_scale * d < 2^63 for any realistic
-    Gram (the caller's gram_div controls |g|max).
+    sums).  The renormalization divisor is the CEILING div (spelled
+    ``(max|w| + vec_scale - 1) div vec_scale``): a truncating div lets
+    |v| reach 2*vec_scale - 1 when max|w| is just under 2*vec_scale
+    (r8 second-review finding), silently halving the overflow headroom;
+    with the ceiling, |v| <= vec_scale holds invariantly and every
+    product is bounded by |g|max * vec_scale * d < 2^63 (the caller's
+    gram_div controls |g|max).
 
     Scale: the matvec joins the d^2-cell matrix (distributed, cached)
     with the d-row vector; per-iteration cost is one join + one
@@ -832,7 +835,7 @@ def power_iteration_topvec(
         m = w_ckpt.agg(
             F.greatest(
                 F.lit(1).cast("long"),
-                F.expr(f"max(abs(w)) div {vec_scale}"),
+                F.expr(f"(max(abs(w)) + {vec_scale - 1}) div {vec_scale}"),
             ).alias("__m")
         )
         v = w_ckpt.crossJoin(F.broadcast(m)).select(

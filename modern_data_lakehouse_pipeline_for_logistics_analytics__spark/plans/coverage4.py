@@ -418,7 +418,9 @@ def _power_sql() -> str:
         )
         ctes.append(
             f"""m{t} AS (
-      SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(w)) // {_POWER_VSCALE}) AS d FROM w{t})"""
+      SELECT GREATEST(CAST(1 AS BIGINT),
+                      (MAX(ABS(w)) + {_POWER_VSCALE - 1}) // {_POWER_VSCALE}) AS d
+      FROM w{t})"""
         )
         ctes.append(
             f"v{t} AS (SELECT node, w // m{t}.d AS val FROM w{t} CROSS JOIN m{t})"

@@ -26,7 +26,15 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # field is integer arithmetic over digest bytes.  The decode/sampling
 # PLUMBING stays Arrow-batched Python (the real path); the oracle proves
 # the whole composition end-to-end -- the multimodal family's first
-# hash-verified queries (previously rows-only).
+# hash-verified queries (previously rows-only).  The stub constants are
+# IMPORTED from the operator module (single source; a stub tune cannot
+# silently desync the oracle).
+from ..operators.multimodal import (  # noqa: E402
+    IMG_DIM_BASE,
+    IMG_DIM_MOD,
+    VID_DUR_BASE,
+)
+
 _D0 = "CAST(('0x' || substr(sha256(text), 1, 2)) AS BIGINT)"
 _D1 = "CAST(('0x' || substr(sha256(text), 3, 2)) AS BIGINT)"
 _D23 = "CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT)"
@@ -40,7 +48,7 @@ _FRAME_MS = 500
     WITH meta AS (
       SELECT doc_id,
              substr(sha256(text), 1, 8) AS sha8,
-             1000 + {_D23} AS duration_ms
+             {VID_DUR_BASE} + {_D23} AS duration_ms
       FROM documents),
     frames AS (
       SELECT doc_id, sha8, duration_ms,
@@ -60,17 +68,10 @@ def q_video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the ENTIRE two-stage Python pipeline and the driver
     hash-verifies the multimodal plumbing -- schema, batching, fanout --
     not just row counts (`operators/multimodal.py::sample_video_frames`)."""
-    from pyspark.sql import functions as F
-
     from ..operators.multimodal import sample_video_frames
-    from pyspark.sql.types import BinaryType
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    media = docs.select(
-        F.col("doc_id"),
-        F.lit("video/fake").alias("mime"),
-        F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("content"),
-    )
+    media = attach_binary_payload(docs, "doc_id", "text", mime="video/fake")
     return sample_video_frames(decode_media(media), every_ms=_FRAME_MS)
 
 
@@ -82,8 +83,8 @@ _RESIZE_MAX = 96
     oracle=f"""
     WITH meta AS (
       SELECT doc_id,
-             64 + ({_D0}) % 192 AS width,
-             64 + ({_D1}) % 192 AS height
+             {IMG_DIM_BASE} + ({_D0}) % {IMG_DIM_MOD} AS width,
+             {IMG_DIM_BASE} + ({_D1}) % {IMG_DIM_MOD} AS height
       FROM documents),
     sized AS (
       SELECT doc_id, width, height, GREATEST(width, height) AS long_side

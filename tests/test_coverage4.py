@@ -316,19 +316,19 @@ def test_power_iteration_matches_numpy_integer_replay(spark):
             cells, iterations=5, gram_div=100, vec_scale=10_000
         ).collect()
     }
-    # integer replay
+    # integer replay -- python ints with TRUNC division throughout
+    # (numpy's // floors, which diverges from Spark's div on negatives)
     x = np.array(rows, dtype=np.float32).astype(np.float64)
     xf = np.floor(x * 10_000 + 0.5).astype(np.int64)
-    G = (xf.T @ xf) // 100  # trunc == floor: PSD diag-dominant-ish but
-    # entries can be negative -> use python ints for exact trunc division
     Gp = [[int(v) for v in row] for row in ((xf.T @ xf)).tolist()]
     trunc = lambda a, b: int(a / b) if (a < 0) != (b < 0) else a // b
     Gt = [[trunc(v, 100) for v in row] for row in Gp]
     v = [10_000] * 6
     for _ in range(5):
         w = [sum(Gt[i][j] * v[j] for j in range(6)) for i in range(6)]
-        m = max(1, max(abs(c) for c in w) // 10_000)
+        m = max(1, (max(abs(c) for c in w) + 9_999) // 10_000)  # ceil div
         v = [trunc(c, m) for c in w]
+    assert all(abs(c) <= 10_000 for c in v)  # the renorm invariant
     assert got == {i: v[i] for i in range(6)}
     # direction sanity vs float eigensolver
     evals, evecs = np.linalg.eigh(np.array(Gt, dtype=np.float64))
@@ -408,3 +408,16 @@ def test_resize_plan_hand_cases(spark):
     assert got[2] == (50, 96, "keep")
     assert got[3] == (96, 1, "resize")  # floor((3*96)/1000)=0 clamps to 1
     assert got[4] == (None, None, "no_dims")
+
+
+def test_decode_media_null_payload_status_row(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.multimodal import (
+        decode_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image/fake", bytearray(b"x")), (2, "image/fake", None)],
+        "doc_id long, mime string, content binary",
+    )
+    got = {r["doc_id"]: r["status"] for r in decode_media(df).collect()}
+    assert got == {1: "ok", 2: "null_payload"}
