@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "sql_lateral_top2_per_segment",
     "multimodal_video_frame_index",
     "multimodal_resize_plan",
+    "gram_incremental_maintenance",
 ]
 
 

@@ -478,3 +478,56 @@ def q_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Incremental Gram maintenance (linear sketch: merge + retraction)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gram_incremental_maintenance",
+    oracle=f"""
+    WITH v AS (
+      SELECT list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5) AS BIGINT)) AS vf
+      FROM embeddings
+      WHERE vec_id % 3 = 0 OR vec_id % 7 <> 0),
+    g AS (
+      SELECT gi.i AS i, gj.j AS j, vf[gi.i + 1] * vf[gj.j + 1] AS p
+      FROM v
+      CROSS JOIN (SELECT unnest(generate_series(0, {_GRAM_DIM - 1})) AS i) gi
+      CROSS JOIN (SELECT unnest(generate_series(0, {_GRAM_DIM - 1})) AS j) gj
+      WHERE gj.j >= gi.i)
+    SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram_fp FROM g GROUP BY i, j
+    """,
+)
+def q_gram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X^T X is a LINEAR sketch: state(base) + state(inserts) -
+    state(deletes) must equal a recompute over the surviving rows -- the
+    incremental-maintenance property that lets a 100 TB embedding store
+    keep covariance/PCA state current from CDC deltas (2,080-cell state
+    updates, never a corpus re-scan; deletes retract by sign).  Spark
+    folds three separately-computed Gram states with signed union + sum;
+    the oracle recomputes the final state directly, so the driver
+    hash-verifies merge AND retraction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    inserts = emb.filter(F.col("vec_id") % 3 == 0)
+    deletes = base.filter(F.col("vec_id") % 7 == 0)
+    signed = (
+        gram_fixedpoint(base, "embedding", _GRAM_SCALE, dim=_GRAM_DIM)
+        .withColumn("s", F.lit(1))
+        .unionByName(
+            gram_fixedpoint(inserts, "embedding", _GRAM_SCALE, dim=_GRAM_DIM)
+            .withColumn("s", F.lit(1))
+        )
+        .unionByName(
+            gram_fixedpoint(deletes, "embedding", _GRAM_SCALE, dim=_GRAM_DIM)
+            .withColumn("s", F.lit(-1))
+        )
+    )
+    return (
+        signed.groupBy("i", "j")
+        .agg(F.sum(F.col("gram_fp") * F.col("s")).alias("gram_fp"))
+    )
