@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "multimodal_video_frame_index",
     "multimodal_resize_plan",
     "gram_incremental_maintenance",
+    "decontaminate_containment",
+    "temporal_reach_contamination",
 ]
 
 

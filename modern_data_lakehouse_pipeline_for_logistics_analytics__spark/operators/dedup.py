@@ -1067,3 +1067,45 @@ def jaccard_pairs_prefix(
     return jaccard_verify_pairs(
         df, cands, id_col, text_col, threshold, n, shingles=_sig_caches.get("prefix_sh")
     )
+
+
+def containment_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC set containment |shingles(l) ∩ shingles(r)| / |shingles(l)|
+    for cross-corpus pairs -- the decontamination measure Jaccard is the
+    wrong tool for: a short eval prompt fully embedded in a long training
+    document has tiny Jaccard (union is huge) but containment ~1.0.
+    Output: ``l_id, r_id, n_common, n_l, containment`` (4dp half-up)
+    filtered at >= threshold.
+
+    Cost shape = the verify-stage pattern: candidates come from SHARED
+    shingles only (never corpus x corpus), the join keys on the shingle,
+    counts aggregate map-side.  At 100 TB the left side (eval suites) is
+    small -- its shingle table broadcasts and the scan of the right side
+    is the whole cost, same as ``decontaminate_ngrams``.
+    """
+    lsh = _cache_aged("contain_l", shingle_sets(left, id_col, text_col, n))
+    rsh = shingle_sets(right, id_col, text_col, n)
+    sizes = lsh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_l"))
+    inter = (
+        lsh.select(F.col("doc").alias("l_id"), "s")
+        .join(rsh.select(F.col("doc").alias("r_id"), "s"), "s")
+        .groupBy("l_id", "r_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    from .textstats import round_half_up
+
+    out = inter.join(
+        sizes.select(F.col("doc").alias("l_id"), "n_l"), "l_id"
+    ).withColumn(
+        "containment", round_half_up(F.col("n_common") / F.col("n_l"), 4)
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        "l_id", "r_id", "n_common", "n_l", "containment"
+    )

@@ -346,3 +346,81 @@ def bfs_distances(
         _unpersist_checkpoint(prev_ckpt)
     hold_pinned("graph.bfs", ckpt)
     return dist
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    avail: str = "avail",
+    arr: str = "arr",
+    seed_col: str = "node",
+    seed_date_col: str = "d",
+) -> DataFrame:
+    """EARLIEST-ARRIVAL reachability over a temporal graph: an edge
+    (src, dst, avail, arr) is traversable only if the walker reaches
+    ``src`` no later than ``avail``, and then arrives at ``dst`` at
+    ``arr`` -- the time-RESPECTING semantics static BFS gets wrong
+    (a shipment that left before the contamination arrived cannot carry
+    it).  Requires ``arr >= avail`` on every edge (arrival dates are
+    then monotone along any walk, so min-relaxation converges and after
+    k rounds every node whose optimal walk has <= k edges carries its
+    exact earliest date -- the same bounded-k contract as
+    ``bfs_distances``).
+
+    Round = one join keyed on the cached edge src (+ the availability
+    predicate) + one map-side-combinable min + full-join fold;
+    localCheckpoint per round with eager release, checkpoint frames
+    pinned per the registry discipline.  Output: ``(node, d)`` --
+    earliest arrival for every node reached within ``rounds`` hops.
+    """
+    from pyspark.sql import functions as F
+
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        F.col(avail).alias("e_avail"),
+        F.col(arr).alias("e_arr"),
+    ).cache()
+    ckpt = (
+        seeds.select(F.col(seed_col).alias("node"), F.col(seed_date_col).alias("d"))
+        .groupBy("node")
+        .agg(F.min("d").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    state = ckpt
+    prev_ckpt = None
+    try:
+        for _ in range(rounds):
+            relaxed = (
+                e.join(
+                    state,
+                    (F.col("e_src") == F.col("node"))
+                    & (F.col("e_avail") >= F.col("d")),
+                )
+                .groupBy(F.col("e_dst").alias("rnode"))
+                .agg(F.min("e_arr").alias("nd"))
+            )
+            stepped_ckpt = (
+                state.join(relaxed, state["node"] == relaxed["rnode"], "full")
+                .select(
+                    F.coalesce(F.col("node"), F.col("rnode")).alias("node"),
+                    F.least(
+                        F.coalesce(F.col("d"), F.col("nd")),
+                        F.coalesce(F.col("nd"), F.col("d")),
+                    ).alias("d"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if prev_ckpt is not None:
+                _unpersist_checkpoint(prev_ckpt)
+            prev_ckpt, ckpt = ckpt, stepped_ckpt
+            state = stepped_ckpt
+    finally:
+        e.unpersist()
+    if prev_ckpt is not None:
+        _unpersist_checkpoint(prev_ckpt)
+    hold_pinned("graph.temporal", ckpt)
+    return state

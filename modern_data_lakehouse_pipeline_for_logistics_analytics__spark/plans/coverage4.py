@@ -531,3 +531,101 @@ def q_gram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed.groupBy("i", "j")
         .agg(F.sum(F.col("gram_fp") * F.col("s")).alias("gram_fp"))
     )
+
+
+# --------------------------------------------------------------------------
+# Time-respecting reachability (earliest-arrival contamination trace)
+# --------------------------------------------------------------------------
+
+_TR_ROUNDS = 3
+_TR_SEED_MAX = 5
+_TR_T0 = "1994-01-01"
+
+
+def _temporal_sql() -> str:
+    """Unrolled earliest-arrival rounds (min-aggregation per round ->
+    recursive CTEs can't express it; same unroll pattern as PageRank/PCA)."""
+    far = "DATE '9999-12-31'"
+    ctes = [
+        """eo AS (
+      SELECT l_suppkey, l_shipdate, o_custkey, o_orderdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate)""",
+        """edges AS (
+      SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst,
+             l_shipdate AS avail, l_shipdate AS arr
+      FROM eo
+      UNION ALL
+      SELECT 2 * o_custkey, 2 * l_suppkey + 1, o_orderdate, l_shipdate
+      FROM eo)""",
+        f"""s0 AS (
+      SELECT 2 * s_suppkey + 1 AS node, DATE '{_TR_T0}' AS d
+      FROM supplier WHERE s_suppkey <= {_TR_SEED_MAX})""",
+    ]
+    for t in range(1, _TR_ROUNDS + 1):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT e.dst AS node, MIN(e.arr) AS nd
+      FROM edges e JOIN s{t - 1} v ON v.node = e.src AND e.avail >= v.d
+      GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""s{t} AS (
+      SELECT COALESCE(a.node, b.node) AS node,
+             LEAST(COALESCE(a.d, {far}), COALESCE(b.nd, {far})) AS d
+      FROM s{t - 1} a FULL JOIN c{t} b ON a.node = b.node)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT date_trunc('month', d) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_node_ids
+    FROM s{_TR_ROUNDS} GROUP BY 1"""
+    )
+
+
+@register("temporal_reach_contamination", oracle=_temporal_sql())
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RESPECTING reachability: the earliest date a contamination
+    seeded at suppliers 1-5 on 1994-01-01 can reach each party, hopping
+    supplier->customer on shipments that left on/after the carrier's own
+    infection date and customer->supplier on orders PLACED after
+    infection (arriving at ship date) -- the logistics recall/blast-
+    radius question static BFS answers wrongly (a pre-infection shipment
+    cannot carry it).  3 bounded min-relaxation rounds over ~1.2M timed
+    edges; dates are exact, so the unrolled-CTE oracle replays every
+    round (`operators/graph.py::temporal_reachability`).  Reported per
+    infection month (count + id-sum invariant)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    eo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    e1 = eo.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+        F.col("l_shipdate").alias("avail"),
+        F.col("l_shipdate").alias("arr"),
+    )
+    e2 = eo.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        F.col("o_orderdate").alias("avail"),
+        F.col("l_shipdate").alias("arr"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= _TR_SEED_MAX)
+        .select(
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
+            F.lit(_TR_T0).cast("date").alias("d"),
+        )
+    )
+    from ..operators.graph import temporal_reachability
+
+    state = temporal_reachability(e1.unionByName(e2), seeds, rounds=_TR_ROUNDS)
+    return state.groupBy(F.trunc("d", "month").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("sum_node_ids"),
+    )

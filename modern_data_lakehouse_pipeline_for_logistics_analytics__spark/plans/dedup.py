@@ -539,3 +539,58 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, the banding AND the Hamming filter end-to-end."""
     sigs = simhash_portable_signatures(_docs(spark, sf_dir), "doc_id", "text")
     return simhash_portable_candidates(sigs)
+
+
+# Deterministic md5 split shared with docs_training_prep: first hex char
+# of md5(doc_id) in {0,1} -> holdout (the "eval suite"), else train.
+_HOLDOUT_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+
+
+@register(
+    "decontaminate_containment",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             CASE WHEN {_HOLDOUT_PRED} THEN 1 ELSE 0 END AS is_holdout
+      FROM documents),
+    tok AS (
+      SELECT doc_id, is_holdout,
+             string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM tagged),
+    sh AS (
+      SELECT doc_id, is_holdout,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1)])) AS s
+      FROM tok),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_l FROM sh WHERE is_holdout = 1 GROUP BY 1),
+    inter AS (
+      SELECT h.doc_id AS l_id, t.doc_id AS r_id, COUNT(*) AS n_common
+      FROM sh h JOIN sh t ON t.s = h.s AND t.is_holdout = 0
+      WHERE h.is_holdout = 1
+      GROUP BY 1, 2)
+    SELECT l_id, r_id, n_common, sizes.n_l,
+           CAST(FLOOR((n_common / CAST(sizes.n_l AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+             / 10000.0 AS containment
+    FROM inter JOIN sizes ON sizes.doc_id = l_id
+    WHERE CAST(FLOOR((n_common / CAST(sizes.n_l AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+             / 10000.0 >= 0.5
+    """,
+)
+def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by ASYMMETRIC containment: holdout docs
+    whose trigram-shingle set is >= 50% covered by some train doc --
+    the measure Jaccard gets wrong (a short eval prompt inside a long
+    training doc has tiny Jaccard but containment ~1).  Splits by the
+    same deterministic md5 shard as docs_training_prep, candidates from
+    shared shingles only (`operators/dedup.py::containment_pairs`);
+    complements the exact n-gram hit-count of
+    ``train_decontaminate_ngrams`` with a coverage-ratio decision."""
+    from ..operators.dedup import containment_pairs
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    holdout = docs.filter(shard.isin("0", "1"))
+    train = docs.filter(~shard.isin("0", "1"))
+    return containment_pairs(holdout, train, "doc_id", "text", threshold=0.5)

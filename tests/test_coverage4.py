@@ -421,3 +421,71 @@ def test_decode_media_null_payload_status_row(spark):
     )
     got = {r["doc_id"]: r["status"] for r in decode_media(df).collect()}
     assert got == {1: "ok", 2: "null_payload"}
+
+
+# --------------------------------------------- temporal reachability
+def test_temporal_reachability_respects_time(spark):
+    """The defining case: an edge that departs BEFORE the walker arrives
+    at its source must not carry it -- static BFS would."""
+    import datetime as dt
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    d = lambda s: dt.date.fromisoformat(s)
+    # 1 -(avail 2024-01-05 / arr 01-06)-> 2 -(avail 01-03 / arr 01-04)-> 3
+    # seed at 1 on 01-01: reaches 2 at 01-06, but 2->3 left on 01-03 < 01-06
+    # so 3 is NOT reachable; a later 2->3 edge (02-01) does carry it.
+    edges = spark.createDataFrame(
+        [
+            (1, 2, d("2024-01-05"), d("2024-01-06")),
+            (2, 3, d("2024-01-03"), d("2024-01-04")),
+            (2, 3, d("2024-02-01"), d("2024-02-02")),
+        ],
+        "src long, dst long, avail date, arr date",
+    )
+    seeds = spark.createDataFrame([(1, d("2024-01-01"))], "node long, d date")
+    got = {r["node"]: str(r["d"]) for r in temporal_reachability(edges, seeds, 3).collect()}
+    assert got == {1: "2024-01-01", 2: "2024-01-06", 3: "2024-02-02"}
+
+
+def test_temporal_reachability_takes_earliest_arrival(spark):
+    import datetime as dt
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    d = lambda s: dt.date.fromisoformat(s)
+    # two usable routes to 2: arrivals 01-10 and 01-03 -> keep 01-03
+    edges = spark.createDataFrame(
+        [(1, 2, d("2024-01-08"), d("2024-01-10")), (1, 2, d("2024-01-02"), d("2024-01-03"))],
+        "src long, dst long, avail date, arr date",
+    )
+    seeds = spark.createDataFrame([(1, d("2024-01-01"))], "node long, d date")
+    got = {r["node"]: str(r["d"]) for r in temporal_reachability(edges, seeds, 1).collect()}
+    assert got[2] == "2024-01-03"
+
+
+# --------------------------------------------- containment
+def test_containment_asymmetric_vs_jaccard(spark):
+    """A short doc fully inside a long one: containment 1.0 while
+    Jaccard is small -- the case the operator exists for."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    longd = spark.createDataFrame(
+        [(2, "zero one two alpha beta gamma delta three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(short, longd, "doc_id", "text", threshold=0.9).collect()
+    assert len(got) == 1 and got[0]["containment"] == 1.0
+    both = short.unionByName(longd)
+    jac = jaccard_pairs(both, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []  # Jaccard misses exactly this pair
