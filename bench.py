@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "gram_incremental_maintenance",
     "decontaminate_containment",
     "temporal_reach_contamination",
+    "snb_multipass_suppliers",
 ]
 
 

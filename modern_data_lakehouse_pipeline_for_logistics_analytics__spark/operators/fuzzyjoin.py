@@ -227,3 +227,56 @@ def sorted_neighborhood_pairs(
         "id_a", "id_b", F.levenshtein("k_a", "k_b").cast("long").alias("dist")
     )
     return out.filter(F.col("dist") <= max_dist)
+
+
+def sorted_neighborhood_multipass(
+    df: DataFrame,
+    id_col: str,
+    key_exprs: list[Column],
+    window: int = 5,
+    max_dist: int = 3,
+    verify_col: str | None = None,
+) -> DataFrame:
+    """MULTI-PASS sorted neighborhood (the full Hernandez-Stolfo scheme):
+    one SNB pass per blocking key, candidate pairs UNIONED and verified
+    once -- a single sort key misses pairs whose difference lands in its
+    prefix (e.g. a typo in the first character teleports the record far
+    away in sort order), so production ER runs 2-3 complementary keys
+    (name, reversed name, phonetic code) and unions the windows.
+
+    ``key_exprs`` are the blocking keys; ``verify_col`` (default: the
+    FIRST key) is what levenshtein verifies, so all passes share one
+    distance semantics.  Output: ``id_a, id_b, dist`` (id_a < id_b,
+    deduped across passes).  Cost = passes x the single-pass cost; the
+    verify runs once on the deduped union.
+    """
+    if not key_exprs:
+        raise ValueError("sorted_neighborhood_multipass needs >= 1 key expr")
+    verify = verify_col if verify_col is not None else "__k0"
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        *[k.alias(f"__k{i}") for i, k in enumerate(key_exprs)],
+    )
+    from .dedup import _cache_aged
+
+    src = _cache_aged("snb_mp_src", src)
+    cands = None
+    for i in range(len(key_exprs)):
+        pairs = sorted_neighborhood_pairs(
+            src, "__id", f"__k{i}", window=window, max_dist=10**9
+        ).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    a = src.select(F.col("__id").alias("id_a"), F.col(verify).alias("__va"))
+    b = src.select(F.col("__id").alias("id_b"), F.col(verify).alias("__vb"))
+    out = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", F.levenshtein("__va", "__vb").cast("long").alias("dist")
+        )
+    )
+    return out.filter(F.col("dist") <= max_dist)

@@ -629,3 +629,52 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("sum_node_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-pass sorted neighborhood (name + reversed-name keys)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snb_multipass_suppliers",
+    oracle=f"""
+    WITH s AS (
+      SELECT s_suppkey AS id, lower(trim({_DIRTY_SQL})) AS k1 FROM supplier),
+    s2 AS (SELECT id, k1, reverse(k1) AS k2 FROM s),
+    r1 AS (SELECT id, ROW_NUMBER() OVER (ORDER BY k1, id) AS rn FROM s2),
+    r2 AS (SELECT id, ROW_NUMBER() OVER (ORDER BY k2, id) AS rn FROM s2),
+    p1 AS (
+      SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+      FROM r1 a JOIN r1 b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW}),
+    p2 AS (
+      SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+      FROM r2 a JOIN r2 b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW}),
+    cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+    v AS (
+      SELECT c.id_a, c.id_b, CAST(levenshtein(sa.k1, sb.k1) AS BIGINT) AS dist
+      FROM cand c JOIN s2 sa ON sa.id = c.id_a JOIN s2 sb ON sb.id = c.id_b)
+    SELECT id_a, id_b, dist FROM v WHERE dist <= {_SNB_MAXDIST}
+    """,
+)
+def q_snb_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Hernandez-Stolfo scheme: two complementary sort keys
+    (dirty name + its reversal -- a first-character typo teleports a
+    record in one ordering but stays adjacent in the other), windows
+    unioned, ONE levenshtein verify on the shared key.  Single-pass SNB
+    (``snb_supplier_near_names``) is the primitive; this is how ER
+    actually deploys it
+    (`operators/fuzzyjoin.py::sorted_neighborhood_multipass`)."""
+    from ..operators.fuzzyjoin import sorted_neighborhood_multipass
+
+    sup = _t(spark, sf_dir, "supplier")
+    dirty = sup.select(
+        F.col("s_suppkey").alias("sid"), F.expr(_DIRTY_SQL).alias("dname")
+    )
+    return sorted_neighborhood_multipass(
+        dirty,
+        "sid",
+        [F.col("dname"), F.reverse(F.col("dname"))],
+        window=_SNB_WINDOW,
+        max_dist=_SNB_MAXDIST,
+    )

@@ -489,3 +489,26 @@ def test_containment_asymmetric_vs_jaccard(spark):
     both = short.unionByName(longd)
     jac = jaccard_pairs(both, "doc_id", "text", threshold=0.5).collect()
     assert jac == []  # Jaccard misses exactly this pair
+
+
+def test_snb_multipass_catches_first_char_typo(spark):
+    """The canonical multipass case: a FIRST-character typo teleports the
+    record in the forward ordering (single-pass misses it) but the
+    reversed-key pass still co-locates the pair."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        sorted_neighborhood_multipass,
+        sorted_neighborhood_pairs,
+    )
+
+    # many spacer rows ensure 'zcme corp 0001' sorts FAR from 'acme corp 0001'
+    rows = [(1, "acme corp 0001"), (2, "zcme corp 0001")] + [
+        (10 + i, f"m{i:03d} spacer {i:04d}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    single = sorted_neighborhood_pairs(df, "id", "name", window=3, max_dist=2)
+    assert not [r for r in single.collect() if {r["id_a"], r["id_b"]} == {1, 2}]
+    multi = sorted_neighborhood_multipass(
+        df, "id", [F.col("name"), F.reverse(F.col("name"))], window=3, max_dist=2
+    )
+    hits = [r for r in multi.collect() if {r["id_a"], r["id_b"]} == {1, 2}]
+    assert len(hits) == 1 and hits[0]["dist"] == 1
