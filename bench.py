@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "decontaminate_containment",
     "temporal_reach_contamination",
     "snb_multipass_suppliers",
+    "train_weighted_sample_per_source",
 ]
 
 

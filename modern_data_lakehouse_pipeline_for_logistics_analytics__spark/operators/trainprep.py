@@ -391,3 +391,34 @@ def weighted_sample(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame, id_col: str, weight_col: str, group_col: str, k_per_group: int
+) -> DataFrame:
+    """Per-group deterministic weight-biased top-k -- the training-MIX
+    shape: k docs from EACH source/domain, weight-biased within the
+    group (a global top-k lets one dominant source crowd out the rest;
+    data-mixture recipes fix per-source quotas first, then sample
+    within).  Same integer priority as ``weighted_sample``; the group
+    cut is one ranked window partitioned by the group key -- bounded
+    per-group state, no global sort.  Output: ``<group>, <id>,
+    <weight>, priority, rk``.
+    """
+    hashed = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("__w"),
+        portable_base_hash(F.col(id_col).cast("string")).alias("__h"),
+    ).filter(F.col("__w") > 0)
+    pri = hashed.select(
+        group_col,
+        id_col,
+        F.col("__w").alias(weight_col),
+        F.expr("__h div __w").alias("priority"),
+    )
+    w = Window.partitionBy(group_col).orderBy("priority", id_col)
+    return (
+        pri.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k_per_group)
+    )

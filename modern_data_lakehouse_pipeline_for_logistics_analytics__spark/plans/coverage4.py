@@ -678,3 +678,41 @@ def q_snb_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_SNB_WINDOW,
         max_dist=_SNB_MAXDIST,
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source weighted sampling quota (training-mix shape)
+# --------------------------------------------------------------------------
+
+_WSPG_K = 100
+
+
+@register(
+    "train_weighted_sample_per_source",
+    oracle=f"""
+    WITH pri AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 15)) AS BIGINT)
+               // CAST(n_chars AS BIGINT) AS priority
+      FROM documents WHERE n_chars > 0),
+    r AS (
+      SELECT source, doc_id, n_chars, priority,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id)
+                  AS BIGINT) AS rk
+      FROM pri)
+    SELECT source, doc_id, n_chars, priority, rk FROM r WHERE rk <= {_WSPG_K}
+    """,
+)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: a fixed k-per-SOURCE quota, weight-biased
+    within each source by the same integer priority as
+    ``train_weighted_sample`` -- per-source quotas are how data-mixture
+    recipes are actually specified (a global top-k lets one dominant
+    source crowd the rest out).  One ranked window partitioned by
+    source; reproducible and hash-verified
+    (`operators/trainprep.py::weighted_sample_per_group`)."""
+    from ..operators.trainprep import weighted_sample_per_group
+
+    return weighted_sample_per_group(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", "source", _WSPG_K
+    )

@@ -512,3 +512,22 @@ def test_snb_multipass_catches_first_char_typo(spark):
     )
     hits = [r for r in multi.collect() if {r["id_a"], r["id_b"]} == {1, 2}]
     assert len(hits) == 1 and hits[0]["dist"] == 1
+
+
+def test_weighted_sample_per_group_quota(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, (i % 5) + 1, f"src{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, w long, src string")
+    got = weighted_sample_per_group(df, "doc_id", "w", "src", k_per_group=7).collect()
+    from collections import Counter
+
+    per = Counter(r["src"] for r in got)
+    assert per == {"src0": 7, "src1": 7, "src2": 7}
+    # rank within each group follows (priority, id)
+    for s in per:
+        grp = sorted((r["rk"], r["priority"], r["doc_id"]) for r in got if r["src"] == s)
+        assert [g[0] for g in grp] == list(range(1, 8))
+        assert [(g[1], g[2]) for g in grp] == sorted((g[1], g[2]) for g in grp)
