@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "temporal_reach_contamination",
     "snb_multipass_suppliers",
     "train_weighted_sample_per_source",
+    "percentile_cont_by_segment",
 ]
 
 

@@ -716,3 +716,112 @@ def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_per_group(
         _t(spark, sf_dir, "documents"), "doc_id", "n_chars", "source", _WSPG_K
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated percentiles (percentile_cont) with explicit arithmetic
+# --------------------------------------------------------------------------
+
+_PCONT_PROBS = [0.25, 0.5, 0.75, 0.9]
+
+
+def _pcont_select(probs: list[float]) -> str:
+    """Per-(seg) interpolated percentile columns over ranked cents.
+    idx = p*(n-1) (0-based); edge = lo + frac*(hi-lo), 4dp half-up.
+    Written ONCE as SQL and mirrored expression-for-expression in the
+    Spark plan -- engine-native percentile_cont/quantile_cont interpolate
+    with algebraically-equal-but-IEEE-different formulas, so the repo
+    spells the arithmetic out instead of trusting the built-ins to agree."""
+    cols = []
+    for p in probs:
+        tag = str(p).replace(".", "_")
+        idx = f"({p!r} * (n - 1))"
+        lo = f"CAST(FLOOR({idx}) AS BIGINT)"
+        frac = f"({idx} - FLOOR({idx}))"
+        val = (
+            f"MAX(CASE WHEN rn = {lo} + 1 THEN cents END) + "
+            f"MAX({frac}) * (MAX(CASE WHEN rn = LEAST({lo} + 2, n) THEN cents END) - "
+            f"MAX(CASE WHEN rn = {lo} + 1 THEN cents END))"
+        )
+        cols.append(
+            f"CAST(FLOOR(({val}) * 10000 + 0.5) AS BIGINT) / 10000.0 AS p{tag}"
+        )
+    return ",\n           ".join(cols)
+
+
+@register(
+    "percentile_cont_by_segment",
+    oracle=f"""
+    WITH oc AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    r AS (
+      SELECT seg, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, o_orderkey)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+      FROM oc)
+    SELECT seg, MAX(n) AS n,
+           {_pcont_select(_PCONT_PROBS)}
+    FROM r GROUP BY seg
+    """,
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (percentile_cont) quartiles + p90 of order value per
+    segment, with the interpolation arithmetic SPELLED OUT -- idx =
+    p*(n-1), edge = lo + frac*(hi-lo) over exact integer cents -- because
+    engine-native percentile_cont and quantile_cont use algebraically
+    equal but IEEE-DIFFERENT formulas (lo*(1-g)+hi*g vs lo+g*(hi-lo))
+    that split on the last ulp.  Completes the quantile family next to
+    exact percentile_disc (`quantile_bins_totalprice`) and the
+    bounded-memory distributed edges; the per-segment window swaps to
+    the two-phase global rank at scale, as documented on gini."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    oc = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("seg")
+    r = oc.select(
+        "seg",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    # Per-ROW pick columns (n is on every row, so lo/frac are per-row
+    # expressions Spark's aggregate checker accepts; the SQL oracle puts
+    # the same expressions inside MAX(CASE ...) directly).
+    from ..operators.textstats import round_half_up
+
+    pick_cols = []
+    for p in _PCONT_PROBS:
+        tag = str(p).replace(".", "_")
+        idx = F.lit(p) * (F.col("n") - 1)
+        lo = F.floor(idx).cast("long")
+        pick_cols.extend(
+            [
+                F.when(F.col("rn") == lo + 1, F.col("cents")).alias(f"__lo_{tag}"),
+                F.when(
+                    F.col("rn") == F.least(lo + 2, F.col("n")), F.col("cents")
+                ).alias(f"__hi_{tag}"),
+                (idx - F.floor(idx)).alias(f"__fr_{tag}"),
+            ]
+        )
+    picked = r.select("seg", "n", *pick_cols)
+    aggs = [F.max("n").alias("n")]
+    for p in _PCONT_PROBS:
+        tag = str(p).replace(".", "_")
+        lo_val = F.max(f"__lo_{tag}")
+        hi_val = F.max(f"__hi_{tag}")
+        frac = F.max(f"__fr_{tag}")  # constant within the group
+        aggs.append(
+            round_half_up(lo_val + frac * (hi_val - lo_val), 4).alias(f"p{tag}")
+        )
+    return picked.groupBy("seg").agg(*aggs)
