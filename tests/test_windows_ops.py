@@ -51,11 +51,14 @@ def test_connected_components_bounded_storage(spark):
         release_caches,
     )
 
-    # Baseline from a clean slate: other operators legitimately hold ONE
-    # pinned final each (dedup._pinned_finals, bounded + released here),
-    # and this test measures CC's own footprint, not theirs.
+    # Measure CC's OWN footprint as a DELTA over whatever the shared test
+    # session still pins: clearCache/release_caches drop everything the
+    # registries know about, but an unrelated earlier test can leave a
+    # stray persisted RDD (observed flaking at +1 in full-suite order),
+    # and an absolute count would blame CC for it.
     spark.catalog.clearCache()
     release_caches()
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     # 0-1-2-3-4-5 chain: needs several label-propagation rounds
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(6)] + [(10, 11)], "doc_a long, doc_b long"
@@ -65,9 +68,11 @@ def test_connected_components_bounded_storage(spark):
     assert {(i, 0) for i in range(7)} <= out
     assert (11, 10) in out
     # Superseded rounds are unpersisted explicitly inside the loop, so the
-    # only pinned storage on return is the final labels checkpoint (edges
-    # were unpersisted on exit).  A chain of 6 needs >= 3 rounds; a leak
-    # would pin one RDD per round.
+    # only pinned storage CC ADDS on return is the final labels checkpoint
+    # (edges were unpersisted on exit).  A chain of 6 needs >= 3 rounds; a
+    # leak would pin one RDD per round.
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_cached <= 2, f"{n_cached} cached RDDs after CC -- per-iteration leak"
+    assert n_cached - baseline <= 2, (
+        f"{n_cached - baseline} new cached RDDs after CC -- per-iteration leak"
+    )
     spark.catalog.clearCache()
