@@ -155,12 +155,18 @@ def sorted_neighborhood_pairs(
          the key range-buckets rows as a pure function of the value,
          per-bucket ``row_number`` + broadcast bucket offsets = exact
          global rank (same scaffolding as ``global_ntile``);
-      2. the proxy is the first 7 bytes AFTER the corpus-wide longest
-         common prefix, big-endian -- monotone for ASCII keys (7 bytes
-         < 2^56 keeps the sign bit clear; the lcp strip stops a shared
-         literal prefix like 'supplier#' collapsing every row into one
-         range bucket).  lcp(min, max) == lcp of ALL rows, so it costs
-         one tiny min/max agg;
+      2. the proxy is the first 7 BYTES after the corpus-wide longest
+         common byte prefix, big-endian (7 bytes < 2^56 keeps the sign
+         bit clear; the lcp strip stops a shared literal prefix like
+         'supplier#' collapsing every row into one range bucket).  The
+         slice is taken on the UTF-8 BYTES (``substring`` over the
+         binary cast), not characters: UTF-8 byte order equals code
+         point order and Spark/DuckDB's default binary collation IS
+         byte order, so the proxy is monotone for ARBITRARY keys --
+         a character slice of multibyte keys would hex-expand past 14
+         chars and overflow ``conv`` to NULL, silently mis-ranking
+         (r8 advice finding).  lcp(min, max) == lcp of ALL rows, so it
+         costs one tiny min/max agg;
       3. in-window candidates are ``window`` equi-joins on
          ``rn_b = rn_a + k`` (an explode of sequence(1, window)), so the
          candidate join shuffles (rank, id, key) rows -- never a
@@ -182,17 +188,17 @@ def sorted_neighborhood_pairs(
         F.col("__key").isNotNull()
     )
     mm = src.agg(F.min("__key").alias("lo"), F.max("__key").alias("hi")).first()
-    lo, hi = mm["lo"] or "", mm["hi"] or ""
+    lo = (mm["lo"] or "").encode("utf-8")
+    hi = (mm["hi"] or "").encode("utf-8")
     lcp = 0
     while lcp < min(len(lo), len(hi)) and lo[lcp] == hi[lcp]:
         lcp += 1
-    proxy = F.conv(
-        F.hex(
-            F.rpad(F.substring(F.col("__key"), lcp + 1, 7), 7, "\x00").cast("binary")
-        ),
-        16,
-        10,
-    ).cast("long")
+    # Byte-wise slice: substring over BINARY indexes bytes, rpad with
+    # x'00' keeps short tails ordered before any extension of them.
+    proxy = F.expr(
+        f"cast(conv(hex(rpad(substring(cast(__key as binary), {lcp + 1}, 7), "
+        f"7, x'00')), 16, 10) as bigint)"
+    )
     P = num_partitions or spark.sparkContext.defaultParallelism
     ranged = range_partition_ids(src.withColumn("__px", proxy), "__px", P)
     counts = {
@@ -246,9 +252,14 @@ def sorted_neighborhood_multipass(
 
     ``key_exprs`` are the blocking keys; ``verify_col`` (default: the
     FIRST key) is what levenshtein verifies, so all passes share one
-    distance semantics.  Output: ``id_a, id_b, dist`` (id_a < id_b,
-    deduped across passes).  Cost = passes x the single-pass cost; the
-    verify runs once on the deduped union.
+    distance semantics.  The verify column is normalized with
+    ``lower(trim(...))`` EXACTLY like ``sorted_neighborhood_pairs``
+    normalizes its blocking key -- without it, multipass distances
+    diverge from single-pass (and from the SQL oracle) the moment the
+    input has mixed case or padding (r8 advice finding; TPC-H names
+    only masked it by being case-uniform).  Output: ``id_a, id_b,
+    dist`` (id_a < id_b, deduped across passes).  Cost = passes x the
+    single-pass cost; the verify runs once on the deduped union.
     """
     if not key_exprs:
         raise ValueError("sorted_neighborhood_multipass needs >= 1 key expr")
@@ -270,8 +281,9 @@ def sorted_neighborhood_multipass(
         )
         cands = pairs if cands is None else cands.unionByName(pairs)
     cands = cands.distinct()
-    a = src.select(F.col("__id").alias("id_a"), F.col(verify).alias("__va"))
-    b = src.select(F.col("__id").alias("id_b"), F.col(verify).alias("__vb"))
+    vnorm = F.lower(F.trim(F.col(verify)))
+    a = src.select(F.col("__id").alias("id_a"), vnorm.alias("__va"))
+    b = src.select(F.col("__id").alias("id_b"), vnorm.alias("__vb"))
     out = (
         cands.join(a, "id_a")
         .join(b, "id_b")

@@ -746,8 +746,20 @@ def gram_fixedpoint(
     # narrow scans only -- a 100 TB table with thousands of files passes
     # through untouched.
     df = _spread(df.select(vec_col))
+    # Ragged guard: a vector shorter than dim (or with NULL components)
+    # would make __vf[i] NULL and F.sum would SKIP the null products,
+    # silently biasing X^T X cells (r8 advice finding).  Validate inside
+    # the same projection -- raise_error in the CASE else-branch costs
+    # nothing on the happy path and fails the job loudly on the first
+    # bad row, with no extra pass over the data.
     vf = F.expr(
-        f"transform({vec_col}, x -> cast(floor(cast(x as double) * {scale} + 0.5d) as bigint))"
+        f"case when size({vec_col}) = {dim} "
+        f"and not exists({vec_col}, x -> x is null) "
+        f"then transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
+        f"else raise_error(concat('gram_fixedpoint: ragged or NULL-component "
+        f"{vec_col} (expected size {dim}, got size ', "
+        f"cast(size({vec_col}) as string), ')')) end"
     )
     cells = F.expr(
         f"""flatten(transform(sequence(0, {d - 1}), i ->

@@ -531,3 +531,65 @@ def test_weighted_sample_per_group_quota(spark):
         grp = sorted((r["rk"], r["priority"], r["doc_id"]) for r in got if r["src"] == s)
         assert [g[0] for g in grp] == list(range(1, 8))
         assert [(g[1], g[2]) for g in grp] == sorted((g[1], g[2]) for g in grp)
+
+
+# ------------------------------------------- r9 advice-fix regressions
+def test_snb_multipass_normalizes_verify_column(spark):
+    """r8 advice (medium): multipass verified levenshtein on the RAW
+    column while single-pass (and the SQL oracle) verify on
+    lower(trim(...)).  Mixed-case + padded input must yield the
+    NORMALIZED distance."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        sorted_neighborhood_multipass,
+    )
+
+    rows = [(1, "  ACME Corp  "), (2, "acme corq")] + [
+        (10 + i, f"m{i:03d} spacer") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted_neighborhood_multipass(
+        df, "id", [F.col("name"), F.reverse(F.col("name"))], window=4, max_dist=3
+    )
+    hits = [r for r in got.collect() if {r["id_a"], r["id_b"]} == {1, 2}]
+    # lower(trim): 'acme corp' vs 'acme corq' -> dist 1.  The raw
+    # distance ('  ACME Corp  ' vs 'acme corq') is 9 -- over max_dist,
+    # so the un-normalized operator dropped the pair entirely.
+    assert len(hits) == 1 and hits[0]["dist"] == 1
+
+
+def test_snb_pairs_multibyte_keys_rank_correctly(spark):
+    """r8 advice (low): the 7-char rank proxy overflowed conv for
+    multibyte UTF-8 keys.  The byte-sliced proxy must rank arbitrary
+    UTF-8 exactly like binary-collation ORDER BY."""
+    greek = "αβγδεζηθικλμ"
+    rows = [(i, f"{greek[i]}row{i:02d}") for i in range(len(greek))]
+    # shuffle ids relative to sort order so ranking actually matters
+    rows = rows[::2] + rows[1::2]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted_neighborhood_pairs(
+        df, "id", "name", window=2, max_dist=10**9, num_partitions=4
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    order = [i for i, _ in sorted(rows, key=lambda r: r[1].encode("utf-8"))]
+    want = {
+        (order[a], order[a + k])
+        for a in range(len(order))
+        for k in (1, 2)
+        if a + k < len(order)
+    }
+    assert got_pairs == want
+
+
+def test_gram_fixedpoint_ragged_vector_raises(spark):
+    """r8 advice (low): a vector shorter than dim silently dropped
+    NULL products from the Gram cells; it must now fail loudly."""
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [0.4, 0.5])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="gram_fixedpoint"):
+        gram_fixedpoint(df, scale=1000, dim=3).collect()
+    nulls = spark.createDataFrame(
+        [(1, [0.1, None, 0.3])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="gram_fixedpoint"):
+        gram_fixedpoint(nulls, scale=1000, dim=3).collect()
