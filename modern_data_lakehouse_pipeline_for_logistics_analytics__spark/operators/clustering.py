@@ -1,0 +1,157 @@
+"""Distributed k-means (Lloyd's algorithm) in EXACT fixed-point
+arithmetic -- the classic embedding-space clustering pass of a training
+-data pipeline (IVF coarse quantizers, dataset cartography, per-cluster
+sampling quotas all start from exactly this loop).
+
+Why fixed-point: float Lloyd iterations can never hash-match across
+engines (partition-order-dependent float sums move centroids by ulps,
+which flips argmin assignments near Voronoi boundaries).  Quantizing
+each component to ``floor(v * scale + 0.5)`` (int64) makes every
+distance, every partial sum and every centroid update exact integer
+arithmetic -- bit-identical on any engine / partitioning -- the same
+trade as PageRank's SCALE, the HLL registers and ``gram_fixedpoint``
+(`similarity.py`).
+
+Scale shape (the 100 TB posture):
+
+- ASSIGNMENT is pure map-side codegen: the k x d centroid table rides
+  into the plan as a literal nested array (k*d ~ 512 ints, far below
+  broadcast thresholds), so computing all k distances + argmin touches
+  NO shuffle and no Python.
+- The UPDATE shuffles only k*d partial-sum cells (map-side combine:
+  ``groupBy(cluster, i).sum``) -- independent of row count, the
+  'aggregate, never join' X^T X discipline.
+- The per-iteration driver reduce is the k*d cell frame (~512 rows) --
+  the same bounded-collect class as the two-phase window schemes'
+  broadcast prefix maxima.  Nothing row-scale ever reaches the driver.
+- Each iteration builds a FRESH plan over the one cached quantized
+  frame + new literals, so there is no iterative lineage growth and no
+  checkpoint discipline needed (contrast PageRank, whose per-round
+  frame feeds the next round's plan).
+
+Determinism contract (mirrored verbatim by the DuckDB oracle):
+
+- init: the k rows with the smallest ids, cluster j = rank by id;
+- assignment: argmin over exact integer squared distances, ties to the
+  LOWEST cluster index;
+- update: per-dimension ``sum div count`` (truncate-toward-zero integer
+  div -- Spark ``div`` and DuckDB ``//`` agree, probed in r8);
+- empty cluster: keeps its previous centroid (n_pts 0, inertia 0).
+
+Reference parity note: the reference repo has no clustering operator;
+this generalizes its analytics layer the same way the PageRank / PCA /
+Gram family does (SURVEY.md section 2 'beyond-reference training-data
+operators').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark ``div`` / DuckDB
+    ``//`` semantics).  Python's ``//`` FLOORS, which differs on
+    negative numerators -- centroid sums of signed components hit this
+    immediately."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def kmeans_lloyd_fixedpoint(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Run ``iterations`` exact Lloyd rounds; return the long-form final
+    state: ``cluster, i, c_fp, n_pts, inertia_fp`` (k*d rows; ``c_fp``
+    the post-update fixed-point centroid component, ``n_pts`` /
+    ``inertia_fp`` from the final assignment, repeated across ``i``).
+
+    Overflow: |v| < 1 fixtures give |vf| <= scale, per-pair products
+    <= (2*scale)^2 and distances <= dim * (2*scale)^2 (2.6e8 at the
+    defaults); inertia sums that over rows -- 2^63 holds ~3.5e10 rows
+    per cluster at the defaults, and centroid sums are looser still.
+    """
+    if k < 1 or iterations < 1:
+        raise ValueError("kmeans_lloyd_fixedpoint needs k >= 1, iterations >= 1")
+    from .dedup import _cache_aged, _spread
+
+    # Same ragged guard as gram_fixedpoint: a short / NULL-component
+    # vector must fail loudly, not silently skew a centroid.
+    vf = F.expr(
+        f"case when size({vec_col}) = {dim} "
+        f"and not exists({vec_col}, x -> x is null) "
+        f"then transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
+        f"else raise_error('kmeans_lloyd_fixedpoint: ragged or "
+        f"NULL-component {vec_col} (expected size {dim})') end"
+    )
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(vec_col)))
+    base = _cache_aged(
+        "kmeans_vf", base.select("__id", vf.alias("__vf"))
+    )
+
+    # Deterministic init: the k smallest ids, cluster = rank by id.
+    # Bounded collect: k rows x d ints.
+    seed_rows = base.orderBy("__id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_lloyd_fixedpoint: k={k} exceeds the {len(seed_rows)} input rows"
+        )
+    cents: list[list[int]] = [list(r["__vf"]) for r in seed_rows]
+
+    def assign(cents: list[list[int]]) -> DataFrame:
+        lit = "array(" + ", ".join(
+            "array(" + ", ".join(str(v) + "L" for v in c) + ")" for c in cents
+        ) + ")"
+        dists = (
+            f"transform({lit}, c -> aggregate(zip_with(__vf, c, "
+            f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"
+        )
+        return base.withColumn("__d", F.expr(dists)).select(
+            "__id",
+            "__vf",
+            F.expr("cast(array_position(__d, array_min(__d)) - 1 as bigint)").alias(
+                "cluster"
+            ),
+            F.expr("array_min(__d)").alias("__dist"),
+        )
+
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(cents)
+        sums = (
+            assigned.select("cluster", F.posexplode("__vf").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster keeps previous
+        for r in sums:
+            new_cents[r["cluster"]][r["i"]] = _tdiv(int(r["s"]), int(r["n"]))
+        cents = new_cents
+
+    spark = df.sparkSession
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_pts"), F.sum("__dist").alias("inertia_fp")
+    )
+    cent_rows = [
+        (int(j), int(i), int(cents[j][i])) for j in range(k) for i in range(dim)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cluster long, i long, c_fp long")
+    return (
+        cent_df.join(F.broadcast(stats), "cluster", "left")
+        .select(
+            "cluster",
+            "i",
+            "c_fp",
+            F.coalesce(F.col("n_pts"), F.lit(0)).cast("long").alias("n_pts"),
+            F.coalesce(F.col("inertia_fp"), F.lit(0)).cast("long").alias("inertia_fp"),
+        )
+    )

@@ -424,3 +424,82 @@ def temporal_reachability(
         _unpersist_checkpoint(prev_ckpt)
     hold_pinned("graph.temporal", ckpt)
     return state
+
+
+def shortest_paths_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, bounded at ``rounds`` edges
+    (distributed Bellman-Ford).  Output ``(node, dist)`` -- the exact
+    min-cost distance from any seed over walks of <= ``rounds`` edges.
+
+    Weights must be NON-NEGATIVE INTEGERS (cost cents, ms latencies,
+    hop counts): integer min-plus relaxation is bit-identical on any
+    engine/partitioning, so an unrolled-CTE oracle replays it exactly
+    -- the weighted sibling of ``bfs_distances`` (unit weights) in the
+    same bounded-k contract: after k rounds every node whose optimal
+    walk has <= k edges carries its exact distance.
+
+    Per round: ONE join keyed on the cached edge src + one map-side-
+    combinable min + a full-join fold; frontier rows are (node, long)
+    pairs.  ``localCheckpoint`` per round caps plan growth (the frame
+    feeds both the fold and the next join), superseded checkpoints
+    released eagerly -- the shared loop discipline of BFS / PageRank /
+    connected components.  Early exit when a round improves nothing:
+    with non-negative weights, min-plus relaxation is monotone
+    non-increasing, so an unchanged round IS the bounded fixpoint.
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        F.col(weight).cast("long").alias("e_w"),
+    ).cache()
+    ckpt = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    dist = ckpt
+    prev_ckpt = None
+    try:
+        for _ in range(rounds):
+            relaxed = (
+                e.join(dist, F.col("e_src") == F.col("node"))
+                .groupBy(F.col("e_dst").alias("rnode"))
+                .agg(F.min(F.col("dist") + F.col("e_w")).alias("nd"))
+            )
+            stepped_ckpt = (
+                dist.join(relaxed, dist["node"] == relaxed["rnode"], "full")
+                .select(
+                    F.coalesce(F.col("node"), F.col("rnode")).alias("node"),
+                    F.least(
+                        F.coalesce(F.col("dist"), F.col("nd")),
+                        F.coalesce(F.col("nd"), F.col("dist")),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.col("nd") < F.col("dist"))
+                    ).cast("long").alias("__chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_chg = stepped_ckpt.agg(F.sum("__chg")).first()[0] or 0
+            if prev_ckpt is not None:
+                _unpersist_checkpoint(prev_ckpt)
+            prev_ckpt, ckpt = ckpt, stepped_ckpt
+            dist = stepped_ckpt.drop("__chg")
+            if not n_chg:
+                break
+    finally:
+        e.unpersist()
+    if prev_ckpt is not None:
+        _unpersist_checkpoint(prev_ckpt)
+    hold_pinned("graph.sssp", ckpt)
+    return dist

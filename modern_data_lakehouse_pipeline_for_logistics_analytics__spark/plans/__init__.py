@@ -62,6 +62,7 @@ def _load_all() -> None:
         "trainprep",
         "coverage3",
         "coverage4",
+        "coverage5",
     ):
         try:
             __import__(f"{__name__}.{mod}")
