@@ -292,3 +292,65 @@ def sorted_neighborhood_multipass(
         )
     )
     return out.filter(F.col("dist") <= max_dist)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (decision layer over any
+# blocking scheme above).
+# ---------------------------------------------------------------------------
+
+
+def fs_weights(mu: list[tuple[float, float]]) -> list[tuple[int, int]]:
+    """Fellegi-Sunter field weights in fixed-point MICRO-LOG2 units:
+    ``wa = log2(m/u), wd = log2((1-m)/(1-u))``, floor-half-up at 1e6.
+    Computed ONCE in Python and inlined as integer literals into BOTH
+    the Spark plan and the SQL oracle -- constants cannot drift and no
+    cross-engine float arithmetic ever runs (portable playbook)."""
+    import math
+
+    out = []
+    for m, u in mu:
+        if not (0 < u < m < 1):
+            raise ValueError(f"fs_weights needs 0 < u < m < 1, got (m={m}, u={u})")
+        wa = math.floor(math.log2(m / u) * 1_000_000 + 0.5)
+        wd = math.floor(math.log2((1 - m) / (1 - u)) * 1_000_000 + 0.5)
+        out.append((int(wa), int(wd)))
+    return out
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    agreements: list[tuple[str, Column]],
+    weights: list[tuple[int, int]],
+    upper: int,
+    lower: int,
+) -> DataFrame:
+    """Score candidate pairs with the Fellegi-Sunter log-likelihood
+    decision model: each field contributes its agree/disagree weight,
+    the summed score classifies ``link`` (>= upper) / ``nonlink``
+    (<= lower) / ``possible`` (clerical-review band).  THE classical
+    probabilistic record-linkage decision layer -- blocking (SNB,
+    deletion neighborhoods, LSH) proposes, this disposes.
+
+    Pure map-side codegen over the candidate frame (the agreement
+    columns are plain expressions; weights are integer literals), so
+    the decision layer adds ZERO shuffles to whatever blocking produced
+    the pairs.  Output: the input columns + one 0/1 column per field +
+    ``score`` + ``decision``."""
+    if len(agreements) != len(weights):
+        raise ValueError(
+            f"fellegi_sunter_scores: {len(agreements)} agreement exprs vs "
+            f"{len(weights)} weight pairs"
+        )
+    out = pairs
+    score = F.lit(0).cast("long")
+    for (name, cond), (wa, wd) in zip(agreements, weights):
+        out = out.withColumn(name, cond.cast("long"))
+        score = score + F.when(F.col(name) == 1, F.lit(wa)).otherwise(F.lit(wd))
+    out = out.withColumn("score", score.cast("long"))
+    return out.withColumn(
+        "decision",
+        F.when(F.col("score") >= upper, F.lit("link"))
+        .when(F.col("score") <= lower, F.lit("nonlink"))
+        .otherwise(F.lit("possible")),
+    )

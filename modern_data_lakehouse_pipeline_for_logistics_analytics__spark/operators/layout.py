@@ -138,3 +138,50 @@ def compact_path(
     shutil.move(tmp, path)   # promote the compacted copy
     shutil.rmtree(old)       # only now is the original deleted
     return n_files
+
+
+def compaction_bins(
+    files: DataFrame,
+    part_col: str,
+    key_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """PLAN a small-file compaction (the OPTIMIZE planner half of
+    ``compact_path``'s executor half): within each partition, walk files
+    in ``key_col`` order and pack them into target-sized bins --
+    ``bin = (running size BEFORE this file) div target`` -- so every bin
+    except a partition's last holds >= target bytes and key ranges stay
+    CONTIGUOUS per bin (compaction must not interleave sort ranges, or
+    it destroys the min/max pruning the layout bought).
+
+    Output per bin: ``part, bin, n_files, bin_bytes, first_key,
+    last_key``.  Deterministic integer arithmetic end to end (running
+    sum + truncating div), so the plan itself is oracle-verifiable --
+    and idempotent: replanning after a partial run reproduces the same
+    remaining bins.
+
+    Scale shape: ONE window (running sum partitioned by the partition
+    column -- file-inventory rows, millions at most, never data rows)
+    plus one map-side-combinable groupBy.  The planner reads the
+    inventory only; the executor moves the bytes."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    binned = files.withColumn("__before", before).withColumn(
+        "bin", F.expr(f"__before div {target_bytes}").cast("long")
+    )
+    return (
+        binned.groupBy(part_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(size_col).cast("long").alias("bin_bytes"),
+            F.min(key_col).alias("first_key"),
+            F.max(key_col).alias("last_key"),
+        )
+    )

@@ -117,3 +117,124 @@ def distinct_sketch(
 ) -> DataFrame:
     """One-shot grouped distinct-count estimate via portable registers."""
     return hll_estimate(hll_registers(df, group_cols, val_col, m), group_cols, m)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable FREQUENCY registers (the point-query
+# complement of the HLL cardinality registers above).
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime modulus of the universal-hash rows (shared with the
+#: portable MinHash family -- a < p, h0 < p keeps a*h0 + b < 2^62, exact
+#: in any engine's signed 64-bit arithmetic).
+CMS_P = 2_147_483_647
+
+#: Sketch geometry.  depth x width cells bound the overcount at
+#: ~e * N / width with probability 1 - e^-depth; 4 x 512 is demo-sized
+#: so the oracle SQL stays readable -- production widths are 2^16+ over
+#: the identical code path (the registers stay k*w rows either way).
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_params(depth: int = CMS_DEPTH) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash rows mod CMS_P, derived from
+    sha256 -- the ONE source both the Spark operator and the SQL-oracle
+    builder import, so the two can never drift (portable playbook)."""
+    import hashlib
+
+    out = []
+    for i in range(depth):
+        d = hashlib.sha256(f"cms:{i}".encode()).digest()
+        a = int.from_bytes(d[:8], "big") % (CMS_P - 1) + 1
+        b = int.from_bytes(d[8:16], "big") % CMS_P
+        out.append((a, b))
+    return out
+
+
+def cms_bucket_sql(h0_expr: str, a: int, b: int, width: int = CMS_WIDTH) -> str:
+    """The bucket formula as a SQL fragment -- identical text works in
+    Spark SQL and DuckDB (%, * and + on BIGINT agree)."""
+    return f"((({a} * {h0_expr}) + {b}) % {CMS_P}) % {width}"
+
+
+def cms_registers(
+    df: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the count-min registers ``(r, bucket, cnt)`` over one row
+    per ITEM OCCURRENCE (pre-exploded).  Sparse: only touched cells
+    appear; an absent cell is an exact zero.
+
+    Scale shape: one narrow projection expands each occurrence to
+    ``depth`` cells (codegen, no Python), then ONE map-side-combinable
+    count groups <= depth*width cells -- the shuffle is register-sized,
+    independent of corpus rows, and registers MERGE BY SUM across
+    partitions / days / corpora (``cms_merge``), so rollups never
+    re-scan raw occurrences: the same 'aggregate, never join' posture
+    as the HLL registers."""
+    h0 = (portable_base_hash(F.col(item_col)) % CMS_P).alias("__h0")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("long").alias("r"),
+                    F.expr(cms_bucket_sql("__h0", a, b, width)).cast("long").alias(
+                        "bucket"
+                    ),
+                )
+                for r, (a, b) in enumerate(cms_params(depth))
+            ]
+        )
+    )
+    return (
+        df.select(h0)
+        .select(cells.alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(regs: list[DataFrame]) -> DataFrame:
+    """Merge register frames by cell-wise SUM (the mergeability
+    contract: sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly)."""
+    allr = reduce(lambda a, b: a.unionByName(b), regs)
+    return allr.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    regs: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch: est(item) = min over rows r of
+    cnt[r][bucket_r(item)] -- an upper bound on the true count, exact
+    for items whose cells saw no collisions.  Probes join the
+    register frame on (r, bucket): depth rows per probe, broadcast-
+    friendly either way round."""
+    h0 = (portable_base_hash(F.col(item_col)) % CMS_P).alias("__h0")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("long").alias("r"),
+                    F.expr(cms_bucket_sql("__h0", a, b, width)).cast("long").alias(
+                        "bucket"
+                    ),
+                )
+                for r, (a, b) in enumerate(cms_params(depth))
+            ]
+        )
+    )
+    pc = probes.select(F.col(item_col), h0).select(
+        item_col, cells.alias("c")
+    ).select(item_col, F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+    return (
+        pc.join(regs, ["r", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("long").alias("n_cms"))
+    )

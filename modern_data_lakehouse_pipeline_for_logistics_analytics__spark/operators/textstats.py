@@ -313,3 +313,50 @@ def repetition_profile(
         ratio.alias("rep_ratio"),
         (ratio >= flag_ratio).cast("long").alias("is_repetitive"),
     )
+
+
+def vocab_oov_stats(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 500
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-``vocab_size``
+    corpus vocabulary (count desc, token asc -- total order, so the
+    boundary is deterministic), then score every document's
+    out-of-vocabulary exposure: ``n_tokens, n_oov, oov_rate`` (6dp
+    half-up, the shared cross-engine rounding).  The go/no-go check
+    before committing a tokenizer: a corpus slice with high OOV under
+    the deployed vocab wastes tokens as bytes/UNKs.
+
+    Scale shape: ONE token explode feeds both the vocabulary aggregate
+    (map-side-combinable count, top-V via TakeOrdered -- never a global
+    sort) and the per-doc scoring; the vocabulary is broadcast (<= V
+    rows) so scoring adds no shuffle beyond the per-doc groupBy."""
+    from .dedup import _cache_aged
+
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+    toks = _cache_aged("vocab_toks", toks)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    rate = round_half_up(
+        F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_oov",
+        rate.alias("oov_rate"),
+    )

@@ -178,3 +178,281 @@ def q_cheapest_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = shortest_paths_bounded(edges, seeds, rounds=_SP_ROUNDS)
     return out.orderBy("dist", "node").limit(_SP_TOPN)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: estimated vs exact token frequencies
+# --------------------------------------------------------------------------
+
+_CMS_TOPN = 20
+
+
+def _cms_oracle() -> str:
+    from ..operators.sketches import CMS_P, CMS_WIDTH, cms_bucket_sql, cms_params
+
+    params = cms_params()
+    h0 = f"(CAST('0x' || substring(md5(item), 2, 15) AS BIGINT) % {CMS_P})"
+    cell_rows = " UNION ALL ".join(
+        f"SELECT item, {r} AS r, {cms_bucket_sql('h0', a, b, CMS_WIDTH)} AS bucket FROM h"
+        for r, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS item
+      FROM documents),
+    h AS (SELECT item, {h0} AS h0 FROM tok),
+    cells AS ({cell_rows}),
+    regs AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM cells GROUP BY r, bucket),
+    ex AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM tok GROUP BY item),
+    top AS (SELECT item, n_exact FROM ex ORDER BY n_exact DESC, item LIMIT {_CMS_TOPN}),
+    ph AS (SELECT item, n_exact, {h0} AS h0 FROM top),
+    pc AS ({" UNION ALL ".join(
+        f"SELECT item, n_exact, {r} AS r, "
+        f"{cms_bucket_sql('h0', a, b, CMS_WIDTH)} AS bucket FROM ph"
+        for r, (a, b) in enumerate(params))})
+    SELECT p.item, p.n_exact, CAST(MIN(g.cnt) AS BIGINT) AS n_cms,
+           CAST(MIN(g.cnt) - p.n_exact AS BIGINT) AS overcount
+    FROM pc p JOIN regs g ON g.r = p.r AND g.bucket = p.bucket
+    GROUP BY p.item, p.n_exact
+    """
+
+
+@register("cms_token_frequencies", oracle=_cms_oracle())
+def q_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over every token occurrence in the corpus
+    (depth 4 x width 512 mergeable registers), point-queried for the 20
+    most frequent tokens against their exact counts -- the register
+    build, the universal-hash rows and the min-estimate all replayed
+    bit-for-bit by the SQL oracle; ``overcount`` exposes the collision
+    upper-bound behavior (always >= 0)
+    (`operators/sketches.py::cms_registers/cms_estimate`)."""
+    from ..operators.sketches import cms_estimate, cms_registers
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("item")
+        )
+    )
+    from ..operators.dedup import _cache_aged
+
+    toks = _cache_aged("cms_tokens", toks)
+    regs = cms_registers(toks, "item")
+    top = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("item"))
+        .limit(_CMS_TOPN)
+    )
+    est = cms_estimate(regs, top.select("item"), "item")
+    return top.join(F.broadcast(est), "item").select(
+        "item",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).cast("long").alias("overcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-vocabulary OOV audit
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 500
+
+
+@register(
+    "vocab_oov_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    voc AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+        ORDER BY n DESC, tok LIMIT {_VOCAB_V})),
+    per AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM tok t LEFT JOIN voc v ON v.tok = t.tok
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(FLOOR(n_oov / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             / CAST(1000000.0 AS DOUBLE) AS oov_rate
+    FROM per
+    """,
+)
+def q_vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: top-500 corpus vocabulary (deterministic
+    count-desc/token-asc boundary), per-document OOV token share at the
+    shared 6dp half-up rounding -- the tokenizer go/no-go audit of a
+    training-data pipeline
+    (`operators/textstats.py::vocab_oov_stats`)."""
+    from ..operators.textstats import vocab_oov_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_oov_stats(docs, "doc_id", "text", vocab_size=_VOCAB_V)
+
+
+# --------------------------------------------------------------------------
+# Compaction bin planner over the daily order-file inventory
+# --------------------------------------------------------------------------
+
+_CPT_ROW_BYTES = 128
+_CPT_TARGET = 8192
+
+
+@register(
+    "compaction_plan_daily_files",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             o_orderdate AS d,
+             CAST(COUNT(*) * {_CPT_ROW_BYTES} AS BIGINT) AS bytes
+      FROM orders GROUP BY mon, d),
+    rs AS (
+      SELECT mon, d, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (
+               PARTITION BY mon ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS bef
+      FROM f),
+    b AS (SELECT mon, d, bytes, bef // {_CPT_TARGET} AS bin FROM rs)
+    SELECT mon, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(d) AS first_key, MAX(d) AS last_key
+    FROM b GROUP BY mon, bin
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE planner: the per-day order 'files' (size = rows x 128B
+    estimate) packed into >= 8 KiB bins per month, key ranges contiguous
+    -- running-sum div target, deterministic and idempotent, the
+    planning half of the engine's small-file compaction story
+    (`operators/layout.py::compaction_bins`)."""
+    from ..operators.layout import compaction_bins
+
+    orders = _t(spark, sf_dir, "orders")
+    inv = orders.groupBy(
+        F.trunc(F.col("o_orderdate"), "mon").alias("mon"),
+        F.col("o_orderdate").alias("d"),
+    ).agg((F.count(F.lit(1)) * _CPT_ROW_BYTES).cast("long").alias("bytes"))
+    return compaction_bins(inv, "mon", "d", "bytes", _CPT_TARGET).select(
+        "mon",
+        "bin",
+        "n_files",
+        "bin_bytes",
+        F.col("first_key"),
+        F.col("last_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic linkage over SNB candidates
+# --------------------------------------------------------------------------
+
+#: (m, u) per field: P(agree | match) / P(agree | non-match) for the
+#: dirty-name edit distance, the nation key and the phone prefix.
+_FS_MU = [(0.95, 0.05), (0.98, 0.04), (0.90, 0.10)]
+_FS_UPPER = 6_000_000  # >= 6 bits of log-likelihood -> link
+_FS_LOWER = 0          # <= 0 bits -> nonlink
+
+
+def _fs_oracle() -> str:
+    from ..operators.fuzzyjoin import fs_weights
+    from .coverage4 import _DIRTY_SQL, _SNB_WINDOW
+
+    (wa0, wd0), (wa1, wd1), (wa2, wd2) = fs_weights(_FS_MU)
+    return f"""
+    WITH s AS (
+      SELECT s_suppkey AS id, lower(trim({_DIRTY_SQL})) AS key,
+             s_nationkey AS nk,
+             CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band
+      FROM supplier),
+    r AS (SELECT id, key, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM s),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW}),
+    f AS (
+      SELECT p.id_a, p.id_b, p.dist,
+             CAST(CASE WHEN p.dist <= 1 THEN 1 ELSE 0 END AS BIGINT) AS agree_name,
+             CAST(CASE WHEN sa.nk = sb.nk THEN 1 ELSE 0 END AS BIGINT) AS agree_nation,
+             CAST(CASE WHEN sa.bal_band = sb.bal_band THEN 1 ELSE 0 END AS BIGINT) AS agree_bal
+      FROM p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b),
+    sc AS (
+      SELECT *, CAST(
+          CASE WHEN agree_name = 1 THEN {wa0} ELSE {wd0} END
+        + CASE WHEN agree_nation = 1 THEN {wa1} ELSE {wd1} END
+        + CASE WHEN agree_bal = 1 THEN {wa2} ELSE {wd2} END AS BIGINT) AS score
+      FROM f)
+    SELECT id_a, id_b, dist, agree_name, agree_nation, agree_bal, score,
+           CASE WHEN score >= {_FS_UPPER} THEN 'link'
+                WHEN score <= {_FS_LOWER} THEN 'nonlink'
+                ELSE 'possible' END AS decision
+    FROM sc
+    """
+
+
+@register("fs_linkage_suppliers", oracle=_fs_oracle())
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage: SNB blocking proposes in-window
+    supplier pairs (dirty names, no distance cap), then the classical
+    log-likelihood decision model scores three fields (name edit
+    distance <= 1, nation, account-balance band) with fixed-point micro-log2
+    weights and classifies link / possible / nonlink -- the decision
+    layer production ER runs on top of any blocking scheme
+    (`operators/fuzzyjoin.py::fellegi_sunter_scores`)."""
+    from ..operators.fuzzyjoin import (
+        fellegi_sunter_scores,
+        fs_weights,
+        sorted_neighborhood_pairs,
+    )
+    from .coverage4 import _DIRTY_SQL, _SNB_WINDOW
+
+    sup = _t(spark, sf_dir, "supplier")
+    dirty = sup.select(
+        F.col("s_suppkey").alias("sid"), F.expr(_DIRTY_SQL).alias("dname")
+    )
+    pairs = sorted_neighborhood_pairs(
+        dirty, "sid", "dname", window=_SNB_WINDOW, max_dist=10**9
+    )
+    attrs = sup.select(
+        F.col("s_suppkey").alias("__k"),
+        F.col("s_nationkey").alias("__nk"),
+        F.expr("cast(floor(s_acctbal * 100 + 0.5) as bigint) div 100000").alias("__bb"),
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(attrs).select(
+                F.col("__k").alias("id_a"),
+                F.col("__nk").alias("__nk_a"),
+                F.col("__bb").alias("__bb_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(attrs).select(
+                F.col("__k").alias("id_b"),
+                F.col("__nk").alias("__nk_b"),
+                F.col("__bb").alias("__bb_b"),
+            ),
+            "id_b",
+        )
+    )
+    scored = fellegi_sunter_scores(
+        enriched,
+        [
+            ("agree_name", F.col("dist") <= 1),
+            ("agree_nation", F.col("__nk_a") == F.col("__nk_b")),
+            ("agree_bal", F.col("__bb_a") == F.col("__bb_b")),
+        ],
+        fs_weights(_FS_MU),
+        upper=_FS_UPPER,
+        lower=_FS_LOWER,
+    )
+    return scored.select(
+        "id_a", "id_b", "dist", "agree_name", "agree_nation", "agree_bal",
+        "score", "decision",
+    )
