@@ -89,8 +89,11 @@ def kmeans_lloyd_fixedpoint(
         f"and not exists({vec_col}, x -> x is null) "
         f"then transform({vec_col}, x -> "
         f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
-        f"else raise_error('kmeans_lloyd_fixedpoint: ragged or "
-        f"NULL-component {vec_col} (expected size {dim})') end"
+        f"else raise_error(concat('kmeans_lloyd_fixedpoint: ', "
+        f"case when size({vec_col}) = {dim} "
+        f"then '{vec_col} contains NULL component (size {dim})' "
+        f"else concat('ragged {vec_col} (expected size {dim}, got size ', "
+        f"cast(size({vec_col}) as string), ')') end)) end"
     )
     base = _spread(df.select(F.col(id_col).alias("__id"), F.col(vec_col)))
     base = _cache_aged(

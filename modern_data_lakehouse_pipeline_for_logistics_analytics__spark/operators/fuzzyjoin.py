@@ -345,7 +345,11 @@ def fellegi_sunter_scores(
     out = pairs
     score = F.lit(0).cast("long")
     for (name, cond), (wa, wd) in zip(agreements, weights):
-        out = out.withColumn(name, cond.cast("long"))
+        # NULL condition (e.g. a NULL field value) is a DISAGREEMENT:
+        # coalesce to 0 so the materialized column honors the
+        # documented 0/1 contract (r9 advice finding -- bare
+        # cond.cast("long") preserved NULL).
+        out = out.withColumn(name, F.coalesce(cond.cast("long"), F.lit(0)))
         score = score + F.when(F.col(name) == 1, F.lit(wa)).otherwise(F.lit(wd))
     out = out.withColumn("score", score.cast("long"))
     return out.withColumn(

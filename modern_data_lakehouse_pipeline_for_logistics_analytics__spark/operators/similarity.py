@@ -757,9 +757,11 @@ def gram_fixedpoint(
         f"and not exists({vec_col}, x -> x is null) "
         f"then transform({vec_col}, x -> "
         f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
-        f"else raise_error(concat('gram_fixedpoint: ragged or NULL-component "
-        f"{vec_col} (expected size {dim}, got size ', "
-        f"cast(size({vec_col}) as string), ')')) end"
+        f"else raise_error(concat('gram_fixedpoint: ', "
+        f"case when size({vec_col}) = {dim} "
+        f"then '{vec_col} contains NULL component (size {dim})' "
+        f"else concat('ragged {vec_col} (expected size {dim}, got size ', "
+        f"cast(size({vec_col}) as string), ')') end)) end"
     )
     cells = F.expr(
         f"""flatten(transform(sequence(0, {d - 1}), i ->

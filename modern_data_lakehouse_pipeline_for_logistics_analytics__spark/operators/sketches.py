@@ -213,9 +213,13 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch: est(item) = min over rows r of
     cnt[r][bucket_r(item)] -- an upper bound on the true count, exact
-    for items whose cells saw no collisions.  Probes join the
+    for items whose cells saw no collisions.  Probes LEFT-join the
     register frame on (r, bucket): depth rows per probe, broadcast-
-    friendly either way round."""
+    friendly either way round.  Absent register cells are EXACT zeros
+    (cms_sketch's groupBy only materializes touched cells), so a probe
+    item whose cell was never touched contributes 0 to the min and an
+    item unseen in the corpus returns n_cms = 0 -- an inner join would
+    silently drop those cells and overestimate (r9 advice finding)."""
     h0 = (portable_base_hash(F.col(item_col)) % CMS_P).alias("__h0")
     cells = F.explode(
         F.array(
@@ -234,7 +238,11 @@ def cms_estimate(
         item_col, cells.alias("c")
     ).select(item_col, F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
     return (
-        pc.join(regs, ["r", "bucket"])
+        pc.join(regs, ["r", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").cast("long").alias("n_cms"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("n_cms")
+        )
     )

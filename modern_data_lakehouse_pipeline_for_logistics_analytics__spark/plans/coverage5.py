@@ -212,9 +212,10 @@ def _cms_oracle() -> str:
         f"SELECT item, n_exact, {r} AS r, "
         f"{cms_bucket_sql('h0', a, b, CMS_WIDTH)} AS bucket FROM ph"
         for r, (a, b) in enumerate(params))})
-    SELECT p.item, p.n_exact, CAST(MIN(g.cnt) AS BIGINT) AS n_cms,
-           CAST(MIN(g.cnt) - p.n_exact AS BIGINT) AS overcount
-    FROM pc p JOIN regs g ON g.r = p.r AND g.bucket = p.bucket
+    SELECT p.item, p.n_exact,
+           CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS n_cms,
+           CAST(MIN(COALESCE(g.cnt, 0)) - p.n_exact AS BIGINT) AS overcount
+    FROM pc p LEFT JOIN regs g ON g.r = p.r AND g.bucket = p.bucket
     GROUP BY p.item, p.n_exact
     """
 

@@ -115,3 +115,341 @@ def test_sssp_early_exit_at_fixpoint(spark):
         for r in shortest_paths_bounded(edges, seeds, rounds=50).collect()
     }
     assert got == {1: 0, 2: 3, 3: 7}
+
+
+# ------------------------------------------------------- count-min sketch
+def _py_cms_estimate(corpus, probes, depth, width):
+    """Pure-Python CMS twin (same sha256 params, same md5 base hash) --
+    the hand oracle for the Spark operator at ANY geometry."""
+    import hashlib
+    from collections import Counter
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+        CMS_P,
+        cms_params,
+    )
+
+    params = cms_params(depth)
+    regs = [Counter() for _ in range(depth)]
+
+    def h0(item):
+        return int(hashlib.md5(item.encode()).hexdigest()[1:16], 16) % CMS_P
+
+    for item in corpus:
+        h = h0(item)
+        for r, (a, b) in enumerate(params):
+            regs[r][((a * h + b) % CMS_P) % width] += 1
+    out = {}
+    for item in probes:
+        h = h0(item)
+        out[item] = min(
+            regs[r].get(((a * h + b) % CMS_P) % width, 0)
+            for r, (a, b) in enumerate(params)
+        )
+    return out
+
+
+def test_cms_mergeability_exact(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A UNION ALL B), cell for
+    cell -- the contract that lets per-partition / per-day sketches
+    combine without touching raw data again."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+        cms_merge,
+        cms_registers,
+    )
+
+    a_items = ["x", "y", "x", "z", "q"]
+    b_items = ["y", "y", "w", "x"]
+    dfa = spark.createDataFrame([(i,) for i in a_items], "item string")
+    dfb = spark.createDataFrame([(i,) for i in b_items], "item string")
+    both = spark.createDataFrame([(i,) for i in a_items + b_items], "item string")
+    merged = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            [cms_registers(dfa, "item"), cms_registers(dfb, "item")]
+        ).collect()
+    }
+    direct = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in cms_registers(both, "item").collect()
+    }
+    assert merged == direct
+
+
+def test_cms_estimate_unseen_probe_is_exact_zero(spark):
+    """r9 advice (medium): an inner probe-register join dropped absent
+    cells, so unseen items vanished (or overestimated off collided
+    cells).  The left-join + coalesce contract: absent cell == exact 0,
+    unseen probe == n_cms 0; every seen probe is an upper bound."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    corpus = ["alpha", "alpha", "beta", "gamma", "alpha", "beta"]
+    df = spark.createDataFrame([(i,) for i in corpus], "item string")
+    regs = cms_registers(df, "item")
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("zzz_unseen",)], "item string"
+    )
+    got = {r["item"]: r["n_cms"] for r in cms_estimate(regs, probes, "item").collect()}
+    assert set(got) == {"alpha", "beta", "gamma", "zzz_unseen"}
+    assert got["zzz_unseen"] == 0
+    exact = {"alpha": 3, "beta": 2, "gamma": 1}
+    for item, n in exact.items():
+        assert got[item] >= n
+    # And bit-exact vs the pure-Python twin (collisions included).
+    assert got == _py_cms_estimate(
+        corpus, ["alpha", "beta", "gamma", "zzz_unseen"], 4, 512
+    )
+
+
+@pytest.mark.parametrize("depth,width", [(4, 512), (5, 2**14), (6, 2**16)])
+def test_cms_production_width_geometries(spark, depth, width):
+    """The demo query runs 4x512 for oracle readability; production runs
+    2^14+ over the SAME code path.  Register-frame size math: the frame
+    holds min(depth * n_distinct, depth * width) rows -- at depth 6 x
+    width 2^16 that is <= 393,216 cells REGARDLESS of corpus row count
+    (cells are count-merged map-side), i.e. a broadcast-sized sketch of
+    a 100 TB corpus.  At 2^14+ over ~40 distinct items every estimate
+    here is collision-free, hence exact; the 4x512 row cross-checks the
+    pure-Python twin so collisions (if any) match bit-for-bit."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    corpus = [f"tok{i % 40}" for i in range(200)]  # 40 distinct, 5 each
+    df = spark.createDataFrame([(i,) for i in corpus], "item string")
+    regs = cms_registers(df, "item", depth=depth, width=width)
+    reg_rows = regs.collect()
+    assert len(reg_rows) <= depth * min(40, width)
+    # Every register row sums to the total occurrence count.
+    per_r = {}
+    for row in reg_rows:
+        per_r[row["r"]] = per_r.get(row["r"], 0) + row["cnt"]
+    assert per_r == {r: len(corpus) for r in range(depth)}
+    probes = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(40)] + [("absent",)], "item string"
+    )
+    got = {
+        r["item"]: r["n_cms"]
+        for r in cms_estimate(regs, probes, "item", depth=depth, width=width).collect()
+    }
+    assert got == _py_cms_estimate(
+        corpus, [f"tok{i}" for i in range(40)] + ["absent"], depth, width
+    )
+    if width >= 2**14:
+        assert all(got[f"tok{i}"] == 5 for i in range(40))
+    assert got["absent"] == 0
+
+
+# ------------------------------------------------- vocab OOV boundary
+def test_vocab_oov_boundary_tie_is_deterministic(spark):
+    """Count-tie exactly AT rank vocab_size: 'bb' and 'cc' both occur
+    twice with vocab_size=2 leaving one slot after 'aa' -- the (count
+    desc, token asc) total order must admit 'bb' and exile 'cc' on
+    EVERY run (a bare top-K by count alone would flap)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        vocab_oov_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb cc"),
+            (2, "bb cc aa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], float(r["oov_rate"]))
+        for r in vocab_oov_stats(df, "doc_id", "text", vocab_size=2).collect()
+    }
+    # vocab = {aa(4), bb(2)}; cc(2) loses the tie on token asc.
+    assert got == {1: (5, 1, 0.2), 2: (3, 1, 0.333333)}
+
+
+# ------------------------------------------------- compaction planner
+def _plan_rows(df, part_col="part"):
+    return {
+        (r[part_col], r["bin"]): (
+            r["n_files"],
+            r["bin_bytes"],
+            r["first_key"],
+            r["last_key"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_compaction_bins_key_contiguity_and_fill(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.layout import (
+        compaction_bins,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("p1", 1, 40),
+            ("p1", 2, 40),
+            ("p1", 3, 40),   # before=80 -> bin 0 (80 div 100)
+            ("p1", 4, 40),   # before=120 -> bin 1
+            ("p1", 5, 500),  # before=160 -> bin 1
+            ("p2", 1, 10),
+        ],
+        "part string, key long, size long",
+    )
+    got = _plan_rows(compaction_bins(files, "part", "key", "size", 100))
+    assert got == {
+        ("p1", 0): (3, 120, 1, 3),
+        ("p1", 1): (2, 540, 4, 5),
+        ("p2", 0): (1, 10, 1, 1),
+    }
+    # Contiguity: within a partition, bins in order have disjoint,
+    # increasing key ranges (compaction must preserve sort pruning).
+    p1 = sorted((b, fk, lk) for (p, b), (_, _, fk, lk) in got.items() if p == "p1")
+    for (b0, _, lk0), (b1, fk1, _) in zip(p1, p1[1:]):
+        assert b1 == b0 + 1 and fk1 > lk0
+    # Fill: every bin except a partition's last holds >= target bytes.
+    assert got[("p1", 0)][1] >= 100
+
+
+def test_compaction_bins_idempotent_replan_after_partial_run(spark):
+    """Execute bin 0 of p1 (its 3 files become ONE compacted file of
+    the bin's total size), replan over the new inventory: the compacted
+    file re-bins alone as bin 0 (already >= target -- the executor
+    skips n_files=1 bins) and every REMAINING bin reproduces exactly,
+    because the running-sum 'before' of the surviving files is
+    unchanged by construction."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.layout import (
+        compaction_bins,
+    )
+
+    inv0 = spark.createDataFrame(
+        [
+            ("p1", 1, 40),
+            ("p1", 2, 40),
+            ("p1", 3, 40),
+            ("p1", 4, 40),
+            ("p1", 5, 500),
+        ],
+        "part string, key long, size long",
+    )
+    first = _plan_rows(compaction_bins(inv0, "part", "key", "size", 100))
+    inv1 = spark.createDataFrame(
+        [
+            ("p1", 1, 120),  # bin 0 executed: one file, keys 1..3
+            ("p1", 4, 40),
+            ("p1", 5, 500),
+        ],
+        "part string, key long, size long",
+    )
+    second = _plan_rows(compaction_bins(inv1, "part", "key", "size", 100))
+    assert second[("p1", 0)] == (1, 120, 1, 1)  # done, executor skips
+    assert second[("p1", 1)] == first[("p1", 1)]  # identical remaining work
+
+
+# --------------------------------------------- Fellegi-Sunter decision
+def test_fs_band_edges_inclusive(spark):
+    """score == upper classifies 'link' and score == lower classifies
+    'nonlink' (both bounds INCLUSIVE); only the open interval between
+    is clerical-review 'possible'."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        fellegi_sunter_scores,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "b"), (3, "a", "a")],
+        "pid long, fa string, fb string",
+    )
+    # One field, wa=+7, wd=-3: agree -> 7, disagree -> -3.
+    out = fellegi_sunter_scores(
+        pairs.filter(F.col("pid") == 1),
+        [("ag_f", F.col("fa") == F.col("fb"))],
+        [(7, -3)],
+        upper=7,
+        lower=-3,
+    ).collect()[0]
+    assert (out["score"], out["decision"]) == (7, "link")
+    out = fellegi_sunter_scores(
+        pairs.filter(F.col("pid") == 2),
+        [("ag_f", F.col("fa") == F.col("fb"))],
+        [(7, -3)],
+        upper=7,
+        lower=-3,
+    ).collect()[0]
+    assert (out["score"], out["decision"]) == (-3, "nonlink")
+    out = fellegi_sunter_scores(
+        pairs.filter(F.col("pid") == 3),
+        [("ag_f", F.col("fa") == F.col("fb"))],
+        [(7, -3)],
+        upper=8,
+        lower=-4,
+    ).collect()[0]
+    assert (out["score"], out["decision"]) == (7, "possible")
+
+
+def test_fs_null_field_counts_as_disagreement(spark):
+    """r9 advice (low): a NULL field made the materialized agreement
+    column NULL instead of 0.  NULL comparison == disagreement: the
+    column is 0 and the score takes the disagree weight."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        fellegi_sunter_scores,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", "a")], "pid long, fa string, fb string"
+    )
+    got = {
+        r["pid"]: (r["ag_f"], r["score"])
+        for r in fellegi_sunter_scores(
+            pairs,
+            [("ag_f", F.col("fa") == F.col("fb"))],
+            [(5, -2)],
+            upper=5,
+            lower=-2,
+        ).collect()
+    }
+    assert got == {1: (0, -2), 2: (1, 5)}
+
+
+def test_fs_weights_domain_validation_and_mismatch(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        fellegi_sunter_scores,
+        fs_weights,
+    )
+
+    # Agree weight positive, disagree negative for any 0 < u < m < 1.
+    (wa, wd), = fs_weights([(0.9, 0.1)])
+    assert wa > 0 > wd
+    for bad in [(0.1, 0.9), (0.5, 0.5), (0.0, 0.1), (0.9, 1.0)]:
+        with pytest.raises(ValueError, match="fs_weights"):
+            fs_weights([bad])
+    df = spark.createDataFrame([(1, "a")], "pid long, fa string")
+    with pytest.raises(ValueError, match="agreement exprs"):
+        fellegi_sunter_scores(
+            df, [("x", F.lit(True))], [(1, -1), (2, -2)], upper=1, lower=-1
+        )
+
+
+# --------------------------------- branched ragged-guard messages (r9 advice)
+def test_guard_messages_distinguish_ragged_from_null(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        gram_fixedpoint,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="got size 2"):
+        gram_fixedpoint(ragged, scale=1000, dim=3).collect()
+    nulls = spark.createDataFrame(
+        [(1, [0.1, None, 0.3])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="contains NULL component"):
+        gram_fixedpoint(nulls, scale=1000, dim=3).collect()
+    kn = spark.createDataFrame(
+        [(1, [0.1, None]), (2, [0.3, 0.4]), (3, [0.5, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="contains NULL component"):
+        kmeans_lloyd_fixedpoint(kn, k=2, iterations=1, dim=2).collect()
