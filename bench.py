@@ -186,6 +186,12 @@ BENCH_QUERIES = [
     "snb_multipass_suppliers",
     "train_weighted_sample_per_source",
     "percentile_cont_by_segment",
+    "kmeans_embedding_clusters",
+    "cheapest_reach_part_supplier",
+    "cms_token_frequencies",
+    "vocab_oov_audit",
+    "compaction_plan_daily_files",
+    "fs_linkage_suppliers",
 ]
 
 
