@@ -358,3 +358,148 @@ def fellegi_sunter_scores(
         .when(F.col("score") <= lower, F.lit("nonlink"))
         .otherwise(F.lit("possible")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter parameter ESTIMATION: one EM round over the agreement
+# patterns, in exact fixed-point integer arithmetic (oracle-replayable).
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for EM probabilities.  2 * N_pairs * SCALE^2 must
+#: stay under 2^63, so SCALE = 1e6 supports ~4.6e6 candidate pairs --
+#: far beyond any sane post-blocking candidate set per EM shard (at
+#: larger scale, run the M-step per shard and merge the integer
+#: numerators/denominators before the final division).
+FS_EM_SCALE = 1_000_000
+
+
+def fs_em_likelihood_sql(
+    agree_cols: list[str],
+    m0_fp: list[int],
+    u0_fp: list[int],
+    p0_fp: int,
+    scale: int,
+    div: str,
+) -> tuple[str, str]:
+    """SQL fragments for the per-pattern E-step likelihoods ``(a, b)``:
+    a = p * prod_j (gamma_j ? m_j : 1-m_j), b = (1-p) * prod_j
+    (gamma_j ? u_j : 1-u_j), renormalized back to ``scale`` after EVERY
+    multiply (``(x * term) div scale``) so intermediates never exceed
+    scale^2 -- exact, deterministic, identical in Spark (``div``) and
+    DuckDB (``//``).  ONE builder feeds both engines (portable
+    playbook): only the integer-division token differs."""
+    # Seed the chains as BIGINT: bare integer literals parse as INT32
+    # in BOTH engines and the very first multiply (p0 * m0 ~ 2e10)
+    # would overflow 32-bit exact arithmetic.
+    a = f"CAST({p0_fp} AS BIGINT)"
+    b = f"CAST({scale - p0_fp} AS BIGINT)"
+    for c, m, u in zip(agree_cols, m0_fp, u0_fp):
+        a = f"((({a}) * (CASE WHEN {c} = 1 THEN {m} ELSE {scale - m} END)) {div} {scale})"
+        b = f"((({b}) * (CASE WHEN {c} = 1 THEN {u} ELSE {scale - u} END)) {div} {scale})"
+    return a, b
+
+
+def fs_estimate_mu(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    mu0: list[tuple[float, float]],
+    p0: float,
+    scale: int = FS_EM_SCALE,
+) -> DataFrame:
+    """Estimate Fellegi-Sunter ``(m_j, u_j)`` from DATA: one EM round
+    over the candidate pairs' 0/1 agreement columns, starting from the
+    prior ``mu0`` and match-prevalence ``p0``.  The r9 decision layer
+    took hand-supplied (m, u); this is the natural completion -- the
+    estimates that production ER would actually deploy.
+
+    EM on the agreement-PATTERN histogram, not the raw pairs: with k
+    fields there are at most 2^k distinct patterns, so after one
+    map-side-combinable groupBy the E-step (posterior match weight per
+    pattern) and M-step (weighted agreement rates) run over <= 2^k rows
+    -- the pair count enters ONLY through the pattern counts, and the
+    whole round costs one aggregate regardless of data size.
+
+    All arithmetic is fixed-point BIGINT (scale 1e6) with truncating
+    renormalization after each multiply and shared round-half-up final
+    divisions, so a DuckDB oracle replays the round bit-for-bit
+    (`fs_em_likelihood_sql` feeds both engines).  Float EM would never
+    hash-match; the truncation bias is < 2^-19 per factor and identical
+    everywhere.
+
+    Output: one row per field -- ``field, m_prior_fp, u_prior_fp,
+    m_post_fp, u_post_fp, p_post_fp`` (micro-units).  Degenerate
+    posteriors (every pair classified match, or none) yield NULL for
+    the undefined side rather than a divide-by-zero.
+
+    Cites reference test surface: the reference pipeline has no
+    parameter estimation; this extends the linkage family
+    (SURVEY.md training-data pipeline additions)."""
+    k = len(agree_cols)
+    if k == 0 or len(mu0) != k:
+        raise ValueError(
+            f"fs_estimate_mu: {k} agreement cols vs {len(mu0)} (m, u) priors"
+        )
+    if not (0 < p0 < 1):
+        raise ValueError(f"fs_estimate_mu needs 0 < p0 < 1, got {p0}")
+    for m, u in mu0:
+        if not (0 < u < m < 1):
+            raise ValueError(
+                f"fs_estimate_mu needs 0 < u < m < 1 priors, got (m={m}, u={u})"
+            )
+    import math
+
+    m0_fp = [int(math.floor(m * scale + 0.5)) for m, _ in mu0]
+    u0_fp = [int(math.floor(u * scale + 0.5)) for _, u in mu0]
+    p0_fp = int(math.floor(p0 * scale + 0.5))
+
+    pat = pairs.groupBy(*agree_cols).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a_sql, b_sql = fs_em_likelihood_sql(agree_cols, m0_fp, u0_fp, p0_fp, scale, "div")
+    # Posterior match weight per pattern, round-half-up in integers:
+    # w = round(a * scale / (a + b)).  a, b <= scale so 2*a*scale fits
+    # comfortably; a + b > 0 because priors are strictly inside (0, 1)
+    # and the renormalized product of k factors >= 1 requires
+    # prod(term) >= scale^(k-1); a zero can only appear if a prior is
+    # within 2^-19 of 0/1, which the domain check above rejects for any
+    # practical scale -- guard anyway so a pathological scale fails
+    # loudly instead of dividing by zero.
+    w_sql = (
+        f"CASE WHEN ({a_sql}) + ({b_sql}) = 0 THEN "
+        f"raise_error('fs_estimate_mu: degenerate likelihood (scale too small)') "
+        f"WHEN 1=1 THEN (2 * ({a_sql}) * {scale} + (({a_sql}) + ({b_sql}))) "
+        f"div (2 * (({a_sql}) + ({b_sql}))) END"
+    )
+    pat = pat.withColumn("__w", F.expr(w_sql).cast("long"))
+
+    aggs = [
+        F.sum(F.col("__n") * F.col("__w")).cast("long").alias("__W"),
+        F.sum(F.col("__n") * (F.lit(scale) - F.col("__w"))).cast("long").alias("__V"),
+        F.sum("__n").cast("long").alias("__N"),
+    ]
+    for j, c in enumerate(agree_cols):
+        gamma = F.when(F.col(c) == 1, F.lit(1)).otherwise(F.lit(0))
+        aggs.append(
+            F.sum(F.col("__n") * F.col("__w") * gamma).cast("long").alias(f"__Wa{j}")
+        )
+        aggs.append(
+            F.sum(F.col("__n") * (F.lit(scale) - F.col("__w")) * gamma)
+            .cast("long")
+            .alias(f"__Va{j}")
+        )
+    one = pat.agg(*aggs)
+
+    def _rhu_div(num: str, den: str) -> str:
+        # round-half-up(num / den) in pure BIGINT; NULL when den = 0.
+        return f"CASE WHEN {den} = 0 THEN NULL ELSE (2 * {num} + {den}) div (2 * {den}) END"
+
+    rows = []
+    for j, c in enumerate(agree_cols):
+        rows.append(
+            f"struct('{c}' AS field, CAST({m0_fp[j]} AS BIGINT) AS m_prior_fp, "
+            f"CAST({u0_fp[j]} AS BIGINT) AS u_prior_fp, "
+            f"CAST({_rhu_div(f'__Wa{j} * {scale}', '__W')} AS BIGINT) AS m_post_fp, "
+            f"CAST({_rhu_div(f'__Va{j} * {scale}', '__V')} AS BIGINT) AS u_post_fp, "
+            f"CAST({_rhu_div('__W', '__N')} AS BIGINT) AS p_post_fp)"
+        )
+    return one.select(
+        F.explode(F.expr(f"array({', '.join(rows)})")).alias("__r")
+    ).select("__r.*")

@@ -457,3 +457,141 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "dist", "agree_name", "agree_nation", "agree_bal",
         "score", "decision",
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter parameter estimation: one exact fixed-point EM round
+# --------------------------------------------------------------------------
+
+_FS_P0 = 0.02
+
+
+def _fs_em_oracle() -> str:
+    import math
+
+    from ..operators.fuzzyjoin import FS_EM_SCALE, fs_em_likelihood_sql
+    from .coverage4 import _DIRTY_SQL, _SNB_WINDOW
+
+    S = FS_EM_SCALE
+    cols = ["agree_name", "agree_nation", "agree_bal"]
+    m0 = [int(math.floor(m * S + 0.5)) for m, _ in _FS_MU]
+    u0 = [int(math.floor(u * S + 0.5)) for _, u in _FS_MU]
+    p0 = int(math.floor(_FS_P0 * S + 0.5))
+    a, b = fs_em_likelihood_sql(cols, m0, u0, p0, S, "//")
+
+    def rhu(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} = 0 THEN NULL "
+            f"ELSE (2 * {num} + {den}) // (2 * {den}) END"
+        )
+
+    field_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS field, CAST({m0[j]} AS BIGINT) AS m_prior_fp, "
+        f"CAST({u0[j]} AS BIGINT) AS u_prior_fp, "
+        f"CAST({rhu(f'wa{j} * {S}', 'w_tot')} AS BIGINT) AS m_post_fp, "
+        f"CAST({rhu(f'va{j} * {S}', 'v_tot')} AS BIGINT) AS u_post_fp, "
+        f"CAST({rhu('w_tot', 'n_tot')} AS BIGINT) AS p_post_fp FROM ag"
+        for j, c in enumerate(cols)
+    )
+    per_field_sums = ", ".join(
+        f"CAST(SUM(n * w * {c}) AS BIGINT) AS wa{j}, "
+        f"CAST(SUM(n * ({S} - w) * {c}) AS BIGINT) AS va{j}"
+        for j, c in enumerate(cols)
+    )
+    return f"""
+    WITH s AS (
+      SELECT s_suppkey AS id, lower(trim({_DIRTY_SQL})) AS key,
+             s_nationkey AS nk,
+             CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band
+      FROM supplier),
+    r AS (SELECT id, key, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM s),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW}),
+    f AS (
+      SELECT CAST(CASE WHEN p.dist <= 1 THEN 1 ELSE 0 END AS BIGINT) AS agree_name,
+             CAST(CASE WHEN sa.nk = sb.nk THEN 1 ELSE 0 END AS BIGINT) AS agree_nation,
+             CAST(CASE WHEN sa.bal_band = sb.bal_band THEN 1 ELSE 0 END AS BIGINT) AS agree_bal
+      FROM p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b),
+    pt AS (SELECT agree_name, agree_nation, agree_bal,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM f GROUP BY agree_name, agree_nation, agree_bal),
+    ew AS (SELECT *, CAST((2 * ({a}) * {S} + (({a}) + ({b}))) // (2 * (({a}) + ({b}))) AS BIGINT) AS w
+           FROM pt),
+    ag AS (SELECT CAST(SUM(n * w) AS BIGINT) AS w_tot,
+                  CAST(SUM(n * ({S} - w)) AS BIGINT) AS v_tot,
+                  CAST(SUM(n) AS BIGINT) AS n_tot,
+                  {per_field_sums}
+           FROM ew)
+    {field_rows}
+    """
+
+
+@register("fs_em_suppliers", oracle=_fs_em_oracle())
+def q_fs_em_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter parameter ESTIMATION over the same SNB candidate
+    pairs the linkage query scores: one EM round in exact fixed-point
+    integers (E-step posterior per agreement PATTERN -- <= 2^3 rows
+    after one map-side-combinable groupBy -- then weighted-agreement
+    M-step), yielding the (m, u) the decision layer would actually
+    deploy instead of the hand-supplied priors.  The whole round is
+    replayed bit-for-bit by the DuckDB oracle: `fs_em_likelihood_sql`
+    builds the E-step arithmetic for BOTH engines
+    (`operators/fuzzyjoin.py::fs_estimate_mu`)."""
+    from ..operators.fuzzyjoin import fellegi_sunter_scores, fs_estimate_mu
+    from .coverage4 import _DIRTY_SQL, _SNB_WINDOW
+    from ..operators.fuzzyjoin import sorted_neighborhood_pairs
+
+    sup = _t(spark, sf_dir, "supplier")
+    dirty = sup.select(
+        F.col("s_suppkey").alias("sid"), F.expr(_DIRTY_SQL).alias("dname")
+    )
+    pairs = sorted_neighborhood_pairs(
+        dirty, "sid", "dname", window=_SNB_WINDOW, max_dist=10**9
+    )
+    attrs = sup.select(
+        F.col("s_suppkey").alias("__k"),
+        F.col("s_nationkey").alias("__nk"),
+        F.expr("cast(floor(s_acctbal * 100 + 0.5) as bigint) div 100000").alias("__bb"),
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(attrs).select(
+                F.col("__k").alias("id_a"),
+                F.col("__nk").alias("__nk_a"),
+                F.col("__bb").alias("__bb_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(attrs).select(
+                F.col("__k").alias("id_b"),
+                F.col("__nk").alias("__nk_b"),
+                F.col("__bb").alias("__bb_b"),
+            ),
+            "id_b",
+        )
+    )
+    flagged = fellegi_sunter_scores(
+        enriched,
+        [
+            ("agree_name", F.col("dist") <= 1),
+            ("agree_nation", F.col("__nk_a") == F.col("__nk_b")),
+            ("agree_bal", F.col("__bb_a") == F.col("__bb_b")),
+        ],
+        # Weights irrelevant here (we only need the agreement columns);
+        # reuse the linkage priors so the frame is identical.
+        __import__(
+            "modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin",
+            fromlist=["fs_weights"],
+        ).fs_weights(_FS_MU),
+        upper=_FS_UPPER,
+        lower=_FS_LOWER,
+    )
+    return fs_estimate_mu(
+        flagged,
+        ["agree_name", "agree_nation", "agree_bal"],
+        _FS_MU,
+        _FS_P0,
+    )

@@ -453,3 +453,109 @@ def test_guard_messages_distinguish_ragged_from_null(spark):
     )
     with pytest.raises(Exception, match="contains NULL component"):
         kmeans_lloyd_fixedpoint(kn, k=2, iterations=1, dim=2).collect()
+
+
+# ------------------------------------------ Fellegi-Sunter EM estimation
+def _py_fs_em(pattern_counts, mu0, p0, scale=1_000_000):
+    """Pure-Python integer twin of fs_estimate_mu (same truncating
+    renormalization, same round-half-up divisions)."""
+    import math
+
+    k = len(mu0)
+    m0 = [math.floor(m * scale + 0.5) for m, _ in mu0]
+    u0 = [math.floor(u * scale + 0.5) for _, u in mu0]
+    p0f = math.floor(p0 * scale + 0.5)
+
+    def rhu(num, den):
+        return None if den == 0 else (2 * num + den) // (2 * den)
+
+    W = V = N = 0
+    Wa = [0] * k
+    Va = [0] * k
+    for pat, n in pattern_counts.items():
+        a, b = p0f, scale - p0f
+        for j in range(k):
+            a = (a * (m0[j] if pat[j] else scale - m0[j])) // scale
+            b = (b * (u0[j] if pat[j] else scale - u0[j])) // scale
+        w = rhu(a * scale, a + b)
+        W += n * w
+        V += n * (scale - w)
+        N += n
+        for j in range(k):
+            if pat[j]:
+                Wa[j] += n * w
+                Va[j] += n * (scale - w)
+    return {
+        j: (m0[j], u0[j], rhu(Wa[j] * scale, W), rhu(Va[j] * scale, V), rhu(W, N))
+        for j in range(k)
+    }
+
+
+def test_fs_em_matches_python_twin_and_flips_a_decision(spark):
+    """Field A's prior says it is the strong discriminator (m=.9/u=.1 ~
+    3.17 agree-bits vs B's 1.0); the DATA says A agrees all over the
+    non-matching mass (300 A-only pairs vs 30 match-heavy both-agree).
+    One EM round must (a) reproduce the pure-Python integer twin
+    exactly, (b) raise u_A far above its prior, and (c) FLIP the
+    decision for an A-only pair: prior weights score it 'link'
+    (2.36 bits >= 2), posterior weights score it 'possible'
+    (~1.6 bits < 2)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        fellegi_sunter_scores,
+        fs_estimate_mu,
+        fs_weights,
+    )
+
+    counts = {(1, 0): 300, (0, 1): 30, (1, 1): 30, (0, 0): 640}
+    rows = [
+        (ga, gb)
+        for (ga, gb), n in counts.items()
+        for _ in range(n)
+    ]
+    pairs = spark.createDataFrame(rows, "agree_a long, agree_b long")
+    mu0 = [(0.9, 0.1), (0.6, 0.3)]
+    got = {
+        r["field"]: (
+            r["m_prior_fp"], r["u_prior_fp"],
+            r["m_post_fp"], r["u_post_fp"], r["p_post_fp"],
+        )
+        for r in fs_estimate_mu(pairs, ["agree_a", "agree_b"], mu0, 0.05).collect()
+    }
+    want = _py_fs_em(counts, mu0, 0.05)
+    assert got == {"agree_a": want[0], "agree_b": want[1]}
+
+    m_a, u_a = got["agree_a"][2] / 1e6, got["agree_a"][3] / 1e6
+    m_b, u_b = got["agree_b"][2] / 1e6, got["agree_b"][3] / 1e6
+    assert u_a > 0.25 > 0.1  # A's u blew up: it was never that strong
+    assert 0 < u_a < m_a < 1 and 0 < u_b < m_b < 1
+
+    upper, lower = 2_000_000, -2_000_000  # 2 bits in micro-log2 units
+    a_only = spark.createDataFrame([(1, 0)], "agree_a long, agree_b long")
+    exprs = [
+        ("ag_a", F.col("agree_a") == 1),
+        ("ag_b", F.col("agree_b") == 1),
+    ]
+    prior = fellegi_sunter_scores(
+        a_only, exprs, fs_weights(mu0), upper=upper, lower=lower
+    ).collect()[0]
+    post = fellegi_sunter_scores(
+        a_only, exprs, fs_weights([(m_a, u_a), (m_b, u_b)]),
+        upper=upper, lower=lower,
+    ).collect()[0]
+    assert prior["decision"] == "link"
+    assert post["decision"] == "possible"
+    assert post["score"] < prior["score"]
+
+
+def test_fs_em_validates_domain(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        fs_estimate_mu,
+    )
+
+    df = spark.createDataFrame([(1,)], "agree_a long")
+    with pytest.raises(ValueError, match="0 < p0 < 1"):
+        fs_estimate_mu(df, ["agree_a"], [(0.9, 0.1)], 1.0)
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_estimate_mu(df, ["agree_a"], [(0.1, 0.9)], 0.05)
+    with pytest.raises(ValueError, match="agreement cols"):
+        fs_estimate_mu(df, ["agree_a"], [(0.9, 0.1), (0.8, 0.2)], 0.05)
