@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "vocab_oov_audit",
     "compaction_plan_daily_files",
     "fs_linkage_suppliers",
+    "fs_em_suppliers",
 ]
 
 
