@@ -360,3 +360,96 @@ def vocab_oov_stats(
         "n_oov",
         rate.alias("oov_rate"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): hash every ``k``-token shingle, slide a window of
+    ``w`` consecutive shingle hashes, and select each window's minimum
+    (ties -> RIGHTMOST position, the standard rule that makes selections
+    stable under context shifts).  The guarantee: any token run long
+    enough to span ``w + k - 1`` tokens shares at least one selected
+    fingerprint between two documents -- the local dedup/plagiarism
+    primitive between exact hashing (too brittle) and MinHash (global,
+    positionless).
+
+    Implementation is position-arithmetic over the token ARRAY -- no
+    per-document sort, no window function:
+
+      1. shingles come from ``transform(sequence(...))`` over the
+         tokenized array (codegen, per-row);
+      2. window minima are one groupBy over the (anchor, member)
+         range join on ``pos BETWEEN s AND s + w - 1`` -- the member
+         explode is bounded by ``w``, so the shuffle is ``w`` rows per
+         shingle, partitioned by document;
+      3. the rightmost-argmin re-join selects positions, DISTINCT
+         collapses windows that picked the same (hash, pos).
+
+    Documents with fewer than ``w`` shingles fall back to one whole-doc
+    window (the BETWEEN join clamps), so every non-empty document
+    yields at least one fingerprint.  Hashes are the shared 60-bit
+    portable base hash: the DuckDB oracle replays every selection
+    bit-for-bit.
+
+    Output: ``id_col, fp, n_positions, first_pos`` -- one row per
+    distinct selected fingerprint per document."""
+    from .dedup import portable_base_hash, tokenize
+
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__t"))
+    sh = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(__t) - {k}, 0)), "
+                f"i -> concat_ws(' ', slice(__t, i + 1, {k})))"
+            )
+        ).alias("pos", "__sh"),
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        portable_base_hash(F.col("__sh")).alias("__h"),
+    )
+    from .dedup import _cache_aged
+
+    sh = _cache_aged("winnow_shingles", sh)
+    nsh = sh.groupBy(id_col).agg(F.max("pos").alias("__maxpos"))
+    anchors = nsh.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"sequence(0, greatest(__maxpos - {w - 1}, 0))")
+        ).alias("__s"),
+    ).select(F.col(id_col), F.col("__s").cast("long").alias("s"))
+    member = sh.select(F.col(id_col), F.col("pos").alias("__mp"), F.col("__h"))
+    wins = (
+        anchors.join(member, id_col)
+        .filter(
+            (F.col("__mp") >= F.col("s")) & (F.col("__mp") <= F.col("s") + (w - 1))
+        )
+        .groupBy(id_col, "s")
+        .agg(F.min("__h").alias("__minh"))
+    )
+    sel = (
+        wins.join(
+            member,
+            on=[
+                wins[id_col] == member[id_col],
+                F.col("__h") == F.col("__minh"),
+                F.col("__mp") >= F.col("s"),
+                F.col("__mp") <= F.col("s") + (w - 1),
+            ],
+        )
+        .select(wins[id_col].alias(id_col), "s", "__minh", "__mp")
+        .groupBy(id_col, "s", "__minh")
+        .agg(F.max("__mp").alias("__selpos"))
+    )
+    return (
+        sel.select(F.col(id_col), F.col("__minh").alias("fp"), F.col("__selpos"))
+        .distinct()
+        .groupBy(id_col, "fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.min("__selpos").cast("long").alias("first_pos"),
+        )
+    )

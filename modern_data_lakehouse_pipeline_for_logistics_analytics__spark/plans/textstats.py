@@ -282,3 +282,116 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
     )
     return heavy_hitters(toks, "t", min_share=0.02)
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) + shared-fingerprint near-dup candidates
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+_WINNOW_MAX_DF = 50
+_WINNOW_MIN_SHARED = 2
+
+
+def _winnow_fp_sql(k: int, w: int) -> str:
+    """Shared CTE block (DuckDB): winnowing selections over documents.
+    Mirrors `operators/textstats.py::winnow_fingerprints` step for step;
+    the 60-bit md5-slice hash is the portable base hash."""
+    return f"""
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+             FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, greatest(len(t) - {k}, 0)),
+               i -> array_to_string(t[i + 1 : i + {k}], ' ')) AS shs
+      FROM toks),
+    sh AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(shs, 1) - 1 AS BIGINT) AS pos,
+             CAST('0x' || substring(md5(unnest(shs)), 2, 15) AS BIGINT) AS h
+      FROM shl),
+    mx AS (SELECT doc_id, MAX(pos) AS maxpos FROM sh GROUP BY doc_id),
+    anch AS (SELECT doc_id,
+                    CAST(unnest(generate_series(0, greatest(maxpos - {w - 1}, 0)))
+                         AS BIGINT) AS s
+             FROM mx),
+    wins AS (SELECT a.doc_id, a.s, MIN(m.h) AS minh
+             FROM anch a JOIN sh m ON m.doc_id = a.doc_id
+                                  AND m.pos BETWEEN a.s AND a.s + {w - 1}
+             GROUP BY a.doc_id, a.s),
+    sel AS (SELECT wn.doc_id, wn.s, wn.minh, MAX(m.pos) AS selpos
+            FROM wins wn JOIN sh m ON m.doc_id = wn.doc_id AND m.h = wn.minh
+                                  AND m.pos BETWEEN wn.s AND wn.s + {w - 1}
+            GROUP BY wn.doc_id, wn.s, wn.minh),
+    dsel AS (SELECT DISTINCT doc_id, minh AS fp, selpos FROM sel),
+    fps AS (SELECT doc_id, fp, CAST(COUNT(*) AS BIGINT) AS n_positions,
+                   CAST(MIN(selpos) AS BIGINT) AS first_pos
+            FROM dsel GROUP BY doc_id, fp)"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"WITH {_winnow_fp_sql(_WINNOW_K, _WINNOW_W)} SELECT * FROM fps",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprint
+    scheme): k-token shingle hashes, window-of-w minima, rightmost
+    tie-break -- every selection replayed bit-for-bit by the DuckDB
+    oracle (`operators/textstats.py::winnow_fingerprints`)."""
+    from ..operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+@register(
+    "dedup_winnow_candidates",
+    oracle=f"""
+    WITH {_winnow_fp_sql(_WINNOW_K, _WINNOW_W)},
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) <= {_WINNOW_MAX_DF}),
+    ff AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from shared winnowing fingerprints: pairs of
+    documents sharing >= {min_shared} selected fingerprints, after
+    dropping fingerprints present in more than {max_df} documents (the
+    stop-shingle guard -- the same hot-bucket discipline as the LSH
+    family: a boilerplate shingle shared by every doc would otherwise
+    drive the candidate join to sum(bucket^2)).  Winnowing's guarantee
+    makes this the LOCAL near-dup detector: any shared token run of
+    length >= w + k - 1 forces a shared fingerprint."""
+    from ..operators.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        _docs(spark, sf_dir), "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    ).select("doc_id", "fp")
+    from ..operators.dedup import _cache_aged
+
+    fps = _cache_aged("winnow_fps", fps)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _WINNOW_MAX_DF)
+        .select("fp")
+    )
+    ff = fps.join(rare, "fp")
+    a = ff.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = ff.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )

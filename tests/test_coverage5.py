@@ -559,3 +559,75 @@ def test_fs_em_validates_domain(spark):
         fs_estimate_mu(df, ["agree_a"], [(0.1, 0.9)], 0.05)
     with pytest.raises(ValueError, match="agreement cols"):
         fs_estimate_mu(df, ["agree_a"], [(0.9, 0.1), (0.8, 0.2)], 0.05)
+
+
+# ------------------------------------------------ winnowing fingerprints
+def _py_winnow(text, k=3, w=4):
+    """Pure-Python winnowing twin (same md5-slice hash, rightmost-min
+    selection, whole-doc fallback for short docs)."""
+    import hashlib
+
+    def ph(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[1:16], 16)
+
+    toks = text.lower().strip().split()
+    n = len(toks)
+    hs = [ph(" ".join(toks[i : i + k])) for i in range(0, max(n - k, 0) + 1)]
+    nsh = len(hs)
+    selected = set()
+    for s in range(0, max(nsh - w, 0) + 1):
+        win = range(s, min(s + w, nsh))
+        mh = min(hs[p] for p in win)
+        selected.add((mh, max(p for p in win if hs[p] == mh)))
+    agg = {}
+    for h, p in selected:
+        c, fp = agg.get(h, (0, 10**9))
+        agg[h] = (c + 1, min(fp, p))
+    return agg
+
+
+def test_winnow_matches_python_twin(spark):
+    """Hand cases a fixture might dodge: a straight run (two window
+    minima), a periodic doc (ONE fingerprint despite 4 repeats -- the
+    rightmost-tie rule collapses identical shingles), a single-shingle
+    doc, and a doc SHORTER than k tokens (whole-doc fallback)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y z x y z x y z x y z"),
+        (3, "a b c"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect():
+        got.setdefault(r["doc_id"], {})[r["fp"]] = (r["n_positions"], r["first_pos"])
+    for did, text in rows:
+        assert got.get(did) == _py_winnow(text), did
+    assert len(got[2]) == 1  # periodic text collapses
+    assert len(got[4]) == 1  # short-doc fallback still fingerprints
+
+
+def test_winnow_guarantee_shared_run_forces_shared_fp(spark):
+    """The winnowing guarantee: two docs sharing a token run of length
+    >= w + k - 1 (here 6) MUST share a fingerprint, whatever the
+    surrounding context."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "p q r s t u"  # 6 tokens = w + k - 1
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared run must force a shared fingerprint"
