@@ -422,3 +422,132 @@ def weighted_sample_per_group(
         pri.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k_per_group)
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str,
+    rounds: int,
+    end_marker: str = "</w>",
+) -> "list[tuple[int, str, str, int]]":
+    """Learn ``rounds`` byte-pair-encoding merges from a corpus -- the
+    tokenizer-TRAINING inner loop (Sennrich et al.): count adjacent
+    symbol pairs over the word-frequency table, take the most frequent
+    pair (ties -> lexicographic (x, y) ascending, so the learned
+    vocabulary is deterministic), merge its occurrences greedily
+    left-to-right in every word, repeat.
+
+    Distributed shape: BPE trains on the DISTINCT-WORD table, not the
+    corpus -- one tokenize+groupBy collapses 100 TB of text into a
+    bounded word-frequency frame, and every round after that runs over
+    the per-word SYMBOL table (sum of word lengths rows, partitioned by
+    word).  Per round: one lead() window pass feeds BOTH the pair count
+    (map-side-combinable sum) and the merge; the winning pair comes
+    back to the driver as ONE row (the same bounded-reduce pattern as
+    the k-means centroid collect); the greedy merge is two window
+    passes + two broadcast-shaped left anti/semi joins, all keyed by
+    word.  ``localCheckpoint`` per round caps plan growth, superseded
+    checkpoints released eagerly (shared loop discipline).
+
+    Greedy left-to-right semantics, exactly: within each maximal RUN of
+    consecutive match positions, every other position starting from the
+    run head merges (overlapping matches share an element only when
+    their positions differ by 1, so alternate selection IS the greedy
+    scan).  The whole loop replays as unrolled MATERIALIZED CTEs in
+    DuckDB -- integer positions and string concat only, no floats.
+
+    Words carry the ``end_marker`` as a final SYMBOL (multi-char, so it
+    can never collide with a real character), the standard convention
+    that keeps merges from crossing word boundaries when the vocabulary
+    is applied.
+
+    Returns the learned merge table as driver-side rows
+    ``(merge_round, x, y, cnt)`` -- at most ``rounds`` entries, fewer
+    if the corpus runs out of pairs."""
+    from .dedup import _unpersist_checkpoint
+
+    words = (
+        df.select(F.explode(tokenize(text_col)).alias("wid"))
+        .groupBy("wid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    base = words.select(
+        "wid",
+        "n",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(wid) + 1), "
+                f"i -> CASE WHEN i <= length(wid) THEN substring(wid, i, 1) "
+                f"ELSE '{end_marker}' END)"
+            )
+        ).alias("pos", "sym"),
+    ).select("wid", "n", F.col("pos").cast("long").alias("pos"), "sym")
+
+    wseq = Window.partitionBy("wid").orderBy("pos")
+    t = base.localCheckpoint(eager=True)
+    prev = None
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        tt = t.withColumn("__nxt", F.lead("sym").over(wseq))
+        top = (
+            tt.filter(F.col("__nxt").isNotNull())
+            .groupBy("sym", "__nxt")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("__nxt"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, cnt = top[0]["sym"], top[0]["__nxt"], top[0]["cnt"]
+        merges.append((r, x, y, int(cnt)))
+        m = (
+            tt.filter((F.col("sym") == x) & (F.col("__nxt") == y))
+            .select("wid", "pos")
+            .withColumn("__rn", F.row_number().over(wseq))
+            .withColumn("__grp", F.col("pos") - F.col("__rn"))
+        )
+        sel = (
+            m.withColumn(
+                "__rmin", F.min("pos").over(Window.partitionBy("wid", "__grp"))
+            )
+            .filter(((F.col("pos") - F.col("__rmin")) % 2) == 0)
+            .select("wid", "pos")
+        )
+        starts = sel.withColumn("__is_start", F.lit(1))
+        drops = sel.select(
+            "wid", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("__is_drop")
+        )
+        stepped = (
+            tt.join(starts, ["wid", "pos"], "left")
+            .join(drops, ["wid", "pos"], "left")
+            .filter(F.col("__is_drop").isNull())
+            .select(
+                "wid",
+                "n",
+                F.col("pos").alias("__oldpos"),
+                F.when(
+                    F.col("__is_start") == 1, F.concat(F.col("sym"), F.col("__nxt"))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .withColumn(
+                "pos",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("wid").orderBy("__oldpos")
+                    )
+                    - 1
+                ).cast("long"),
+            )
+            .select("wid", "n", "pos", "sym")
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            _unpersist_checkpoint(prev)
+        prev, t = t, stepped
+    if prev is not None:
+        _unpersist_checkpoint(prev)
+    _unpersist_checkpoint(t)
+    return merges

@@ -395,3 +395,88 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training: learned merge table
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the BPE training loop: each
+    round's symbol table t{r} is referenced four times (pair count,
+    match join, next-symbol join, rebuild), so materialization is
+    load-bearing -- inlined CTEs would re-evaluate the whole prefix
+    exponentially."""
+    parts = [
+        """
+    WITH wrd AS MATERIALIZED (
+      SELECT tok AS wid, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    t0 AS MATERIALIZED (
+      SELECT wid, n, CAST(g - 1 AS BIGINT) AS pos,
+             CASE WHEN g <= length(wid) THEN substring(wid, g, 1)
+                  ELSE '</w>' END AS sym
+      FROM (SELECT wid, n, unnest(generate_series(1, length(wid) + 1)) AS g
+            FROM wrd))"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    pr{r} AS (SELECT a.sym AS x, b.sym AS y, CAST(SUM(a.n) AS BIGINT) AS cnt
+              FROM t{p} a JOIN t{p} b ON b.wid = a.wid AND b.pos = a.pos + 1
+              GROUP BY a.sym, b.sym),
+    tp{r} AS MATERIALIZED (SELECT x, y, cnt FROM pr{r}
+                           ORDER BY cnt DESC, x, y LIMIT 1),
+    mk{r} AS (SELECT a.wid, a.pos
+              FROM t{p} a JOIN t{p} b ON b.wid = a.wid AND b.pos = a.pos + 1
+              JOIN tp{r} tp ON a.sym = tp.x AND b.sym = tp.y),
+    gr{r} AS (SELECT wid, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS grp
+              FROM mk{r}),
+    sl{r} AS MATERIALIZED (
+      SELECT wid, pos FROM (
+        SELECT wid, pos, MIN(pos) OVER (PARTITION BY wid, grp) AS rmin
+        FROM gr{r})
+      WHERE (pos - rmin) % 2 = 0),
+    t{r} AS MATERIALIZED (
+      SELECT tok.wid, tok.n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY tok.wid ORDER BY tok.pos) - 1
+                  AS BIGINT) AS pos,
+             CASE WHEN s.pos IS NOT NULL THEN tok.sym || nx.sym
+                  ELSE tok.sym END AS sym
+      FROM t{p} tok
+      LEFT JOIN sl{r} s ON s.wid = tok.wid AND s.pos = tok.pos
+      LEFT JOIN sl{r} d ON d.wid = tok.wid AND d.pos = tok.pos - 1
+      LEFT JOIN t{p} nx ON nx.wid = tok.wid AND nx.pos = tok.pos + 1
+      WHERE d.pos IS NULL)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, x, y, cnt FROM tp{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n    {finals}")
+    return "".join(parts)
+
+
+@register("bpe_learned_merges", oracle=_bpe_oracle(_BPE_ROUNDS))
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus: 8 merge rounds learned
+    on the distinct-word frequency table (pair counting -> most
+    frequent pair with lexicographic tie-break -> greedy left-to-right
+    merge), each round replayed bit-for-bit by unrolled MATERIALIZED
+    DuckDB CTEs.  Output: the learned merge table ``(merge_round, x,
+    y, cnt)`` -- the artifact a tokenizer build would ship
+    (`operators/trainprep.py::bpe_learn_merges`)."""
+    from ..operators.trainprep import bpe_learn_merges
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_learn_merges(docs, "text", rounds=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges, "merge_round long, x string, y string, cnt long"
+    )

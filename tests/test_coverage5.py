@@ -631,3 +631,60 @@ def test_winnow_guarantee_shared_run_forces_shared_fp(spark):
     for r in winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect():
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared run must force a shared fingerprint"
+
+
+# ------------------------------------------------------- BPE training
+def test_bpe_matches_python_reference(spark):
+    """Hand corpus exercising the knife edges: overlapping same-symbol
+    runs ('aaa'/'aaaa' -- greedy left-to-right merges alternate
+    positions), count ties broken by lexicographic (x, y), multi-char
+    merged symbols merging again, and the end-of-word marker merging
+    into a final symbol."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        bpe_learn_merges,
+    )
+
+    def py_bpe(texts, rounds, marker="</w>"):
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            for w in t.lower().strip().split():
+                words[w] += 1
+        seqs = {w: [*w, marker] for w in words}
+        merges = []
+        for r in range(1, rounds + 1):
+            pc = Counter()
+            for w, seq in seqs.items():
+                for i in range(len(seq) - 1):
+                    pc[(seq[i], seq[i + 1])] += words[w]
+            if not pc:
+                break
+            (x, y), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((r, x, y, cnt))
+            for w, seq in seqs.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == x and seq[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    texts = [
+        "aaa aaaa abab low lower lowest",
+        "low low low lower newest newest widest",
+        "aaa abab abab banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_learn_merges(df, "text", rounds=8)
+    assert got == py_bpe(texts, 8)
+    # Greedy run semantics pinned explicitly: 'aaaa' + marker after
+    # round 1 ((a,a) merged at positions 0 and 2) contributes 'aa','aa'
+    # -- so round 1's count over {aaa x2, aaa? ...} reflects overlaps.
+    assert got[0][1:3] == ("a", "a")
