@@ -503,3 +503,52 @@ def fs_estimate_mu(
     return one.select(
         F.explode(F.expr(f"array({', '.join(rows)})")).alias("__r")
     ).select("__r.*")
+
+
+# ---------------------------------------------------------------------------
+# Survivorship: the golden record per entity cluster.
+# ---------------------------------------------------------------------------
+
+
+def golden_records(
+    clustered: DataFrame,
+    cluster_col: str,
+    columns: list[str],
+) -> DataFrame:
+    """Collapse each entity cluster to its GOLDEN RECORD: for every
+    attribute, the consensus value = most frequent NON-NULL value among
+    the cluster's members, ties broken by value ascending (a total
+    order, so the merged record is deterministic).  The survivorship
+    step that completes the ER pipeline: blocking proposes, the
+    decision layer disposes, components cluster, THIS merges.
+
+    Input: one row per cluster MEMBER carrying ``cluster_col`` plus the
+    attribute columns.  Output: one row per cluster --
+    ``cluster_col, n_members, <col>_gold`` for each attribute.
+
+    Scale shape: one count aggregate + one top-1 window PER ATTRIBUTE,
+    all keyed by cluster -- map-side-combinable counts over member
+    rows, never a collect; the per-attribute frames join back on the
+    cluster key (clusters are tiny after any sane blocking, so these
+    joins are AQE-broadcastable).  An attribute whose values are all
+    NULL in a cluster yields NULL gold (no fabricated consensus)."""
+    from pyspark.sql import Window
+
+    base = clustered.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    out = base
+    for c in columns:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.desc("__cnt"), F.asc(c)
+        )
+        top = (
+            clustered.filter(F.col(c).isNotNull())
+            .groupBy(cluster_col, c)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(cluster_col), F.col(c).alias(f"{c}_gold"))
+        )
+        out = out.join(top, cluster_col, "left")
+    return out

@@ -396,15 +396,12 @@ def _fs_oracle() -> str:
     """
 
 
-@register("fs_linkage_suppliers", oracle=_fs_oracle())
-def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter record linkage: SNB blocking proposes in-window
-    supplier pairs (dirty names, no distance cap), then the classical
-    log-likelihood decision model scores three fields (name edit
-    distance <= 1, nation, account-balance band) with fixed-point micro-log2
-    weights and classifies link / possible / nonlink -- the decision
-    layer production ER runs on top of any blocking scheme
-    (`operators/fuzzyjoin.py::fellegi_sunter_scores`)."""
+def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared FS pipeline frame: SNB blocking over dirty supplier
+    names, attribute enrichment (nation, balance band), Fellegi-Sunter
+    scoring.  One builder feeds the linkage, EM-estimation and
+    golden-record queries so the three stay pinned to the same
+    candidate set."""
     from ..operators.fuzzyjoin import (
         fellegi_sunter_scores,
         fs_weights,
@@ -442,7 +439,7 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
-    scored = fellegi_sunter_scores(
+    return fellegi_sunter_scores(
         enriched,
         [
             ("agree_name", F.col("dist") <= 1),
@@ -453,7 +450,18 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=_FS_UPPER,
         lower=_FS_LOWER,
     )
-    return scored.select(
+
+
+@register("fs_linkage_suppliers", oracle=_fs_oracle())
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage: SNB blocking proposes in-window
+    supplier pairs (dirty names, no distance cap), then the classical
+    log-likelihood decision model scores three fields (name edit
+    distance <= 1, nation, account-balance band) with fixed-point micro-log2
+    weights and classifies link / possible / nonlink -- the decision
+    layer production ER runs on top of any blocking scheme
+    (`operators/fuzzyjoin.py::fellegi_sunter_scores`)."""
+    return _fs_scored(spark, sf_dir).select(
         "id_a", "id_b", "dist", "agree_name", "agree_nation", "agree_bal",
         "score", "decision",
     )
@@ -539,59 +547,124 @@ def q_fs_em_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed bit-for-bit by the DuckDB oracle: `fs_em_likelihood_sql`
     builds the E-step arithmetic for BOTH engines
     (`operators/fuzzyjoin.py::fs_estimate_mu`)."""
-    from ..operators.fuzzyjoin import fellegi_sunter_scores, fs_estimate_mu
-    from .coverage4 import _DIRTY_SQL, _SNB_WINDOW
-    from ..operators.fuzzyjoin import sorted_neighborhood_pairs
+    from ..operators.fuzzyjoin import fs_estimate_mu
 
-    sup = _t(spark, sf_dir, "supplier")
-    dirty = sup.select(
-        F.col("s_suppkey").alias("sid"), F.expr(_DIRTY_SQL).alias("dname")
-    )
-    pairs = sorted_neighborhood_pairs(
-        dirty, "sid", "dname", window=_SNB_WINDOW, max_dist=10**9
-    )
-    attrs = sup.select(
-        F.col("s_suppkey").alias("__k"),
-        F.col("s_nationkey").alias("__nk"),
-        F.expr("cast(floor(s_acctbal * 100 + 0.5) as bigint) div 100000").alias("__bb"),
-    )
-    enriched = (
-        pairs.join(
-            F.broadcast(attrs).select(
-                F.col("__k").alias("id_a"),
-                F.col("__nk").alias("__nk_a"),
-                F.col("__bb").alias("__bb_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            F.broadcast(attrs).select(
-                F.col("__k").alias("id_b"),
-                F.col("__nk").alias("__nk_b"),
-                F.col("__bb").alias("__bb_b"),
-            ),
-            "id_b",
-        )
-    )
-    flagged = fellegi_sunter_scores(
-        enriched,
-        [
-            ("agree_name", F.col("dist") <= 1),
-            ("agree_nation", F.col("__nk_a") == F.col("__nk_b")),
-            ("agree_bal", F.col("__bb_a") == F.col("__bb_b")),
-        ],
-        # Weights irrelevant here (we only need the agreement columns);
-        # reuse the linkage priors so the frame is identical.
-        __import__(
-            "modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin",
-            fromlist=["fs_weights"],
-        ).fs_weights(_FS_MU),
-        upper=_FS_UPPER,
-        lower=_FS_LOWER,
-    )
     return fs_estimate_mu(
-        flagged,
+        _fs_scored(spark, sf_dir),
         ["agree_name", "agree_nation", "agree_bal"],
         _FS_MU,
         _FS_P0,
     )
+
+
+# --------------------------------------------------------------------------
+# ER survivorship: the golden record per linked supplier cluster
+# --------------------------------------------------------------------------
+
+
+#: Clustering operating point for survivorship: 4 bits of
+#: log-likelihood.  Looser than the linkage query's 6-bit 'link'
+#: band on purpose -- survivorship wants the full merge candidate
+#: set (3 clusters at sf0.01, 53 at sf0.1), while the 6-bit band
+#: is the high-precision auto-link cut.
+_ER_LINK_MIN = 4_000_000
+
+
+def _fs_golden_oracle() -> str:
+    from ..operators.fuzzyjoin import fs_weights
+    from .coverage4 import _DIRTY_SQL, _SNB_WINDOW
+
+    (wa0, wd0), (wa1, wd1), (wa2, wd2) = fs_weights(_FS_MU)
+
+    def mode(col: str) -> str:
+        return (
+            f"(SELECT canonical, {col} AS {col}_gold FROM ("
+            f"SELECT canonical, {col}, "
+            f"ROW_NUMBER() OVER (PARTITION BY canonical "
+            f"ORDER BY COUNT(*) DESC, {col}) AS rn "
+            f"FROM mem GROUP BY canonical, {col}) WHERE rn = 1)"
+        )
+
+    return f"""
+    WITH RECURSIVE s AS (
+      SELECT s_suppkey AS id, lower(trim({_DIRTY_SQL})) AS key,
+             s_nationkey AS nk,
+             CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band
+      FROM supplier),
+    r AS (SELECT id, key, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM s),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW}),
+    sc AS (
+      SELECT p.id_a, p.id_b,
+             CASE WHEN p.dist <= 1 THEN {wa0} ELSE {wd0} END
+           + CASE WHEN sa.nk = sb.nk THEN {wa1} ELSE {wd1} END
+           + CASE WHEN sa.bal_band = sb.bal_band THEN {wa2} ELSE {wd2} END
+             AS score
+      FROM p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b),
+    lk AS (SELECT id_a, id_b FROM sc WHERE score >= {_ER_LINK_MIN}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lk
+              UNION SELECT id_b, id_a FROM lk),
+    reach(doc, rr) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.rr = edges.src),
+    cc AS (SELECT doc, MIN(rr) AS canonical FROM reach GROUP BY doc),
+    mem AS (SELECT COALESCE(cc.canonical, s.id) AS canonical, s.id AS doc,
+                   s.key AS dname, s.nk, s.bal_band
+            FROM s LEFT JOIN cc ON cc.doc = s.id),
+    nm AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM mem GROUP BY canonical)
+    SELECT nm.canonical, nm.n_members, g1.dname_gold,
+           CAST(g2.nk_gold AS BIGINT) AS nk_gold,
+           CAST(g3.bal_band_gold AS BIGINT) AS bal_band_gold
+    FROM nm
+    LEFT JOIN {mode("dname")} g1 ON g1.canonical = nm.canonical
+    LEFT JOIN {mode("nk")} g2 ON g2.canonical = nm.canonical
+    LEFT JOIN {mode("bal_band")} g3 ON g3.canonical = nm.canonical
+    """
+
+
+@register("er_golden_suppliers", oracle=_fs_golden_oracle())
+def q_er_golden_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER pipeline's final stage, SURVIVORSHIP: Fellegi-Sunter
+    'link' decisions become edges, pointer-jumping connected components
+    cluster them, and each cluster collapses to its golden record (per
+    attribute: most frequent non-null value, ties to the ascending
+    value) -- blocking proposes, the decision layer disposes,
+    components cluster, this merges.  The DuckDB oracle replays the
+    whole chain including the transitive closure (WITH RECURSIVE) and
+    every consensus vote
+    (`operators/fuzzyjoin.py::golden_records`,
+    `operators/dedup.py::connected_components`)."""
+    from ..operators.dedup import connected_components
+    from ..operators.fuzzyjoin import golden_records
+    from .coverage4 import _DIRTY_SQL
+
+    links = (
+        _fs_scored(spark, sf_dir)
+        .filter(F.col("score") >= _ER_LINK_MIN)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    cc = connected_components(links)
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("__sid"),
+        F.lower(F.trim(F.expr(_DIRTY_SQL))).alias("dname"),
+        F.col("s_nationkey").cast("long").alias("nk"),
+        F.expr("cast(floor(s_acctbal * 100 + 0.5) as bigint) div 100000").alias(
+            "bal_band"
+        ),
+    )
+    # Every entity gets a golden record: linked suppliers adopt their
+    # component canonical, singletons stand alone -- the output IS the
+    # deduplicated supplier master.  cc only covers linked docs, so the
+    # master comes from a left join (cc is candidate-set-sized,
+    # broadcastable; the supplier scan stays the probe side).
+    mem = sup.join(
+        F.broadcast(cc), sup["__sid"] == cc["doc"], "left"
+    ).select(
+        F.coalesce(F.col("canonical"), F.col("__sid")).alias("canonical"),
+        "dname", "nk", "bal_band",
+    )
+    return golden_records(mem, "canonical", ["dname", "nk", "bal_band"])

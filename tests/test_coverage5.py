@@ -688,3 +688,36 @@ def test_bpe_matches_python_reference(spark):
     # round 1 ((a,a) merged at positions 0 and 2) contributes 'aa','aa'
     # -- so round 1's count over {aaa x2, aaa? ...} reflects overlaps.
     assert got[0][1:3] == ("a", "a")
+
+
+# ------------------------------------------------------- survivorship
+def test_golden_records_mode_ties_and_nulls(spark):
+    """Consensus semantics a fixture dodges: a count tie resolves to
+    the ASCENDING value, NULLs never win (non-null minority beats NULL
+    majority), an all-NULL attribute yields NULL gold, and a singleton
+    cluster survives as itself."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.fuzzyjoin import (
+        golden_records,
+    )
+
+    rows = [
+        # cluster 1: name tie (2x 'acme', 2x 'acme co') -> 'acme';
+        # city: one non-null among nulls -> 'nyc'; zip all NULL -> NULL
+        (1, "acme", None, None),
+        (1, "acme", "nyc", None),
+        (1, "acme co", None, None),
+        (1, "acme co", None, None),
+        # cluster 2: singleton
+        (2, "solo", "la", "90001"),
+    ]
+    df = spark.createDataFrame(rows, "canonical long, name string, city string, zip string")
+    got = {
+        r["canonical"]: (
+            r["n_members"], r["name_gold"], r["city_gold"], r["zip_gold"]
+        )
+        for r in golden_records(df, "canonical", ["name", "city", "zip"]).collect()
+    }
+    assert got == {
+        1: (4, "acme", "nyc", None),
+        2: (1, "solo", "la", "90001"),
+    }
