@@ -453,3 +453,82 @@ def winnow_fingerprints(
             F.min("__selpos").cast("long").alias("first_pos"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 20,
+) -> DataFrame:
+    """BM25 retrieval: rank documents against a bag-of-terms query with
+    the Robertson/Lucene scoring function --
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(d, t) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    -- the production ranking TF-IDF approximates.  Determinism across
+    engines: every float CONSTANT is materialized in Python and inlined
+    via repr (shortest round-trip, so both engines parse the identical
+    double); each term's contribution is rounded half-up to MICRO units
+    (floor(x*1e6+0.5) as BIGINT) BEFORE the per-document sum, so the
+    score is a BIGINT sum -- float addition order across terms can
+    never flip a ranking.  Output: ``id, score_fp (micro), n_hit_terms``
+    for the top ``topn`` docs (score desc, id asc).
+
+    Scale shape: the token explode filters to the query vocabulary
+    immediately (a query has tens of terms; the surviving rows are a
+    sliver of the corpus), per-term document frequency rides the tf
+    rows as one COUNT window, N/avgdl is a single broadcast scalar,
+    and the final top-n is TakeOrdered -- no global sort."""
+    from pyspark.sql import Window
+
+    from .dedup import tokenize
+
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    kp1 = repr(k1 + 1.0)
+    kb = repr(k1 * b)
+    k1mb = repr(k1 * (1.0 - b))  # k1*(1-b+b*dl/avgdl) = k1mb + kb*dl/avgdl
+
+    base = df.select(
+        F.col(id_col), F.size(tokenize(text_col)).cast("long").alias("__dl"),
+        tokenize(text_col).alias("__toks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__N"),
+        F.sum("__dl").cast("long").alias("__L"),
+    )
+    tok = base.select(
+        F.col(id_col), "__dl", F.explode("__toks").alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = tok.groupBy(id_col, "__dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tf = tf.withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).withColumn(
+        "__term_fp",
+        F.expr(
+            f"CAST(FLOOR("
+            f"  ln(1.0D + (CAST(__N - df_t AS DOUBLE) + 0.5D) / (CAST(df_t AS DOUBLE) + 0.5D))"
+            f"  * (CAST(tf AS DOUBLE) * CAST({kp1} AS DOUBLE))"
+            f"  / (CAST(tf AS DOUBLE) + CAST({k1mb} AS DOUBLE)"
+            f"     + CAST({kb} AS DOUBLE) * CAST(__dl AS DOUBLE)"
+            f"       / (CAST(__L AS DOUBLE) / CAST(__N AS DOUBLE)))"
+            f"  * 1000000.0D + 0.5D) AS BIGINT)"
+        ),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__term_fp").cast("long").alias("score_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc(id_col))
+        .limit(topn)
+    )

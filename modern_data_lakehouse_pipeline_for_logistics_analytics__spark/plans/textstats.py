@@ -480,3 +480,66 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_round long, x string, y string, cnt long"
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval over the documents corpus
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["scan", "join", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+def _bm25_oracle() -> str:
+    kp1 = repr(_BM25_K1 + 1.0)
+    kb = repr(_BM25_K1 * _BM25_B)
+    k1mb = repr(_BM25_K1 * (1.0 - _BM25_B))
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS dl,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_len FROM base),
+    tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+    qtok AS (SELECT * FROM tok WHERE term IN ({terms})),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM qtok GROUP BY doc_id, dl, term),
+    tfd AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df_t
+            FROM tf),
+    sc AS (
+      SELECT doc_id,
+             CAST(FLOOR(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(n_docs - df_t AS DOUBLE) + 0.5)
+                    / (CAST(df_t AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * CAST({kp1} AS DOUBLE))
+               / (CAST(tf AS DOUBLE) + CAST({k1mb} AS DOUBLE)
+                  + CAST({kb} AS DOUBLE) * CAST(dl AS DOUBLE)
+                    / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+               * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT) AS term_fp
+      FROM tfd CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+    FROM sc GROUP BY doc_id
+    ORDER BY score_fp DESC, doc_id LIMIT {_BM25_TOPN}
+    """
+
+
+@register("bm25_search_topdocs", oracle=_bm25_oracle())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval for a fixed bag-of-terms query
+    ('scan join merge'): Robertson/Lucene scoring with per-term
+    micro-unit fixed-point contributions summed as BIGINT, so rankings
+    can never flip on float addition order; top-20 docs
+    (`operators/textstats.py::bm25_topk`)."""
+    from ..operators.textstats import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), "doc_id", "text", _BM25_TERMS,
+        k1=_BM25_K1, b=_BM25_B, topn=_BM25_TOPN,
+    )

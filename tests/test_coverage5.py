@@ -721,3 +721,44 @@ def test_golden_records_mode_ties_and_nulls(spark):
         1: (4, "acme", "nyc", None),
         2: (1, "solo", "la", "90001"),
     }
+
+
+# ------------------------------------------------------------- BM25
+def test_bm25_hand_case(spark):
+    """Three-doc corpus, hand-computed BM25 (k1=1.2, b=0.75): the doc
+    with two 'cat' hits outranks the longer doc with one; a doc with no
+    query terms never appears; n_hit_terms counts matched TERMS, not
+    occurrences."""
+    import math
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "cat cat dog"),
+        (2, "cat bird bird bird bird bird"),
+        (3, "fish fish fish"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score_fp"], r["n_hit_terms"])
+        for r in bm25_topk(df, "doc_id", "text", ["cat", "dog"], topn=10).collect()
+    ]
+
+    def term_fp(tf, df_t, dl, n=3, total=12, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        s = idf * (tf * (k1 + 1.0)) / (
+            tf + (k1 * (1.0 - b)) + (k1 * b) * dl / (total / n)
+        )
+        return math.floor(s * 1e6 + 0.5)
+
+    want = [
+        (1, term_fp(2, 2, 3) + term_fp(1, 1, 3), 2),
+        (2, term_fp(1, 2, 6), 1),
+    ]
+    want.sort(key=lambda t: (-t[1], t[0]))
+    assert got == want
+    assert got[0][0] == 1  # two hits + shorter doc wins
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(df, "doc_id", "text", [])
