@@ -193,6 +193,11 @@ BENCH_QUERIES = [
     "compaction_plan_daily_files",
     "fs_linkage_suppliers",
     "fs_em_suppliers",
+    "er_golden_suppliers",
+    "text_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "bpe_learned_merges",
+    "bm25_search_topdocs",
 ]
 
 

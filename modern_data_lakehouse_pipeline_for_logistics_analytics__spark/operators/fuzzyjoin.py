@@ -531,9 +531,15 @@ def golden_records(
     rows, never a collect; the per-attribute frames join back on the
     cluster key (clusters are tiny after any sane blocking, so these
     joins are AQE-broadcastable).  An attribute whose values are all
-    NULL in a cluster yields NULL gold (no fabricated consensus)."""
+    NULL in a cluster yields NULL gold (no fabricated consensus).
+    The member frame is CACHED at entry: each attribute pass re-reads
+    it, and the upstream (blocking -> scoring -> components) is far
+    too expensive to recompute once per column (r10 review finding)."""
     from pyspark.sql import Window
 
+    from .dedup import _cache_aged
+
+    clustered = _cache_aged("golden_members", clustered)
     base = clustered.groupBy(cluster_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )

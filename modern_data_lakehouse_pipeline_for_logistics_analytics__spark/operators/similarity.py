@@ -758,7 +758,8 @@ def gram_fixedpoint(
         f"then transform({vec_col}, x -> "
         f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
         f"else raise_error(concat('gram_fixedpoint: ', "
-        f"case when size({vec_col}) = {dim} "
+        f"case when {vec_col} is null then '{vec_col} is NULL' "
+        f"when size({vec_col}) = {dim} "
         f"then '{vec_col} contains NULL component (size {dim})' "
         f"else concat('ragged {vec_col} (expected size {dim}, got size ', "
         f"cast(size({vec_col}) as string), ')') end)) end"

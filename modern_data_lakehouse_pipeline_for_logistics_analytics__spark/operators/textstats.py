@@ -375,17 +375,21 @@ def winnow_fingerprints(
     primitive between exact hashing (too brittle) and MinHash (global,
     positionless).
 
-    Implementation is position-arithmetic over the token ARRAY -- no
-    per-document sort, no window function:
+    Implementation is position-arithmetic over the token ARRAY:
 
       1. shingles come from ``transform(sequence(...))`` over the
          tokenized array (codegen, per-row);
-      2. window minima are one groupBy over the (anchor, member)
-         range join on ``pos BETWEEN s AND s + w - 1`` -- the member
-         explode is bounded by ``w``, so the shuffle is ``w`` rows per
-         shingle, partitioned by document;
-      3. the rightmost-argmin re-join selects positions, DISTINCT
-         collapses windows that picked the same (hash, pos).
+      2. each shingle EXPLODES into the <= ``w`` window ids that cover
+         it (``sequence(greatest(pos-w+1, 0), least(pos, last_anchor))``)
+         -- the blowup is bounded by ``w`` per shingle, O(n*w) total,
+         NEVER an anchors-x-members product (a 20k-shingle document
+         would otherwise materialize ~4e8 joined rows in one
+         doc-keyed partition; r10 review finding);
+      3. one groupBy (doc, window) takes ``min(struct(hash, -pos))`` --
+         lexicographic struct ordering IS the rightmost-argmin rule
+         (minimal hash, then maximal position) in a single map-side-
+         combinable aggregate, no re-join;
+      4. DISTINCT collapses windows that picked the same (hash, pos).
 
     Documents with fewer than ``w`` shingles fall back to one whole-doc
     window (the BETWEEN join clamps), so every non-empty document
@@ -411,42 +415,37 @@ def winnow_fingerprints(
         F.col("pos").cast("long").alias("pos"),
         portable_base_hash(F.col("__sh")).alias("__h"),
     )
-    from .dedup import _cache_aged
+    from pyspark.sql import Window
 
-    sh = _cache_aged("winnow_shingles", sh)
-    nsh = sh.groupBy(id_col).agg(F.max("pos").alias("__maxpos"))
-    anchors = nsh.select(
+    shm = sh.withColumn(
+        "__last", F.max("pos").over(Window.partitionBy(id_col)) - (w - 1)
+    )
+    cov = shm.select(
         F.col(id_col),
+        "pos",
+        "__h",
         F.explode(
-            F.expr(f"sequence(0, greatest(__maxpos - {w - 1}, 0))")
-        ).alias("__s"),
-    ).select(F.col(id_col), F.col("__s").cast("long").alias("s"))
-    member = sh.select(F.col(id_col), F.col("pos").alias("__mp"), F.col("__h"))
-    wins = (
-        anchors.join(member, id_col)
-        .filter(
-            (F.col("__mp") >= F.col("s")) & (F.col("__mp") <= F.col("s") + (w - 1))
-        )
-        .groupBy(id_col, "s")
-        .agg(F.min("__h").alias("__minh"))
+            F.expr(
+                f"sequence(greatest(pos - {w - 1}, 0L), "
+                f"least(pos, greatest(__last, 0L)))"
+            )
+        ).alias("s"),
     )
     sel = (
-        wins.join(
-            member,
-            on=[
-                wins[id_col] == member[id_col],
-                F.col("__h") == F.col("__minh"),
-                F.col("__mp") >= F.col("s"),
-                F.col("__mp") <= F.col("s") + (w - 1),
-            ],
+        cov.groupBy(id_col, "s")
+        .agg(
+            F.min(
+                F.struct(F.col("__h").alias("h"), (-F.col("pos")).alias("np"))
+            ).alias("__m")
         )
-        .select(wins[id_col].alias(id_col), "s", "__minh", "__mp")
-        .groupBy(id_col, "s", "__minh")
-        .agg(F.max("__mp").alias("__selpos"))
+        .select(
+            F.col(id_col),
+            F.col("__m.h").alias("fp"),
+            (-F.col("__m.np")).alias("__selpos"),
+        )
     )
     return (
-        sel.select(F.col(id_col), F.col("__minh").alias("fp"), F.col("__selpos"))
-        .distinct()
+        sel.distinct()
         .groupBy(id_col, "fp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_positions"),

@@ -360,13 +360,14 @@ _FS_UPPER = 6_000_000  # >= 6 bits of log-likelihood -> link
 _FS_LOWER = 0          # <= 0 bits -> nonlink
 
 
-def _fs_oracle() -> str:
-    from ..operators.fuzzyjoin import fs_weights
+def _fs_block_sql() -> str:
+    """The SNB blocking + attribute CTE block shared by the three FS
+    oracles (linkage, EM estimation, survivorship) -- ONE source, like
+    the Spark side's `_fs_scored`, so the three can never silently
+    un-pin from each other (r10 review finding)."""
     from .coverage4 import _DIRTY_SQL, _SNB_WINDOW
 
-    (wa0, wd0), (wa1, wd1), (wa2, wd2) = fs_weights(_FS_MU)
-    return f"""
-    WITH s AS (
+    return f"""s AS (
       SELECT s_suppkey AS id, lower(trim({_DIRTY_SQL})) AS key,
              s_nationkey AS nk,
              CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band
@@ -375,7 +376,16 @@ def _fs_oracle() -> str:
     p AS (
       SELECT a.id AS id_a, b.id AS id_b,
              CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
-      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW}),
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW})"""
+
+
+def _fs_oracle() -> str:
+    from ..operators.fuzzyjoin import fs_weights
+    from .coverage4 import _DIRTY_SQL, _SNB_WINDOW
+
+    (wa0, wd0), (wa1, wd1), (wa2, wd2) = fs_weights(_FS_MU)
+    return f"""
+    WITH {_fs_block_sql()},
     f AS (
       SELECT p.id_a, p.id_b, p.dist,
              CAST(CASE WHEN p.dist <= 1 THEN 1 ELSE 0 END AS BIGINT) AS agree_name,
@@ -507,16 +517,7 @@ def _fs_em_oracle() -> str:
         for j, c in enumerate(cols)
     )
     return f"""
-    WITH s AS (
-      SELECT s_suppkey AS id, lower(trim({_DIRTY_SQL})) AS key,
-             s_nationkey AS nk,
-             CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band
-      FROM supplier),
-    r AS (SELECT id, key, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM s),
-    p AS (
-      SELECT a.id AS id_a, b.id AS id_b,
-             CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
-      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW}),
+    WITH {_fs_block_sql()},
     f AS (
       SELECT CAST(CASE WHEN p.dist <= 1 THEN 1 ELSE 0 END AS BIGINT) AS agree_name,
              CAST(CASE WHEN sa.nk = sb.nk THEN 1 ELSE 0 END AS BIGINT) AS agree_nation,
@@ -577,25 +578,20 @@ def _fs_golden_oracle() -> str:
     (wa0, wd0), (wa1, wd1), (wa2, wd2) = fs_weights(_FS_MU)
 
     def mode(col: str) -> str:
+        # WHERE {col} IS NOT NULL pins the oracle to golden_records'
+        # contract (NULLs never vote; r10 review finding -- supplier
+        # columns are non-null, but the template must not drift).
         return (
             f"(SELECT canonical, {col} AS {col}_gold FROM ("
             f"SELECT canonical, {col}, "
             f"ROW_NUMBER() OVER (PARTITION BY canonical "
             f"ORDER BY COUNT(*) DESC, {col}) AS rn "
-            f"FROM mem GROUP BY canonical, {col}) WHERE rn = 1)"
+            f"FROM mem WHERE {col} IS NOT NULL "
+            f"GROUP BY canonical, {col}) WHERE rn = 1)"
         )
 
     return f"""
-    WITH RECURSIVE s AS (
-      SELECT s_suppkey AS id, lower(trim({_DIRTY_SQL})) AS key,
-             s_nationkey AS nk,
-             CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band
-      FROM supplier),
-    r AS (SELECT id, key, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM s),
-    p AS (
-      SELECT a.id AS id_a, b.id AS id_b,
-             CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
-      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNB_WINDOW}),
+    WITH RECURSIVE {_fs_block_sql()},
     sc AS (
       SELECT p.id_a, p.id_b,
              CASE WHEN p.dist <= 1 THEN {wa0} ELSE {wd0} END

@@ -762,3 +762,21 @@ def test_bm25_hand_case(spark):
     assert got[0][0] == 1  # two hits + shorter doc wins
     with pytest.raises(ValueError, match="at least one"):
         bm25_topk(df, "doc_id", "text", [])
+
+
+def test_guard_message_for_wholly_null_vector(spark):
+    """r10 review finding: size(NULL) is NULL, so the ragged branch's
+    concat produced raise_error(NULL) -- a diagnostic that literally
+    said 'null'.  A wholly-NULL vector must name the operator and
+    column."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        gram_fixedpoint,
+    )
+
+    null_vec = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="gram_fixedpoint: embedding is NULL"):
+        gram_fixedpoint(null_vec, scale=1000, dim=2).collect()
+    with pytest.raises(Exception, match="kmeans_lloyd_fixedpoint: embedding is NULL"):
+        kmeans_lloyd_fixedpoint(null_vec, k=1, iterations=1, dim=2).collect()
