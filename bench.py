@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "dedup_winnow_candidates",
     "bpe_learned_merges",
     "bm25_search_topdocs",
+    "kl_source_drift",
+    "kcore_part_supplier",
 ]
 
 

@@ -503,3 +503,77 @@ def shortest_paths_bounded(
         _unpersist_checkpoint(prev_ckpt)
     hold_pinned("graph.sssp", ckpt)
     return dist
+
+
+def kcore_bounded(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core decomposition: iteratively peel nodes of degree
+    < ``k`` (degree counted only over edges whose BOTH endpoints are
+    still alive) for up to ``rounds`` rounds -- the standard dense-
+    subgraph extractor (fraud rings, co-purchase cores, hub detection).
+    Same bounded-k contract as BFS/SSSP: if peeling reaches its
+    fixpoint within the round budget (it converges in 2-3 rounds on
+    real degree distributions; peeling is monotone so an unchanged
+    round IS the fixpoint), the output is the EXACT k-core with each
+    survivor's in-core degree; otherwise it is the round-``rounds``
+    over-approximation.
+
+    Early exit on node-count equality alone is sound BECAUSE peeling
+    is monotone (the alive set only shrinks, so equal count == equal
+    set).  Per round: two semi-joins against the cached undirected
+    edge frame + one map-side-combinable count; localCheckpoint per
+    round, superseded checkpoints released (shared loop discipline).
+
+    Output: ``(node, deg)`` for the surviving nodes."""
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .distinct()
+        .cache()
+    )
+    # Lifecycle discipline: prev/ckpt always hold the CHECKPOINT frames
+    # themselves -- never a .select() projection over one, which would
+    # make _unpersist_checkpoint a silent no-op (the r8 leak class).
+    ckpt = (
+        und.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    alive = ckpt
+    n_alive = alive.count()
+    prev = None
+    deg = None
+    try:
+        for _ in range(rounds):
+            deg = (
+                und.join(alive.select(F.col("node").alias("s")), "s", "semi")
+                .join(alive.select(F.col("node").alias("d")), "d", "semi")
+                .groupBy(F.col("s").alias("node"))
+                .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+                .filter(F.col("deg") >= k)
+                .localCheckpoint(eager=True)
+            )
+            n_new = deg.count()
+            if prev is not None:
+                _unpersist_checkpoint(prev)
+            prev, ckpt = ckpt, deg
+            alive = deg.select("node")
+            if n_new == n_alive:
+                break
+            n_alive = n_new
+    finally:
+        und.unpersist()
+    if prev is not None:
+        _unpersist_checkpoint(prev)
+    hold_pinned("graph.kcore", ckpt)
+    return deg if deg is not None else ckpt.withColumn("deg", F.lit(None).cast("long"))

@@ -531,3 +531,57 @@ def bm25_topk(
         .orderBy(F.desc("score_fp"), F.asc(id_col))
         .limit(topn)
     )
+
+
+def kl_source_drift(
+    df: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """Dataset-drift audit: KL divergence of each source's unigram
+    token distribution from the whole-corpus distribution,
+    ``KL(P_s || P_corpus) = sum_t p_s(t) * ln(p_s(t) / p_c(t))`` --
+    the number a training-data pipeline watches to catch one ingest
+    source wandering off-distribution (every token in a source also
+    appears in the corpus, so p_c > 0 and the sum is well-defined;
+    KL >= 0 with 0 iff the source matches the corpus mix exactly).
+
+    Determinism across engines: each TERM contribution is rounded
+    half-up to NANO units (floor(x*1e9+0.5) as BIGINT) before the
+    per-source sum -- the same order-stable fixed-point discipline as
+    ``bm25_topk`` -- so float addition order over thousands of terms
+    can never change the reported divergence.
+
+    Scale shape: one token explode -> one (source, term) count; the
+    per-term corpus count and per-source token total ride the SAME
+    aggregated rows as two window sums (no second scan of the corpus);
+    the corpus total broadcasts as a single scalar.  Output one row
+    per source: ``source, n_tokens, n_terms, kl_nano``."""
+    from pyspark.sql import Window
+
+    from .dedup import tokenize
+
+    st = (
+        df.select(F.col(source_col), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(source_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+    )
+    st = st.withColumn(
+        "c_t", F.sum("c_st").over(Window.partitionBy("term")).cast("long")
+    ).withColumn(
+        "n_s", F.sum("c_st").over(Window.partitionBy(source_col)).cast("long")
+    )
+    tot = st.agg(F.sum("c_st").cast("long").alias("__N"))
+    scored = st.crossJoin(F.broadcast(tot)).withColumn(
+        "__term_fp",
+        F.expr(
+            "CAST(FLOOR("
+            "  (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+            "  * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+            "       / (CAST(c_t AS DOUBLE) / CAST(__N AS DOUBLE)))"
+            "  * 1000000000.0D + 0.5D) AS BIGINT)"
+        ),
+    )
+    return scored.groupBy(source_col).agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("__term_fp").cast("long").alias("kl_nano"),
+    )

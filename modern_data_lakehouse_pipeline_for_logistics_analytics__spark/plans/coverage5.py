@@ -664,3 +664,85 @@ def q_er_golden_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dname", "nk", "bal_band",
     )
     return golden_records(mem, "canonical", ["dname", "nk", "bal_band"])
+
+
+# --------------------------------------------------------------------------
+# Bounded k-core decomposition of the part<->supplier graph
+# --------------------------------------------------------------------------
+
+_KC_ROUNDS = 4
+
+
+def _kcore_oracle(rounds: int) -> str:
+    parts = [
+        """
+    WITH ew AS MATERIALIZED (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem),
+    und AS MATERIALIZED (SELECT src AS s, dst AS d FROM ew
+                         UNION SELECT dst, src FROM ew),
+    d0 AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM und GROUP BY s),
+    hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS c FROM d0 GROUP BY deg),
+    cum AS (SELECT deg, SUM(c) OVER (ORDER BY deg) AS cum FROM hist),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+    kv AS MATERIALIZED (
+      SELECT CAST(MIN(deg) AS BIGINT) AS k
+      FROM cum, tot WHERE cum >= (n + 1) // 2),
+    a0 AS MATERIALIZED (SELECT node FROM d0)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    dg{r} AS MATERIALIZED (
+      SELECT e.s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM und e
+      JOIN a{p} a ON a.node = e.s
+      JOIN a{p} b ON b.node = e.d
+      GROUP BY e.s
+      HAVING COUNT(*) >= (SELECT k FROM kv)),
+    a{r} AS MATERIALIZED (SELECT node FROM dg{r})"""
+        )
+    parts.append(f"\n    SELECT node, deg FROM dg{rounds}")
+    return "".join(parts)
+
+
+@register("kcore_part_supplier", oracle=_kcore_oracle(_KC_ROUNDS))
+def q_kcore_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction over the part<->supplier graph: k-core
+    peeling at k = the graph's MEDIAN degree (smallest degree whose
+    cumulative node count reaches ceil(n/2) -- computed from the degree
+    HISTOGRAM, so no per-node global sort; the scalar comes back to
+    the driver like the k-means centroids).  Peeling reaches its
+    fixpoint in 2-3 rounds on this degree distribution, inside the
+    4-round budget; the oracle unrolls the same rounds with the same
+    SQL-computed k (`operators/graph.py::kcore_bounded`)."""
+    from ..operators.graph import kcore_bounded
+
+    li = _t(spark, sf_dir, "lineitem")
+    ew = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    und = ew.unionByName(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    hist = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .groupBy("__deg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy("__deg")
+        .collect()
+    )
+    n = sum(r["__c"] for r in hist)
+    need = (n + 1) // 2
+    cum = 0
+    k = None
+    for r in hist:
+        cum += r["__c"]
+        if cum >= need:
+            k = int(r["__deg"])
+            break
+    return kcore_bounded(ew, k=k, rounds=_KC_ROUNDS)

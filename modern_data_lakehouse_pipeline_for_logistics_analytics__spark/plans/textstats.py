@@ -543,3 +543,40 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "doc_id", "text", _BM25_TERMS,
         k1=_BM25_K1, b=_BM25_B, topn=_BM25_TOPN,
     )
+
+
+@register(
+    "kl_source_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+           FROM tok GROUP BY source, term),
+    stw AS (SELECT *,
+                   CAST(SUM(c_st) OVER (PARTITION BY term) AS BIGINT) AS c_t,
+                   CAST(SUM(c_st) OVER (PARTITION BY source) AS BIGINT) AS n_s
+            FROM st),
+    tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
+    sc AS (
+      SELECT source, n_s,
+             CAST(FLOOR(
+               (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+               * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                    / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)))
+               * CAST(1000000000.0 AS DOUBLE) + 0.5) AS BIGINT) AS term_fp
+      FROM stw CROSS JOIN tot)
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_fp) AS BIGINT) AS kl_nano
+    FROM sc GROUP BY source
+    """,
+)
+def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution --
+    the drift number that catches one ingest source wandering
+    off-distribution; nano-unit fixed-point term contributions summed
+    as BIGINT (`operators/textstats.py::kl_source_drift`)."""
+    from ..operators.textstats import kl_source_drift
+
+    return kl_source_drift(_docs(spark, sf_dir), "source", "text")

@@ -780,3 +780,73 @@ def test_guard_message_for_wholly_null_vector(spark):
         gram_fixedpoint(null_vec, scale=1000, dim=2).collect()
     with pytest.raises(Exception, match="kmeans_lloyd_fixedpoint: embedding is NULL"):
         kmeans_lloyd_fixedpoint(null_vec, k=1, iterations=1, dim=2).collect()
+
+
+# ------------------------------------------------------- KL source drift
+def test_kl_source_drift_hand_case(spark):
+    """A source whose token mix equals the corpus mix has KL == 0
+    exactly; a skewed source is strictly positive and matches the
+    pure-Python twin (same nano fixed-point per-term rounding)."""
+    import math
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        kl_source_drift,
+    )
+
+    rows = [
+        ("balanced", "a a b b"),
+        ("balanced2", "a a b b"),
+        ("skewed", "a a a b"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: (r["n_tokens"], r["n_terms"], r["kl_nano"])
+        for r in kl_source_drift(df, "source", "text").collect()
+    }
+
+    def kl_nano(counts, corpus):
+        n_s = sum(counts.values())
+        n = sum(corpus.values())
+        return sum(
+            math.floor(
+                (c / n_s) * math.log((c / n_s) / (corpus[t] / n)) * 1e9 + 0.5
+            )
+            for t, c in counts.items()
+        )
+
+    corpus = {"a": 7, "b": 5}
+    assert got["balanced"] == (4, 2, kl_nano({"a": 2, "b": 2}, corpus))
+    assert got["skewed"] == (4, 2, kl_nano({"a": 3, "b": 1}, corpus))
+    assert got["skewed"][2] > 0
+    # The two balanced sources have identical mixes and identical KL.
+    assert got["balanced"] == got["balanced2"]
+    # And a uniform corpus: every source == corpus mix -> KL 0 exactly.
+    uni = spark.createDataFrame(
+        [("s1", "x y"), ("s2", "x y")], "source string, text string"
+    )
+    for r in kl_source_drift(uni, "source", "text").collect():
+        assert r["kl_nano"] == 0
+
+
+# ------------------------------------------------------------ k-core
+def test_kcore_hand_case_cascade_and_fixpoint(spark):
+    """A triangle (1,2,3) plus a tail 3-4-5: at k=2 the tail peels in
+    CASCADE (5 first, then 4) while the triangle survives with degree
+    2 each; at k=3 everything dies (empty core, not an error); a large
+    round budget early-exits at the fixpoint with identical output."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        kcore_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["deg"] for r in kcore_bounded(edges, k=2, rounds=5).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    got50 = {
+        r["node"]: r["deg"] for r in kcore_bounded(edges, k=2, rounds=50).collect()
+    }
+    assert got50 == got
+    assert kcore_bounded(edges, k=3, rounds=5).count() == 0
