@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "bm25_search_topdocs",
     "kl_source_drift",
     "kcore_part_supplier",
+    "kcenter_diverse_embeddings",
+    "ivm_join_agg_maintenance",
 ]
 
 

@@ -159,3 +159,90 @@ def kmeans_lloyd_fixedpoint(
             F.coalesce(F.col("inertia_fp"), F.lit(0)).cast("long").alias("inertia_fp"),
         )
     )
+
+
+def kcenter_greedy_fixedpoint(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 6,
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Gonzalez greedy k-center selection in exact fixed-point integers:
+    start from the smallest id, then ``k - 1`` times pick the point
+    FARTHEST from its nearest already-selected center (squared-L2 over
+    the fixed-point components; ties -> lowest id).  THE diverse-subset
+    / coreset primitive of training-data selection -- the selected
+    points 2-approximate the optimal k-center cover, and the radius
+    sequence is the coverage-vs-budget curve a data-selection pipeline
+    reads.
+
+    Distributed shape, per round: the new center is inlined as a
+    LITERAL array (same discipline as the k-means assignment -- pure
+    codegen, no join), the running min-distance frame updates map-side
+    and ``localCheckpoint``s, and the argmax comes back as ONE driver
+    row via TakeOrdered.  Cost per round is one narrow scan of the
+    (id, mindist) frame -- row-count-linear, shuffle-free except the
+    top-1 reduce.
+
+    Output: ``rank, vec_id, radius_fp`` -- the selection order and the
+    point's min-distance-to-selected at selection time (radius_fp of
+    rank 1 is 0 by convention: it seeds the cover)."""
+    if k < 1:
+        raise ValueError("kcenter_greedy_fixedpoint needs k >= 1")
+    from .dedup import _cache_aged, _spread, _unpersist_checkpoint
+
+    vf = F.expr(
+        f"case when size({vec_col}) = {dim} "
+        f"and not exists({vec_col}, x -> x is null) "
+        f"then transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
+        f"else raise_error(concat('kcenter_greedy_fixedpoint: ', "
+        f"case when {vec_col} is null then '{vec_col} is NULL' "
+        f"when size({vec_col}) = {dim} "
+        f"then '{vec_col} contains NULL component (size {dim})' "
+        f"else concat('ragged {vec_col} (expected size {dim}, got size ', "
+        f"cast(size({vec_col}) as string), ')') end)) end"
+    )
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(vec_col)))
+    base = _cache_aged("kcenter_vf", base.select("__id", vf.alias("__vf")))
+
+    first = base.orderBy("__id").limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_greedy_fixedpoint: empty input")
+    selected = [(1, first[0]["__id"], 0)]
+    center_vec = list(first[0]["__vf"])
+
+    def dist_to(vec: list[int]) -> F.Column:
+        lit = "array(" + ", ".join(str(v) + "L" for v in vec) + ")"
+        return F.expr(
+            f"aggregate(zip_with(__vf, {lit}, (a, b) -> (a - b) * (a - b)), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+
+    md = base.select(
+        "__id", "__vf", dist_to(center_vec).alias("__md")
+    ).localCheckpoint(eager=True)
+    prev = None
+    for rank in range(2, k + 1):
+        far = (
+            md.orderBy(F.desc("__md"), F.asc("__id")).limit(1).collect()
+        )
+        row = far[0]
+        selected.append((rank, row["__id"], int(row["__md"])))
+        nxt = md.select(
+            "__id",
+            "__vf",
+            F.least(F.col("__md"), dist_to(list(row["__vf"]))).alias("__md"),
+        ).localCheckpoint(eager=True)
+        if prev is not None:
+            _unpersist_checkpoint(prev)
+        prev, md = md, nxt
+    if prev is not None:
+        _unpersist_checkpoint(prev)
+    _unpersist_checkpoint(md)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        selected, "rank long, vec_id long, radius_fp long"
+    )

@@ -296,3 +296,36 @@ def state_asof(
         op_col=op_col,
         ts_col=ts_col,
     )
+
+
+def ivm_join_delta_terms(
+    a0: DataFrame,
+    da: DataFrame,
+    b0: DataFrame,
+    db: DataFrame,
+    on: str | list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an inner-join view under
+    INSERTS on both sides: the product rule
+
+        (A0 ∪ ΔA) ⋈ (B0 ∪ ΔB)
+          = A0⋈B0  ∪  ΔA⋈B0  ∪  A0⋈ΔB  ∪  ΔA⋈ΔB
+
+    returns the three DELTA terms unioned with the base term -- the
+    rows a materialized join view gains from the new batch, computed
+    WITHOUT re-joining the full A against the full B.  At 100 TB this
+    is the whole point: ΔA⋈B0 and A0⋈ΔB each probe one full side with
+    a small delta (broadcast when the delta is small; the planner's
+    AQE picks it up from the delta's runtime size), and ΔA⋈ΔB is
+    delta-by-delta.  A downstream aggregate view folds these term rows
+    into its running state (see ``merge_agg_state``) -- base never
+    rescanned.
+
+    Inserts only (the lakehouse append path); updates/deletes compose
+    this with ``apply_changes``'s keyed CDC instead."""
+    return (
+        a0.join(b0, on)
+        .unionByName(da.join(b0, on))
+        .unionByName(a0.join(db, on))
+        .unionByName(da.join(db, on))
+    )

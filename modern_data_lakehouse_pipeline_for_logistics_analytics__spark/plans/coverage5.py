@@ -746,3 +746,115 @@ def q_kcore_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             k = int(r["__deg"])
             break
     return kcore_bounded(ew, k=k, rounds=_KC_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center (Gonzalez) diverse selection over the embeddings
+# --------------------------------------------------------------------------
+
+_KCEN_K = 6
+
+
+def _kcenter_oracle(k: int, dim: int, scale: int) -> str:
+    parts = [
+        f"""
+    WITH u AS MATERIALIZED (
+      SELECT vec_id AS id, gs.i AS i,
+             CAST(floor(CAST(embedding[gs.i + 1] AS DOUBLE) * {scale} + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(0, {dim - 1}) AS gs(i)),
+    s1 AS MATERIALIZED (SELECT CAST(MIN(vec_id) AS BIGINT) AS id FROM embeddings),
+    md1 AS MATERIALIZED (
+      SELECT u.id, CAST(SUM((u.x - c.x) * (u.x - c.x)) AS BIGINT) AS md
+      FROM u JOIN (SELECT u2.i, u2.x FROM u u2 JOIN s1 ON u2.id = s1.id) c
+        ON c.i = u.i
+      GROUP BY u.id)"""
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    s{r} AS MATERIALIZED (
+      SELECT id, md AS radius FROM md{p} ORDER BY md DESC, id LIMIT 1),
+    md{r} AS MATERIALIZED (
+      SELECT m.id, LEAST(m.md, d.nd) AS md
+      FROM md{p} m JOIN (
+        SELECT u.id, CAST(SUM((u.x - c.x) * (u.x - c.x)) AS BIGINT) AS nd
+        FROM u JOIN (SELECT u2.i, u2.x FROM u u2 JOIN s{r} ON u2.id = s{r}.id) c
+          ON c.i = u.i
+        GROUP BY u.id) d ON d.id = m.id)"""
+        )
+    finals = " UNION ALL ".join(
+        ["SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, CAST(0 AS BIGINT) AS radius_fp FROM s1"]
+        + [
+            f"SELECT CAST({r} AS BIGINT), id, CAST(radius AS BIGINT) FROM s{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    parts.append(f"\n    {finals}")
+    return "".join(parts)
+
+
+@register(
+    "kcenter_diverse_embeddings",
+    oracle=_kcenter_oracle(_KCEN_K, _KM_DIM, _KM_SCALE),
+)
+def q_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez greedy k-center over the embedding corpus: 6 diverse
+    representatives plus the coverage-radius-at-selection sequence (the
+    coverage-vs-budget curve of diverse data selection), every round
+    replayed by unrolled MATERIALIZED CTEs
+    (`operators/clustering.py::kcenter_greedy_fixedpoint`)."""
+    from ..operators.clustering import kcenter_greedy_fixedpoint
+
+    return kcenter_greedy_fixedpoint(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=_KCEN_K, dim=_KM_DIM, scale=_KM_SCALE,
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance: aggregate-over-join under two-sided inserts
+# --------------------------------------------------------------------------
+
+_IVM_CUTOFF = "1997-01-01"
+
+
+@register(
+    "ivm_join_agg_maintenance",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate-over-join view proven
+    EQUAL to the direct recompute: orders split at {cutoff} into base +
+    insert batch, customers split on key mod 10 into base +
+    late-arriving dimension rows; the maintained view folds the four
+    product-rule join terms (`operators/maintenance.py::
+    ivm_join_delta_terms`) into one aggregate, and the oracle computes
+    the view DIRECTLY from the full tables -- hash equality IS the
+    correctness proof of the delta algebra (base ⋈ never recomputed at
+    maintenance time in the incremental plan)."""
+    from ..operators.maintenance import ivm_join_delta_terms
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("__cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a0 = orders.filter(F.col("o_orderdate") < _IVM_CUTOFF)
+    da = orders.filter(F.col("o_orderdate") >= _IVM_CUTOFF)
+    b0 = cust.filter(F.col("c_custkey") % 10 != 0)
+    db = cust.filter(F.col("c_custkey") % 10 == 0)
+    terms = ivm_join_delta_terms(a0, da, b0, db, "c_custkey")
+    return terms.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("__cents").cast("long").alias("revenue_cents"),
+    )

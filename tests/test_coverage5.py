@@ -850,3 +850,71 @@ def test_kcore_hand_case_cascade_and_fixpoint(spark):
     }
     assert got50 == got
     assert kcore_bounded(edges, k=3, rounds=5).count() == 0
+
+
+# ----------------------------------------------------- k-center greedy
+def test_kcenter_hand_case(spark):
+    """2-D points on a line (scale 10): seed = lowest id (at 0.0);
+    round 2 must take the FARTHEST point (at 1.0, dist 200), round 3
+    the midpoint (at 0.5, dist 50 to both ends); radius sequence is
+    non-increasing after selection."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.clustering import (
+        kcenter_greedy_fixedpoint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.5, 0.5]),
+            (3, [1.0, 1.0]),
+            (4, [0.1, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["radius_fp"])
+        for r in kcenter_greedy_fixedpoint(df, k=3, dim=2, scale=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    # fp vectors: [0,0],[5,5],[10,10],[1,1]; d(1,3)=200, d(1,2)=50,
+    # d(2,3)=50, d(1,4)=2.
+    assert got == [(1, 1, 0), (2, 3, 200), (3, 2, 50)]
+
+
+def test_kcenter_validates(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.clustering import (
+        kcenter_greedy_fixedpoint,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        kcenter_greedy_fixedpoint(df, k=2, dim=2)
+    with pytest.raises(ValueError, match="k >= 1"):
+        kcenter_greedy_fixedpoint(df, k=0, dim=2)
+
+
+# --------------------------------------------------- IVM delta algebra
+def test_ivm_join_delta_terms_product_rule(spark):
+    """The four-term product rule equals the direct join of the merged
+    sides -- including rows produced ONLY by delta-with-delta (a new
+    order referencing a late-arriving customer), the term a naive
+    'delta join old' maintenance silently drops."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.maintenance import (
+        ivm_join_delta_terms,
+    )
+
+    a0 = spark.createDataFrame([(1, "o1"), (2, "o2")], "k long, o string")
+    da = spark.createDataFrame([(2, "o3"), (9, "o9")], "k long, o string")
+    b0 = spark.createDataFrame([(1, "c1"), (2, "c2")], "k long, c string")
+    db = spark.createDataFrame([(9, "c9")], "k long, c string")
+    got = sorted(
+        (r["k"], r["o"], r["c"])
+        for r in ivm_join_delta_terms(a0, da, b0, db, "k").collect()
+    )
+    direct = sorted(
+        (r["k"], r["o"], r["c"])
+        for r in a0.unionByName(da).join(b0.unionByName(db), "k").collect()
+    )
+    assert got == direct
+    assert (9, "o9", "c9") in got  # the delta-with-delta term
