@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "kcore_part_supplier",
     "kcenter_diverse_embeddings",
     "ivm_join_agg_maintenance",
+    "join_cardinality_audit",
 ]
 
 

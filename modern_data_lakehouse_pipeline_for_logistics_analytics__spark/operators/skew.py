@@ -105,3 +105,104 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         "n_rows",
         round_half_up(F.col("n_rows") / F.col("__total"), 6).alias("rows_share"),
     )
+
+
+def join_cardinality_estimate(
+    a: "DataFrame",
+    b: "DataFrame",
+    key: str,
+    topn: int = 100,
+) -> "DataFrame":
+    """Optimizer-statistics audit: estimate |A JOIN B| from END-BIASED
+    histograms (the System-R family every cost-based optimizer ships)
+    and compare against the exact cardinality --
+
+      est =   sum_{k in TA ∩ TB} fa*fb                (exact head x head)
+            + sum_{k in TA \\ TB} fa * avg_rest(B)     (containment)
+            + sum_{k in TB \\ TA} fb * avg_rest(A)
+            + rows_rest(A) * rows_rest(B) / max(ndv_rest)   (uniform tail)
+
+    with avg_rest = rest rows div rest ndv, everything truncating
+    BIGINT arithmetic so the DuckDB oracle replays the estimate AND
+    the exact count bit-for-bit.  The audit row a platform team reads
+    to decide whether its histogram budget (topn) is big enough for a
+    workload's skew: err_bp is the estimate's error in basis points.
+
+    Scale shape: two per-side frequency aggregates (map-side
+    combinable), TakeOrdered top-n heads (never a global sort), anti-
+    join rest stats reduced to ONE scalar row per side, and the head
+    x head term joins two topn-row frames -- nothing row-scale moves
+    after the first aggregates.  Output one row:
+    ``est_rows, actual_rows, err_bp``."""
+    fa = a.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("fa")
+    )
+    fb = b.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("fb")
+    )
+    ta = fa.orderBy(F.desc("fa"), F.asc("k")).limit(topn).cache()
+    tb = fb.orderBy(F.desc("fb"), F.asc("k")).limit(topn).cache()
+    ra = (
+        fa.join(ta.select("k"), "k", "anti")
+        .agg(
+            F.coalesce(F.sum("fa"), F.lit(0)).cast("long").alias("ra_rows"),
+            F.count(F.lit(1)).cast("long").alias("ra_keys"),
+        )
+    )
+    rb = (
+        fb.join(tb.select("k"), "k", "anti")
+        .agg(
+            F.coalesce(F.sum("fb"), F.lit(0)).cast("long").alias("rb_rows"),
+            F.count(F.lit(1)).cast("long").alias("rb_keys"),
+        )
+    )
+    t1 = ta.join(tb, "k").agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+        .cast("long")
+        .alias("t1")
+    )
+    t2 = (
+        ta.join(tb.select("k"), "k", "anti")
+        .crossJoin(F.broadcast(rb))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("fa * (rb_rows div greatest(rb_keys, 1L))")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("t2")
+        )
+    )
+    t3 = (
+        tb.join(ta.select("k"), "k", "anti")
+        .crossJoin(F.broadcast(ra))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("fb * (ra_rows div greatest(ra_keys, 1L))")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("t3")
+        )
+    )
+    t4 = ra.crossJoin(rb).select(
+        F.expr(
+            "(ra_rows * rb_rows) div greatest(ra_keys, rb_keys, 1L)"
+        ).cast("long").alias("t4")
+    )
+    actual = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+        .cast("long")
+        .alias("actual_rows")
+    )
+    est = (
+        t1.crossJoin(t2).crossJoin(t3).crossJoin(t4)
+        .select((F.col("t1") + F.col("t2") + F.col("t3") + F.col("t4")).alias("est_rows"))
+    )
+    return est.crossJoin(actual).select(
+        "est_rows",
+        "actual_rows",
+        F.expr("(abs(est_rows - actual_rows) * 10000L) div greatest(actual_rows, 1L)")
+        .cast("long")
+        .alias("err_bp"),
+    )

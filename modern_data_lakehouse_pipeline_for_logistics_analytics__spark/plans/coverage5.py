@@ -858,3 +858,91 @@ def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("__cents").cast("long").alias("revenue_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join cardinality estimation audit (end-biased histograms vs actual)
+# --------------------------------------------------------------------------
+
+_CARD_TOPN = 100
+
+
+def _card_branch_sql(i: int, ta: str, ka: str, tb: str, kb: str, name: str) -> str:
+    n = _CARD_TOPN
+    return f"""
+    fa{i} AS (SELECT {ka} AS k, CAST(COUNT(*) AS BIGINT) AS fa
+              FROM {ta} GROUP BY {ka}),
+    fb{i} AS (SELECT {kb} AS k, CAST(COUNT(*) AS BIGINT) AS fb
+              FROM {tb} GROUP BY {kb}),
+    ta{i} AS (SELECT k, fa FROM fa{i} ORDER BY fa DESC, k LIMIT {n}),
+    tb{i} AS (SELECT k, fb FROM fb{i} ORDER BY fb DESC, k LIMIT {n}),
+    ra{i} AS (SELECT CAST(COALESCE(SUM(fa), 0) AS BIGINT) AS ra_rows,
+                     CAST(COUNT(*) AS BIGINT) AS ra_keys
+              FROM fa{i} WHERE k NOT IN (SELECT k FROM ta{i})),
+    rb{i} AS (SELECT CAST(COALESCE(SUM(fb), 0) AS BIGINT) AS rb_rows,
+                     CAST(COUNT(*) AS BIGINT) AS rb_keys
+              FROM fb{i} WHERE k NOT IN (SELECT k FROM tb{i})),
+    t1_{i} AS (SELECT CAST(COALESCE(SUM(a.fa * b.fb), 0) AS BIGINT) AS v
+               FROM ta{i} a JOIN tb{i} b USING (k)),
+    t2_{i} AS (SELECT CAST(COALESCE(SUM(a.fa * (rb_rows // GREATEST(rb_keys, 1))), 0)
+                    AS BIGINT) AS v
+               FROM ta{i} a CROSS JOIN rb{i}
+               WHERE a.k NOT IN (SELECT k FROM tb{i})),
+    t3_{i} AS (SELECT CAST(COALESCE(SUM(b.fb * (ra_rows // GREATEST(ra_keys, 1))), 0)
+                    AS BIGINT) AS v
+               FROM tb{i} b CROSS JOIN ra{i}
+               WHERE b.k NOT IN (SELECT k FROM ta{i})),
+    t4_{i} AS (SELECT CAST((ra_rows * rb_rows) // GREATEST(ra_keys, rb_keys, 1)
+                    AS BIGINT) AS v
+               FROM ra{i} CROSS JOIN rb{i}),
+    act{i} AS (SELECT CAST(COALESCE(SUM(a.fa * b.fb), 0) AS BIGINT) AS actual_rows
+               FROM fa{i} a JOIN fb{i} b USING (k)),
+    res{i} AS (
+      SELECT '{name}' AS join_name,
+             CAST(t1_{i}.v + t2_{i}.v + t3_{i}.v + t4_{i}.v AS BIGINT) AS est_rows,
+             act{i}.actual_rows
+      FROM t1_{i}, t2_{i}, t3_{i}, t4_{i}, act{i})"""
+
+
+_CARD_JOINS = [
+    ("orders", "o_custkey", "customer", "c_custkey", "orders_customer"),
+    ("lineitem", "l_partkey", "part", "p_partkey", "lineitem_part"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem_supplier"),
+]
+
+
+def _card_oracle() -> str:
+    branches = ",".join(
+        _card_branch_sql(i, *spec) for i, spec in enumerate(_CARD_JOINS)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT join_name, est_rows, actual_rows, "
+        f"CAST((ABS(est_rows - actual_rows) * 10000) // GREATEST(actual_rows, 1) "
+        f"AS BIGINT) AS err_bp FROM res{i}"
+        for i in range(len(_CARD_JOINS))
+    )
+    return f"WITH {branches}\n    {finals}"
+
+
+@register("join_cardinality_audit", oracle=_card_oracle())
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics audit: end-biased-histogram
+    (top-100 exact head + uniform tail, System-R containment) join
+    cardinality estimates vs the EXACT cardinality for three workload
+    joins, with the error in basis points -- the number a platform
+    team reads to size its histogram budget against workload skew
+    (`operators/skew.py::join_cardinality_estimate`)."""
+    from functools import reduce as _reduce
+
+    from ..operators.skew import join_cardinality_estimate
+
+    outs = []
+    for ta, ka, tb, kb, name in _CARD_JOINS:
+        a = _t(spark, sf_dir, ta).select(F.col(ka).alias("jk"))
+        b = _t(spark, sf_dir, tb).select(F.col(kb).alias("jk"))
+        outs.append(
+            join_cardinality_estimate(a, b, "jk", topn=_CARD_TOPN).select(
+                F.lit(name).alias("join_name"), "est_rows", "actual_rows", "err_bp"
+            )
+        )
+    return _reduce(lambda x, y: x.unionByName(y), outs)

@@ -918,3 +918,30 @@ def test_ivm_join_delta_terms_product_rule(spark):
     )
     assert got == direct
     assert (9, "o9", "c9") in got  # the delta-with-delta term
+
+
+# --------------------------------------------- join cardinality audit
+def test_join_cardinality_estimate_hand_case(spark):
+    """topn=2 over a skewed key set exercises all four terms: head x
+    head (k=1), head-A x tail-B containment (k=2 in A's head only),
+    tail x tail uniform, and the exact actual; the audit must be exact
+    when topn covers every key."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.skew import (
+        join_cardinality_estimate,
+    )
+
+    # A freqs: 1->3, 2->2, 3->1, 4->1 ; B freqs: 1->2, 3->2, 5->1
+    a = spark.createDataFrame([(1,)] * 3 + [(2,)] * 2 + [(3,)] + [(4,)], "jk long")
+    b = spark.createDataFrame([(1,)] * 2 + [(3,)] * 2 + [(5,)], "jk long")
+    row = join_cardinality_estimate(a, b, "jk", topn=2).collect()[0]
+    # actual = f(1): 3*2 + f(3): 1*2 = 8
+    assert row["actual_rows"] == 8
+    # heads: TA={1:3,2:2}, TB={1:2,3:2}; rest A={3:1,4:1} rows2 keys2,
+    # rest B={5:1} rows1 keys1.
+    # t1 = 3*2 = 6; t2 (k=2): 2*(1//1)=2; t3 (k=3): 2*(2//2)=2;
+    # t4 = 2*1 // 2 = 1 -> est 11, err = |11-8|*10000//8 = 3750
+    assert (row["est_rows"], row["err_bp"]) == (11, 3750)
+    # Full-coverage histogram -> estimate is exact.
+    exact = join_cardinality_estimate(a, b, "jk", topn=10).collect()[0]
+    assert exact["est_rows"] == exact["actual_rows"] == 8
+    assert exact["err_bp"] == 0
