@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "kcenter_diverse_embeddings",
     "ivm_join_agg_maintenance",
     "join_cardinality_audit",
+    "phrase_search_positional",
+    "fd_violation_audit",
 ]
 
 

@@ -206,3 +206,37 @@ def join_cardinality_estimate(
         .cast("long")
         .alias("err_bp"),
     )
+
+
+def fd_violations(
+    df: "DataFrame", determinant: list[str], dependent: str
+) -> "DataFrame":
+    """Functional-dependency profiling: does ``determinant -> dependent``
+    hold?  Counts determinant values mapping to MORE than one distinct
+    dependent value -- the data-profiling primitive behind key
+    discovery, denormalization checks and dimension-integrity audits
+    (a violated FD in a would-be dimension means the grain is wrong).
+
+    One exact two-level aggregate: distinct (X, Y) pairs, then images
+    per X -- both map-side-combinable; nothing else moves.  Output one
+    row: ``n_determinants, n_violating, max_images, violation_bp``
+    (violating share of determinant values, basis points, truncating
+    BIGINT arithmetic)."""
+    pairs = df.select(*determinant, dependent).distinct()
+    images = pairs.groupBy(*determinant).agg(
+        F.count(F.lit(1)).cast("long").alias("__imgs")
+    )
+    return images.agg(
+        F.count(F.lit(1)).cast("long").alias("n_determinants"),
+        F.sum(F.when(F.col("__imgs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.max("__imgs").cast("long").alias("max_images"),
+    ).select(
+        "n_determinants",
+        "n_violating",
+        "max_images",
+        F.expr("(n_violating * 10000L) div greatest(n_determinants, 1L)")
+        .cast("long")
+        .alias("violation_bp"),
+    )

@@ -585,3 +585,55 @@ def kl_source_drift(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.sum("__term_fp").cast("long").alias("kl_nano"),
     )
+
+
+def phrase_search(
+    df: DataFrame, id_col: str, text_col: str, phrases: list[str]
+) -> DataFrame:
+    """Positional-index phrase search: build term postings ``(term,
+    doc, pos)`` ONCE, then resolve each phrase as an adjacency chain
+    -- term_i at position p + i for every i -- the way an inverted
+    index with positions answers quoted queries (the retrieval
+    primitive BM25's bag-of-terms scoring cannot express).
+
+    Scale shape: the postings explode filters immediately to the
+    phrase vocabulary (a few terms), is cached once across phrases,
+    and each adjacency step is an equi-join on (doc, pos+i) carrying
+    (doc, pos) pairs only.  Matches are exact and deterministic.
+
+    Output: ``phrase, id, n_matches, first_pos`` -- one row per
+    (phrase, document) with at least one occurrence."""
+    from functools import reduce
+
+    from .dedup import _cache_aged, tokenize
+
+    if not phrases:
+        raise ValueError("phrase_search needs at least one phrase")
+    terms_by_phrase = [p.split() for p in phrases]
+    vocab = sorted({t for ts in terms_by_phrase for t in ts})
+    post = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokenize(text_col)).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(vocab))
+        .select(id_col, F.col("pos").cast("long").alias("pos"), "term")
+    )
+    post = _cache_aged("phrase_postings", post)
+    outs = []
+    for phrase, terms in zip(phrases, terms_by_phrase):
+        cur = post.filter(F.col("term") == terms[0]).select(id_col, "pos")
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = post.filter(F.col("term") == t).select(
+                id_col, (F.col("pos") - i).alias("pos")
+            )
+            cur = cur.join(nxt, [id_col, "pos"])
+        outs.append(
+            cur.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_matches"),
+                F.min("pos").cast("long").alias("first_pos"),
+            )
+            .select(F.lit(phrase).alias("phrase"), id_col, "n_matches", "first_pos")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -946,3 +946,56 @@ def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return _reduce(lambda x, y: x.unionByName(y), outs)
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit over workload tables
+# --------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("orders", ["o_orderkey"], "o_orderdate", "orders_pk_date"),
+    ("orders", ["o_custkey"], "o_orderpriority", "cust_priority"),
+    ("lineitem", ["l_partkey"], "l_suppkey", "part_supplier"),
+    ("customer", ["c_nationkey"], "c_mktsegment", "nation_segment"),
+]
+
+
+def _fd_oracle() -> str:
+    branches = []
+    for table, det, dep, name in _FD_CANDIDATES:
+        d = ", ".join(det)
+        branches.append(f"""
+    SELECT '{name}' AS fd_name, n_determinants, n_violating, max_images,
+           CAST((n_violating * 10000) // GREATEST(n_determinants, 1)
+                AS BIGINT) AS violation_bp
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_determinants,
+             CAST(COALESCE(SUM(CASE WHEN imgs > 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violating,
+             CAST(MAX(imgs) AS BIGINT) AS max_images
+      FROM (
+        SELECT {d}, CAST(COUNT(*) AS BIGINT) AS imgs
+        FROM (SELECT DISTINCT {d}, {dep} FROM {table})
+        GROUP BY {d}))""")
+    return " UNION ALL ".join(branches)
+
+
+@register("fd_violation_audit", oracle=_fd_oracle())
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over four candidate FDs: the
+    primary-key dependency holds (0 violations -- the control row) and
+    the three denormalization-trap candidates quantify exactly how
+    badly they fail (`operators/skew.py::fd_violations`)."""
+    from functools import reduce as _reduce
+
+    from ..operators.skew import fd_violations
+
+    outs = []
+    for table, det, dep, name in _FD_CANDIDATES:
+        outs.append(
+            fd_violations(_t(spark, sf_dir, table), det, dep).select(
+                F.lit(name).alias("fd_name"),
+                "n_determinants", "n_violating", "max_images", "violation_bp",
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)

@@ -580,3 +580,51 @@ def q_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import kl_source_drift
 
     return kl_source_drift(_docs(spark, sf_dir), "source", "text")
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search
+# --------------------------------------------------------------------------
+
+_PHRASES = ["key order", "stream data"]
+
+
+def _phrase_oracle() -> str:
+    branches = []
+    for i, phrase in enumerate(_PHRASES):
+        terms = phrase.split()
+        joins = "".join(
+            f" JOIN post p{j} ON p{j}.doc_id = p0.doc_id "
+            f"AND p{j}.pos = p0.pos + {j} AND p{j}.term = '{t}'"
+            for j, t in enumerate(terms[1:], start=1)
+        )
+        branches.append(
+            f"SELECT '{phrase}' AS phrase, p0.doc_id, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_matches, "
+            f"CAST(MIN(p0.pos) AS BIGINT) AS first_pos "
+            f"FROM post p0{joins} WHERE p0.term = '{terms[0]}' "
+            f"GROUP BY p0.doc_id"
+        )
+    vocab = sorted({t for p in _PHRASES for t in p.split()})
+    inlist = ", ".join(f"'{t}'" for t in vocab)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    post AS MATERIALIZED (
+      SELECT doc_id, CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos,
+             unnest(ts) AS term
+      FROM toks)
+    {" UNION ALL ".join(branches)}
+    """
+
+
+@register("phrase_search_positional", oracle=_phrase_oracle())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase retrieval over a positional inverted index: the
+    postings build once, each phrase resolves as an adjacency equi-join
+    chain -- exact match counts and first positions per document
+    (`operators/textstats.py::phrase_search`)."""
+    from ..operators.textstats import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), "doc_id", "text", _PHRASES)

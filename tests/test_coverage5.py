@@ -945,3 +945,58 @@ def test_join_cardinality_estimate_hand_case(spark):
     exact = join_cardinality_estimate(a, b, "jk", topn=10).collect()[0]
     assert exact["est_rows"] == exact["actual_rows"] == 8
     assert exact["err_bp"] == 0
+
+
+# ------------------------------------------------------- phrase search
+def test_phrase_search_hand_case(spark):
+    """Overlapping occurrences count individually ('a a a' matches
+    'a a' at positions 0 AND 1), longer chains require full adjacency
+    (no match for 'a b c' when only 'a b' and 'b c' appear apart), and
+    documents without the phrase are absent."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a"),
+            (2, "a b x b c"),
+            (3, "a b c"),
+            (4, "z z z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "doc_id", "text", ["a a", "a b c"]).collect()
+    }
+    assert got == {
+        ("a a", 1): (2, 0),
+        ("a b c", 3): (1, 0),
+    }
+    with pytest.raises(ValueError, match="at least one"):
+        phrase_search(df, "doc_id", "text", [])
+
+
+# ------------------------------------------------------------ FD audit
+def test_fd_violations_hand_case(spark):
+    """X=1 maps to two Ys (violating, 2 images), X=2 to one, X=3 to
+    one (duplicated rows collapse); 1 of 3 determinants violate ->
+    3333 bp."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.skew import (
+        fd_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, "c"), (3, "c")],
+        "x long, y string",
+    )
+    row = fd_violations(df, ["x"], "y").collect()[0]
+    assert (
+        row["n_determinants"], row["n_violating"],
+        row["max_images"], row["violation_bp"],
+    ) == (3, 1, 2, 3333)
+    # A real key: zero violations, zero bp.
+    key = fd_violations(df.select("x", "y").distinct().withColumn(
+        "rid", F.monotonically_increasing_id()), ["rid"], "y").collect()[0]
+    assert (key["n_violating"], key["violation_bp"]) == (0, 0)
