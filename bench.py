@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "join_cardinality_audit",
     "phrase_search_positional",
     "fd_violation_audit",
+    "multimodal_audio_chunk_plan",
 ]
 
 

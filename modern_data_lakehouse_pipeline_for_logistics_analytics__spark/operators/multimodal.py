@@ -60,6 +60,8 @@ IMG_DIM_BASE, IMG_DIM_MOD = 64, 192
 VID_W_BASE, VID_W_MOD = 160, 352
 VID_H_BASE, VID_H_MOD = 120, 264
 VID_DUR_BASE = 1000
+AUD_RATE_BASE, AUD_RATE_STEP, AUD_RATE_MOD = 8000, 8000, 3
+AUD_DUR_BASE = 1000
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
@@ -118,6 +120,19 @@ def _decode_video_stub(payload: bytes) -> dict:
     }
 
 
+def _decode_audio_stub(payload: bytes) -> dict:
+    """Deterministic fake audio decode (rate / duration / channels from
+    the digest).  STUB like ``_decode_video_stub``: a real compressed-
+    codec path soft-imports its library; the uncompressed-WAV path is
+    ``_decode_wav`` (REAL, stdlib)."""
+    d = hashlib.sha256(payload).digest()
+    return {
+        "sample_rate": AUD_RATE_BASE + AUD_RATE_STEP * (d[4] % AUD_RATE_MOD),
+        "duration_ms": AUD_DUR_BASE + int.from_bytes(d[5:7], "big"),
+        "channels": 1 + d[7] % 2,
+    }
+
+
 #: Pluggable decoder registry; tests and prod differ only here.  A decoder
 #: returns either an (width, height) tuple or a dict over _META_FIELDS.
 DECODERS = {
@@ -126,6 +141,7 @@ DECODERS = {
     "image/jpeg": _decode_real,
     "audio/wav": _decode_wav,
     "video/fake": _decode_video_stub,
+    "audio/fake": _decode_audio_stub,
 }
 
 
@@ -331,3 +347,70 @@ def plan_image_resize(decoded: DataFrame, max_side: int = 96) -> DataFrame:
     return decoded.select("doc_id", "width", "height").mapInPandas(
         plan_batches, schema=RESIZE_SCHEMA
     )
+
+
+#: Output schema of the audio chunk planner.
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("start_sample", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("chunk_sha8", StringType()),
+    ]
+)
+
+
+def chunk_audio_windows(
+    decoded: DataFrame, win_ms: int = 2000, hop_ms: int = 1000
+) -> DataFrame:
+    """Audio training-window planning over DECODED audio rows: each
+    input fans out to its FULL ``win_ms`` windows at ``hop_ms`` stride
+    (the fixed-size-chunk convention of speech/audio training sets --
+    a tail shorter than the window is dropped, not padded), with exact
+    sample offsets from the stream's own sample rate
+    (``start_sample = start_ms * rate div 1000``).  Same variable-
+    fanout mapInPandas shape as ``sample_video_frames``; the chunk
+    PAYLOAD is a stub digest chain (real path: read
+    ``payload[start_sample*width : ...]`` here), and everything else
+    is integer arithmetic a SQL oracle replays end-to-end.
+
+    Output: ``doc_id, chunk_idx, start_ms, start_sample, n_samples,
+    chunk_sha8``."""
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sms, ssa, nsa, shas = [], [], [], [], [], []
+            for doc_id, dur, rate, sha8 in zip(
+                pdf["doc_id"], pdf["duration_ms"], pdf["sample_rate"], pdf["sha256_8"]
+            ):
+                if dur is None or pd.isna(dur) or rate is None or pd.isna(rate):
+                    continue
+                dur, rate = int(dur), int(rate)
+                n = (dur - win_ms) // hop_ms + 1 if dur >= win_ms else 0
+                for i in range(n):
+                    start = i * hop_ms
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sms.append(start)
+                    ssa.append(start * rate // 1000)
+                    nsa.append(win_ms * rate // 1000)
+                    # STUB chunk bytes: digest chain, like the frame stub.
+                    shas.append(
+                        hashlib.sha256(f"{sha8}:a{i}".encode()).hexdigest()[:8]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "start_ms": sms,
+                    "start_sample": ssa,
+                    "n_samples": nsa,
+                    "chunk_sha8": shas,
+                }
+            )
+
+    return decoded.select(
+        "doc_id", "duration_ms", "sample_rate", "sha256_8"
+    ).mapInPandas(chunk_batches, schema=AUDIO_CHUNK_SCHEMA)

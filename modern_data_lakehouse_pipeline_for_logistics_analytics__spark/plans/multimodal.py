@@ -111,3 +111,57 @@ def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import plan_image_resize
 
     return plan_image_resize(decode_media(media), max_side=_RESIZE_MAX)
+
+
+from ..operators.multimodal import (  # noqa: E402
+    AUD_DUR_BASE,
+    AUD_RATE_BASE,
+    AUD_RATE_MOD,
+    AUD_RATE_STEP,
+)
+
+_D4 = "CAST(('0x' || substr(sha256(text), 9, 2)) AS BIGINT)"
+_D56 = "CAST(('0x' || substr(sha256(text), 11, 4)) AS BIGINT)"
+
+_WIN_MS = 2000
+_HOP_MS = 1000
+
+
+@register(
+    "multimodal_audio_chunk_plan",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             substr(sha256(text), 1, 8) AS sha8,
+             {AUD_RATE_BASE} + {AUD_RATE_STEP} * (({_D4}) % {AUD_RATE_MOD}) AS rate,
+             {AUD_DUR_BASE} + {_D56} AS duration_ms
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, sha8, rate,
+             unnest(generate_series(0,
+               (duration_ms - {_WIN_MS}) // {_HOP_MS})) AS chunk_idx
+      FROM meta
+      WHERE duration_ms >= {_WIN_MS})
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {_HOP_MS} AS BIGINT) AS start_ms,
+           CAST((chunk_idx * {_HOP_MS} * rate) // 1000 AS BIGINT) AS start_sample,
+           CAST(({_WIN_MS} * rate) // 1000 AS BIGINT) AS n_samples,
+           substr(sha256(sha8 || ':a' || CAST(chunk_idx AS VARCHAR)), 1, 8)
+             AS chunk_sha8
+    FROM chunks
+    """,
+)
+def q_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio training-window planning end-to-end: binary payloads ->
+    Arrow-batched stub decode (rate/duration from the digest) ->
+    variable-fanout window chunker (full 2s windows at 1s hop, exact
+    sample offsets, stub chunk digests) -- the third modality of the
+    decode family, hash-verified like the video frame index
+    (`operators/multimodal.py::chunk_audio_windows`)."""
+    from ..operators.multimodal import chunk_audio_windows
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    media = attach_binary_payload(docs, "doc_id", "text", mime="audio/fake")
+    return chunk_audio_windows(
+        decode_media(media), win_ms=_WIN_MS, hop_ms=_HOP_MS
+    )

@@ -1000,3 +1000,40 @@ def test_fd_violations_hand_case(spark):
     key = fd_violations(df.select("x", "y").distinct().withColumn(
         "rid", F.monotonically_increasing_id()), ["rid"], "y").collect()[0]
     assert (key["n_violating"], key["violation_bp"]) == (0, 0)
+
+
+# --------------------------------------------------- audio chunk plan
+def test_audio_chunk_windows_hand_case(spark):
+    """Window arithmetic a fixture might dodge: a stream shorter than
+    the window yields NO chunks (tail dropped, not padded), an exact
+    2-window stream yields exactly 2, and sample offsets follow the
+    stream's own rate."""
+    import pandas as pd
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.multimodal import (
+        AUDIO_CHUNK_SCHEMA,
+        chunk_audio_windows,
+    )
+
+    decoded = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "duration_ms": [1500, 3000, None],
+                "sample_rate": [16000, 8000, 8000],
+                "sha256_8": ["aaaaaaaa", "bbbbbbbb", "cccccccc"],
+            }
+        )
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["start_ms"], r["start_sample"], r["n_samples"]
+        )
+        for r in chunk_audio_windows(decoded, win_ms=2000, hop_ms=1000).collect()
+    }
+    # doc 1 (1.5s < 2s window): none; doc 3 (NULL duration): none.
+    # doc 2 (3s at 8kHz): chunks at 0ms and 1000ms, 16000 samples each.
+    assert got == {
+        (2, 0): (0, 0, 16000),
+        (2, 1): (1000, 8000, 16000),
+    }
