@@ -188,7 +188,13 @@ def kcenter_greedy_fixedpoint(
 
     Output: ``rank, vec_id, radius_fp`` -- the selection order and the
     point's min-distance-to-selected at selection time (radius_fp of
-    rank 1 is 0 by convention: it seeds the cover)."""
+    rank 1 is 0 by convention: it seeds the cover).  Selection STOPS
+    EARLY when the farthest point is at distance 0 -- every point is
+    already exactly covered, and continuing would re-select covered
+    points as spurious duplicate representatives (r10 review finding);
+    the output then has fewer than ``k`` rows.  (The registered query's
+    corpus has > k distinct vectors, so its unrolled oracle never hits
+    this branch.)"""
     if k < 1:
         raise ValueError("kcenter_greedy_fixedpoint needs k >= 1")
     from .dedup import _cache_aged, _spread, _unpersist_checkpoint
@@ -230,6 +236,8 @@ def kcenter_greedy_fixedpoint(
             md.orderBy(F.desc("__md"), F.asc("__id")).limit(1).collect()
         )
         row = far[0]
+        if int(row["__md"]) == 0:
+            break  # cover is exact; more centers would duplicate points
         selected.append((rank, row["__id"], int(row["__md"])))
         nxt = md.select(
             "__id",

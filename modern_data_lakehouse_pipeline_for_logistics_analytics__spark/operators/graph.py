@@ -505,12 +505,30 @@ def shortest_paths_bounded(
     return dist
 
 
+def _build_undirected_kcore(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both edge directions from one scan, distinct, cached."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .distinct()
+        .cache()
+    )
+
+
 def kcore_bounded(
     edges: DataFrame,
     k: int,
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    prebuilt_undirected: bool = False,
 ) -> DataFrame:
     """Bounded k-core decomposition: iteratively peel nodes of degree
     < ``k`` (degree counted only over edges whose BOTH endpoints are
@@ -529,20 +547,21 @@ def kcore_bounded(
     edge frame + one map-side-combinable count; localCheckpoint per
     round, superseded checkpoints released (shared loop discipline).
 
+    ``prebuilt_undirected=True`` declares the input ALREADY holds both
+    edge directions, distinct, as (src, dst) -- callers that computed
+    degree statistics to pick ``k`` pass their frame back instead of
+    paying the explode+distinct twice (r10 review finding).
+
     Output: ``(node, deg)`` for the surviving nodes."""
-    und = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
-                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
-                )
-            ).alias("e")
-        )
-        .select("e.s", "e.d")
-        .distinct()
-        .cache()
-    )
+    if not isinstance(k, int) or k < 0:
+        raise ValueError(f"kcore_bounded needs an integer k >= 0, got {k!r}")
+    if prebuilt_undirected:
+        und = edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d")
+        ).cache()
+    else:
+        und = _build_undirected_kcore(edges, src, dst)
+
     # Lifecycle discipline: prev/ckpt always hold the CHECKPOINT frames
     # themselves -- never a .select() projection over one, which would
     # make _unpersist_checkpoint a silent no-op (the r8 leak class).

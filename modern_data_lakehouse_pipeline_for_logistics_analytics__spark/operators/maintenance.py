@@ -311,21 +311,20 @@ def ivm_join_delta_terms(
         (A0 ∪ ΔA) ⋈ (B0 ∪ ΔB)
           = A0⋈B0  ∪  ΔA⋈B0  ∪  A0⋈ΔB  ∪  ΔA⋈ΔB
 
-    returns the three DELTA terms unioned with the base term -- the
-    rows a materialized join view gains from the new batch, computed
-    WITHOUT re-joining the full A against the full B.  At 100 TB this
-    is the whole point: ΔA⋈B0 and A0⋈ΔB each probe one full side with
-    a small delta (broadcast when the delta is small; the planner's
-    AQE picks it up from the delta's runtime size), and ΔA⋈ΔB is
-    delta-by-delta.  A downstream aggregate view folds these term rows
-    into its running state (see ``merge_agg_state``) -- base never
-    rescanned.
+    returns ONLY the three delta terms -- the rows a materialized
+    join view GAINS from the new batch.  The A0⋈B0 base term is the
+    view's existing stored state and is deliberately NOT recomputed
+    here (an earlier draft unioned it in, contradicting the IVM
+    contract -- r10 review finding): at 100 TB the whole point is that
+    ΔA⋈B0 and A0⋈ΔB each probe one full side with a small delta
+    (broadcast when small; AQE reads the delta's runtime size) and
+    ΔA⋈ΔB is delta-by-delta.  A downstream aggregate view folds these
+    term rows into its running state (see ``merge_agg_state``).
 
     Inserts only (the lakehouse append path); updates/deletes compose
     this with ``apply_changes``'s keyed CDC instead."""
     return (
-        a0.join(b0, on)
-        .unionByName(da.join(b0, on))
+        da.join(b0, on)
         .unionByName(a0.join(db, on))
         .unionByName(da.join(db, on))
     )

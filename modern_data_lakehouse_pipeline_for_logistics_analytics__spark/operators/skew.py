@@ -107,6 +107,9 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+_CARD_CALLS = 0
+
+
 def join_cardinality_estimate(
     a: "DataFrame",
     b: "DataFrame",
@@ -134,14 +137,31 @@ def join_cardinality_estimate(
     x head term joins two topn-row frames -- nothing row-scale moves
     after the first aggregates.  Output one row:
     ``est_rows, actual_rows, err_bp``."""
-    fa = a.groupBy(F.col(key).alias("k")).agg(
-        F.count(F.lit(1)).cast("long").alias("fa")
+    from .dedup import _cache_aged
+
+    # The frequency aggregates feed THREE branches each (head build,
+    # rest anti-join, exact actual) -- cache them through the registry
+    # so release_caches() can reclaim them; per-call key suffix because
+    # one audit query runs the operator several times and the frames
+    # must coexist until the union executes (r10 review findings: bare
+    # .cache() leaked, and caching only the heads recomputed the
+    # row-scale aggregates per branch).
+    global _CARD_CALLS
+    _CARD_CALLS += 1
+    fa = _cache_aged(
+        f"cardest_fa#{_CARD_CALLS}",
+        a.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("fa")
+        ),
     )
-    fb = b.groupBy(F.col(key).alias("k")).agg(
-        F.count(F.lit(1)).cast("long").alias("fb")
+    fb = _cache_aged(
+        f"cardest_fb#{_CARD_CALLS}",
+        b.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("fb")
+        ),
     )
-    ta = fa.orderBy(F.desc("fa"), F.asc("k")).limit(topn).cache()
-    tb = fb.orderBy(F.desc("fb"), F.asc("k")).limit(topn).cache()
+    ta = fa.orderBy(F.desc("fa"), F.asc("k")).limit(topn)
+    tb = fb.orderBy(F.desc("fb"), F.asc("k")).limit(topn)
     ra = (
         fa.join(ta.select("k"), "k", "anti")
         .agg(
@@ -228,10 +248,16 @@ def fd_violations(
     )
     return images.agg(
         F.count(F.lit(1)).cast("long").alias("n_determinants"),
-        F.sum(F.when(F.col("__imgs") > 1, 1).otherwise(0))
+        # Coalesced: SUM/MAX over zero rows are NULL, but the contract
+        # (and the oracle) says an empty input has 0 violations -- the
+        # same empty-aggregate guard join_cardinality_estimate uses
+        # (r10 review finding).
+        F.coalesce(
+            F.sum(F.when(F.col("__imgs") > 1, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_violating"),
-        F.max("__imgs").cast("long").alias("max_images"),
+        F.coalesce(F.max("__imgs"), F.lit(0)).cast("long").alias("max_images"),
     ).select(
         "n_determinants",
         "n_violating",

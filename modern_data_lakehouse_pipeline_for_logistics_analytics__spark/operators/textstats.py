@@ -564,6 +564,12 @@ def kl_source_drift(
         .groupBy(source_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
     )
+    from .dedup import _cache_aged
+
+    # Cached: the tot scalar and the scored branch both read st -- an
+    # uncached frame would re-run the corpus explode + aggregate twice
+    # (r10 review finding).
+    st = _cache_aged("kl_st", st)
     st = st.withColumn(
         "c_t", F.sum("c_st").over(Window.partitionBy("term")).cast("long")
     ).withColumn(
@@ -609,7 +615,14 @@ def phrase_search(
 
     if not phrases:
         raise ValueError("phrase_search needs at least one phrase")
-    terms_by_phrase = [p.split() for p in phrases]
+    # Phrase terms go through the SAME normalization as the postings
+    # (tokenize lowercases): a raw 'Key Order' must match, not silently
+    # miss; an empty/whitespace phrase must fail loudly, not IndexError
+    # (r10 review finding).
+    terms_by_phrase = [p.lower().split() for p in phrases]
+    for p_raw, ts in zip(phrases, terms_by_phrase):
+        if not ts:
+            raise ValueError(f"phrase_search: empty phrase {p_raw!r}")
     vocab = sorted({t for ts in terms_by_phrase for t in ts})
     post = (
         df.select(

@@ -896,10 +896,11 @@ def test_kcenter_validates(spark):
 
 # --------------------------------------------------- IVM delta algebra
 def test_ivm_join_delta_terms_product_rule(spark):
-    """The four-term product rule equals the direct join of the merged
-    sides -- including rows produced ONLY by delta-with-delta (a new
-    order referencing a late-arriving customer), the term a naive
-    'delta join old' maintenance silently drops."""
+    """Stored state + the three delta terms equals the direct join of
+    the merged sides (the product rule), the base term is NOT among
+    the operator's output (IVM never rescans it), and the
+    delta-with-delta row a naive 'delta join old' maintenance drops is
+    present."""
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.maintenance import (
         ivm_join_delta_terms,
     )
@@ -908,16 +909,18 @@ def test_ivm_join_delta_terms_product_rule(spark):
     da = spark.createDataFrame([(2, "o3"), (9, "o9")], "k long, o string")
     b0 = spark.createDataFrame([(1, "c1"), (2, "c2")], "k long, c string")
     db = spark.createDataFrame([(9, "c9")], "k long, c string")
-    got = sorted(
+    delta = sorted(
         (r["k"], r["o"], r["c"])
         for r in ivm_join_delta_terms(a0, da, b0, db, "k").collect()
     )
+    state = sorted((r["k"], r["o"], r["c"]) for r in a0.join(b0, "k").collect())
     direct = sorted(
         (r["k"], r["o"], r["c"])
         for r in a0.unionByName(da).join(b0.unionByName(db), "k").collect()
     )
-    assert got == direct
-    assert (9, "o9", "c9") in got  # the delta-with-delta term
+    assert sorted(state + delta) == direct
+    assert (9, "o9", "c9") in delta  # the delta-with-delta term
+    assert (1, "o1", "c1") not in delta  # base term stays in state
 
 
 # --------------------------------------------- join cardinality audit
