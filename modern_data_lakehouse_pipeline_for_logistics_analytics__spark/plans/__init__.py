@@ -63,6 +63,7 @@ def _load_all() -> None:
         "coverage3",
         "coverage4",
         "coverage5",
+        "retrieval",
     ):
         try:
             __import__(f"{__name__}.{mod}")
