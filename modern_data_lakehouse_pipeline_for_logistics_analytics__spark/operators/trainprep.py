@@ -429,7 +429,8 @@ def bpe_learn_merges(
     text_col: str,
     rounds: int,
     end_marker: str = "</w>",
-) -> "list[tuple[int, str, str, int]]":
+    return_symbols: bool = False,
+) -> "list[tuple[int, str, str, int]] | tuple[list, DataFrame]":
     """Learn ``rounds`` byte-pair-encoding merges from a corpus -- the
     tokenizer-TRAINING inner loop (Sennrich et al.): count adjacent
     symbol pairs over the word-frequency table, take the most frequent
@@ -463,7 +464,12 @@ def bpe_learn_merges(
 
     Returns the learned merge table as driver-side rows
     ``(merge_round, x, y, cnt)`` -- at most ``rounds`` entries, fewer
-    if the corpus runs out of pairs."""
+    if the corpus runs out of pairs.  With ``return_symbols=True``
+    returns ``(merges, symbols)`` where ``symbols`` is the final
+    post-merge per-word symbol table ``(wid, n, pos, sym)`` -- i.e. the
+    ENCODING of every distinct word under the learned vocabulary; the
+    frame is localCheckpoint-backed and registered under the pinned-
+    cache key ``bpe_symbols`` (released by ``dedup.release_caches``)."""
     from .dedup import _unpersist_checkpoint
 
     words = (
@@ -549,5 +555,92 @@ def bpe_learn_merges(
         prev, t = t, stepped
     if prev is not None:
         _unpersist_checkpoint(prev)
+    if return_symbols:
+        from .dedup import hold_pinned
+
+        hold_pinned("bpe_symbols", t)
+        return merges, t
     _unpersist_checkpoint(t)
     return merges
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    rounds: int,
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Apply a freshly-learned BPE vocabulary back to the corpus and
+    report per-source encoding statistics -- the tokenizer-lifecycle
+    step after ``bpe_learn_merges``: a pipeline trains merges, then
+    needs to know what the vocabulary DOES to each ingest source
+    (tokens per word, chars per token = compression) before committing
+    to it.
+
+    The final per-word symbol table from training IS the encoding of
+    every distinct word (training's greedy merge loop and encoding with
+    the learned merge list produce the same segmentation when applied
+    to the same corpus the merges were learned on), so this costs ONE
+    extra aggregate over the symbol table plus one corpus token count
+    -- no second merge loop.  Token counting convention: a word's
+    token count is its post-merge symbol count EXCLUDING a bare
+    ``end_marker`` symbol (an unmerged marker is a boundary, not a
+    token; a merged symbol that absorbed the marker, e.g. ``'e</w>'``,
+    counts -- the standard BPE accounting).
+
+    Exactness: every output is BIGINT counts or half-up fixed-point
+    ratios of BIGINT counts (``(2*a*1e6 + b) DIV (2*b)``) -- no floats.
+
+    Scale shape: encoding statistics ride the DISTINCT-WORD table (the
+    same collapse that makes training feasible at 100 TB): one
+    groupBy over final symbols (rows = sum of word lengths over the
+    VOCABULARY, not the corpus), one (source, word) count over the
+    corpus explode, one join keyed by word, one per-source aggregate.
+
+    Output, one row per source (source asc): ``source, n_words,
+    n_tokens, n_chars, tokens_per_word_micro, chars_per_token_micro``.
+    """
+    merges, syms = bpe_learn_merges(
+        df, text_col, rounds, end_marker=end_marker, return_symbols=True
+    )
+    wtok = (
+        syms.filter(F.col("sym") != end_marker)
+        .groupBy("wid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_syms"))
+    )
+    occ = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokenize(text_col)).alias("wid"),
+        )
+        .groupBy("source", "wid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    agg = (
+        occ.join(wtok, "wid")
+        .groupBy("source")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_syms")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.sum(F.col("n_occ") * F.length("wid").cast("long"))
+            .cast("long")
+            .alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.expr(
+            "CAST((2 * n_tokens * 1000000 + n_words)"
+            " DIV (2 * n_words) AS BIGINT)"
+        ).alias("tokens_per_word_micro"),
+        F.expr(
+            "CAST((2 * n_chars * 1000000 + n_tokens)"
+            " DIV (2 * n_tokens) AS BIGINT)"
+        ).alias("chars_per_token_micro"),
+    ).orderBy("source")

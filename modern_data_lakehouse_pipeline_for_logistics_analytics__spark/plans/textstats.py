@@ -404,12 +404,14 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 8
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, final_select: str | None = None) -> str:
     """Unrolled MATERIALIZED-CTE replay of the BPE training loop: each
     round's symbol table t{r} is referenced four times (pair count,
     match join, next-symbol join, rebuild), so materialization is
     load-bearing -- inlined CTEs would re-evaluate the whole prefix
-    exponentially."""
+    exponentially.  ``final_select`` (with ``{T}`` standing for the
+    final symbol table ``t{rounds}``) overrides the default merge-table
+    output -- the encode query aggregates the final table instead."""
     parts = [
         """
     WITH wrd AS MATERIALIZED (
@@ -456,6 +458,9 @@ def _bpe_oracle(rounds: int) -> str:
       LEFT JOIN t{p} nx ON nx.wid = tok.wid AND nx.pos = tok.pos + 1
       WHERE d.pos IS NULL)"""
         )
+    if final_select is not None:
+        parts.append("\n    " + final_select.format(T=f"t{rounds}"))
+        return "".join(parts)
     finals = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, x, y, cnt FROM tp{r}"
         for r in range(1, rounds + 1)
@@ -479,6 +484,49 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_learn_merges(docs, "text", rounds=_BPE_ROUNDS)
     return spark.createDataFrame(
         merges, "merge_round long, x string, y string, cnt long"
+    )
+
+
+_BPE_ENCODE_FINAL = """, occ AS (
+      SELECT source, tok AS wid, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY source, tok),
+    wtok AS (
+      SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_syms
+      FROM {T} WHERE sym <> '</w>' GROUP BY wid),
+    enc AS (
+      SELECT source,
+             CAST(SUM(n_occ) AS BIGINT) AS n_words,
+             CAST(SUM(n_occ * n_syms) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_occ * length(wid)) AS BIGINT) AS n_chars
+      FROM occ JOIN wtok USING (wid)
+      GROUP BY source)
+    SELECT source, n_words, n_tokens, n_chars,
+           CAST((2 * n_tokens * 1000000 + n_words)
+                // (2 * n_words) AS BIGINT) AS tokens_per_word_micro,
+           CAST((2 * n_chars * 1000000 + n_tokens)
+                // (2 * n_tokens) AS BIGINT) AS chars_per_token_micro
+    FROM enc ORDER BY source"""
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_bpe_oracle(_BPE_ROUNDS, final_select=_BPE_ENCODE_FINAL),
+)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-lifecycle completion: train the 8-round BPE vocabulary,
+    then ENCODE the corpus with it and report per-source compression
+    statistics (tokens per word, chars per token, exact micro
+    fixed-point) -- the health check a pipeline runs on a candidate
+    vocabulary before committing; rides the distinct-word symbol table,
+    never re-scans raw text
+    (`operators/trainprep.py::bpe_encode_stats`)."""
+    from ..operators.trainprep import bpe_encode_stats
+
+    return bpe_encode_stats(
+        _docs(spark, sf_dir), "text", "source", rounds=_BPE_ROUNDS
     )
 
 

@@ -275,3 +275,53 @@ def test_span_dedup_property_vs_reference(spark):
         assert got == _span_dedup_reference(rows, span)
 
     run()
+
+
+# ------------------------------------------------------------ BPE encode
+def test_bpe_encode_stats_hand_case(spark):
+    # corpus: srcA = "aaab aaab ab", srcB = "ab b"
+    # word freqs: aaab x2, ab x2, b x1.
+    # round 1 pairs: (a,a)=4, (a,b)=4, (b,</w>)=5 -> merge (b,</w>).
+    # round 2 pairs: (a,a)=4, (a,b</w>)=4 -> tie, lexicographic ->
+    # merge (a,a) greedily (leftmost wins in 'aaa' run).
+    # encodings after 2 rounds: aaab=[aa,a,b</w>] (3), ab=[a,b</w>] (2),
+    # b=[b</w>] (1).
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        bpe_encode_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("srcA", "aaab aaab ab"), ("srcB", "ab b")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in bpe_encode_stats(
+        df, "text", "source", rounds=2
+    ).collect()}
+    a, b = rows["srcA"], rows["srcB"]
+    # srcA: 3 words (aaab x2, ab x1), tokens 2*3+2=8, chars 2*4+2=10
+    assert (a["n_words"], a["n_tokens"], a["n_chars"]) == (3, 8, 10)
+    assert a["tokens_per_word_micro"] == (2 * 8 * 1000000 + 3) // 6
+    assert a["chars_per_token_micro"] == (2 * 10 * 1000000 + 8) // 16
+    # srcB: 2 words (ab, b), tokens 2+1=3, chars 2+1=3
+    assert (b["n_words"], b["n_tokens"], b["n_chars"]) == (2, 3, 3)
+    assert b["tokens_per_word_micro"] == 1500000
+    assert b["chars_per_token_micro"] == 1000000
+
+
+def test_bpe_encode_one_round_counts_merged_marker_tokens(spark):
+    # rounds=1 merges (b,</w>): 'b' encodes to the single token 'b</w>'
+    # (a merged marker symbol COUNTS; a bare marker would not).
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        bpe_encode_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("s", "aaab aaab ab"), ("t", "ab b")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in bpe_encode_stats(
+        df, "text", "source", rounds=1
+    ).collect()}
+    # aaab=[a,a,a,b</w>] (4), ab=[a,b</w>] (2), b=[b</w>] (1)
+    assert rows["s"]["n_tokens"] == 2 * 4 + 2
+    assert rows["t"]["n_tokens"] == 2 + 1
