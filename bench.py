@@ -206,6 +206,15 @@ BENCH_QUERIES = [
     "phrase_search_positional",
     "fd_violation_audit",
     "multimodal_audio_chunk_plan",
+    "ql_dirichlet_search",
+    "rrf_fuse_bm25_ql",
+    "ndcg_retrieval_eval",
+    "bpe_encode_corpus",
+    "mi_feature_audit",
+    "attribution_position_value",
+    "journey_top_paths",
+    "shapley_channel_attribution",
+    "abtest_hash_split_purchase",
 ]
 
 

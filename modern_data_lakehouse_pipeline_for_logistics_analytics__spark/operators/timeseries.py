@@ -162,3 +162,87 @@ def counter_repair(
         .withColumn("was_reset", was_reset)
         .drop("__prev")
     )
+
+
+def position_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    conversion's value splits across the user's touches since the
+    previous conversion -- 40% to the first touch, 40% to the last,
+    20% spread over the middles (100% / 50-50 for 1- and 2-touch
+    paths).  Conversions with no prior touch and events after a user's
+    last conversion attribute nothing.
+
+    Exact arithmetic end-to-end: the conversion value rounds half-up
+    to cents ONCE; weights are integer micro-shares whose per-path sum
+    is exactly 1,000,000 (the middle remainder goes one micro each to
+    the earliest middles); attribution is BIGINT cents x micro.  No
+    float splits, so per-type totals replay exactly on any engine.
+
+    Scale shape: conversion paths form with ONE descending cumulative
+    sum per user (no stream self-join -- the naive per-conversion join
+    is O(events^2) on hot users); the path's value and touch count ride
+    the same rows as (user, path) window aggregates.  All four windows
+    cluster on ``user_col``, so the whole plan is a single Exchange
+    (verified: one data Exchange + the few-row rollup Exchange);
+    per-user work is O(events of that user) -- the usual hot-key window
+    caveat applies, nothing else scales with total rows.
+
+    Output: ``event_type, n_touches, attributed_microcents``.
+    """
+    is_conv = F.col(type_col) == conversion
+    w_desc = (
+        Window.partitionBy(user_col)
+        .orderBy(F.desc(ts_col), F.desc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = df.withColumn(
+        "__grp", F.sum(F.when(is_conv, 1).otherwise(0)).over(w_desc)
+    ).filter(F.col("__grp") > 0)
+    w_grp = Window.partitionBy(user_col, "__grp")
+    gg = g.withColumn(
+        "__cents",
+        F.floor(
+            F.max(F.when(is_conv, F.col(value_col))).over(w_grp) * 100.0
+            + F.lit(0.5)
+        ).cast("long"),
+    ).withColumn(
+        "__n_t",
+        F.sum(F.when(~is_conv, 1).otherwise(0)).over(w_grp).cast("long"),
+    )
+    touch = gg.filter(~is_conv).withColumn(
+        "__p",
+        F.row_number().over(w_grp.orderBy(ts_col, id_col)).cast("long"),
+    )
+    wt = (
+        F.when(F.col("__n_t") == 1, F.lit(1000000))
+        .when(F.col("__n_t") == 2, F.lit(500000))
+        .when(
+            (F.col("__p") == 1) | (F.col("__p") == F.col("__n_t")),
+            F.lit(400000),
+        )
+        .otherwise(
+            F.expr(
+                "200000 div greatest(__n_t - 2, 1L)"
+                " + (CASE WHEN __p - 1 <= 200000 % greatest(__n_t - 2, 1L)"
+                "    THEN 1 ELSE 0 END)"
+            )
+        )
+    ).cast("long")
+    return (
+        touch.withColumn("__wt", wt)
+        .groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.col("__cents") * F.col("__wt"))
+            .cast("long")
+            .alias("attributed_microcents"),
+        )
+    )

@@ -644,3 +644,77 @@ def bpe_encode_stats(
             " DIV (2 * n_tokens) AS BIGINT)"
         ).alias("chars_per_token_micro"),
     ).orderBy("source")
+
+
+def mutual_information(
+    df: DataFrame, pairs: list[tuple[str, str]], cache_key: str = "mi_cells"
+) -> DataFrame:
+    """Feature-selection audit: mutual information between categorical
+    column pairs, ``I(X;Y) = sum_{x,y} p(x,y) * ln(p(x,y) /
+    (p(x)p(y)))`` -- the number a training pipeline reads to rank
+    candidate features against a label (and to catch a leaking feature:
+    MI near the label entropy means X determines Y) before committing
+    to an expensive training run.
+
+    Determinism across engines: all probabilities are ratios of exact
+    BIGINT counts; each CELL contribution is rounded half-up to NANO
+    units (floor(x*1e9+0.5) as BIGINT) before the per-pair sum -- the
+    same order-stable fixed-point discipline as ``kl_source_drift`` --
+    so float addition order over cells can never change the reported
+    MI.  Individual cell terms can be negative (when a cell is rarer
+    than independence predicts); the sum is >= 0 up to rounding.
+
+    Scale shape: one map-side-combinable groupBy per pair collapses the
+    table to |X|x|Y| cells; the marginals ride those cells as two
+    window sums and the total broadcasts as one scalar.  The cell frame
+    is cached so the scalar branch does not re-run the scan (the r10
+    KL review finding).  Nothing downstream of the first aggregate is
+    proportional to row count.
+
+    Output one row per pair: ``feature, label, n_rows, n_cells,
+    mi_nano``.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from .dedup import _cache_aged
+
+    if not pairs:
+        raise ValueError("mutual_information needs at least one column pair")
+    outs = []
+    for fx, fy in pairs:
+        cells = df.groupBy(fx, fy).agg(
+            F.count(F.lit(1)).cast("long").alias("c_xy")
+        )
+        cells = _cache_aged(f"{cache_key}:{fx}:{fy}", cells)
+        cells = cells.withColumn(
+            "c_x", F.sum("c_xy").over(Window.partitionBy(fx)).cast("long")
+        ).withColumn(
+            "c_y", F.sum("c_xy").over(Window.partitionBy(fy)).cast("long")
+        )
+        tot = cells.agg(F.sum("c_xy").cast("long").alias("__N"))
+        sc = cells.crossJoin(F.broadcast(tot)).withColumn(
+            "__term_fp",
+            F.expr(
+                "CAST(FLOOR("
+                "  (CAST(c_xy AS DOUBLE) / CAST(__N AS DOUBLE))"
+                "  * ln((CAST(c_xy AS DOUBLE) * CAST(__N AS DOUBLE))"
+                "       / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))"
+                "  * 1000000000.0D + 0.5D) AS BIGINT)"
+            ),
+        )
+        outs.append(
+            sc.agg(
+                F.max("__N").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+                F.sum("__term_fp").cast("long").alias("mi_nano"),
+            ).select(
+                F.lit(fx).alias("feature"),
+                F.lit(fy).alias("label"),
+                "n_rows",
+                "n_cells",
+                "mi_nano",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -106,3 +106,302 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_no")
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
+
+
+@register(
+    "attribution_position_value",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS grp
+      FROM events),
+    gg AS (
+      SELECT user_id, grp, event_id, ts, event_type,
+             CAST(FLOOR(MAX(CASE WHEN event_type = 'purchase'
+                                 THEN value END)
+                        OVER (PARTITION BY user_id, grp)
+                        * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id, grp) AS BIGINT) AS n_t
+      FROM g WHERE grp > 0),
+    touch AS (
+      SELECT event_type, cents, n_t,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id, grp
+                                     ORDER BY ts, event_id) AS BIGINT) AS p
+      FROM gg WHERE event_type <> 'purchase'),
+    w AS (
+      SELECT event_type, cents,
+             CAST(CASE WHEN n_t = 1 THEN 1000000
+                       WHEN n_t = 2 THEN 500000
+                       WHEN p = 1 OR p = n_t THEN 400000
+                       ELSE 200000 // GREATEST(n_t - 2, 1)
+                            + CASE WHEN p - 1 <= 200000 % GREATEST(n_t - 2, 1)
+                                   THEN 1 ELSE 0 END
+                  END AS BIGINT) AS wt
+      FROM touch)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(cents * wt) AS BIGINT) AS attributed_microcents
+    FROM w GROUP BY event_type
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each purchase's
+    value is split across the user's touches since the previous purchase
+    -- 40% first touch, 40% last, 20% spread over the middles (100% /
+    50-50 for 1- and 2-touch paths) -- the marketing-analytics read of
+    an event stream (which channel gets credit for conversions).
+
+    Exact arithmetic end-to-end: purchase value rounds half-up to cents
+    ONCE, weights are integer micro-shares whose per-path sum is exactly
+    1,000,000 (the middle remainder goes to the earliest middles, one
+    micro each), and attribution is BIGINT cents x micro -- no float
+    splits, so the per-type totals replay exactly anywhere.
+
+    Scale shape: conversion paths form with ONE descending cumulative
+    sum per user (no stream self-join -- the naive per-purchase join is
+    O(events^2) on hot users); the path's purchase value and touch count
+    ride the same rows as (user, grp) window aggregates.  All four
+    windows cluster on user_id, so the whole plan is a single Exchange;
+    the final rollup is a few-row hash aggregate
+    (`operators/timeseries.py::position_attribution`)."""
+    from ..operators.timeseries import position_attribution
+
+    return position_attribution(read_events(spark, sf_dir))
+
+
+@register(
+    "journey_top_paths",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS grp
+      FROM events),
+    gg AS (
+      SELECT user_id, grp, event_id, ts, event_type,
+             CAST(FLOOR(MAX(CASE WHEN event_type = 'purchase'
+                                 THEN value END)
+                        OVER (PARTITION BY user_id, grp)
+                        * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM g WHERE grp > 0),
+    paths AS (
+      SELECT user_id, grp,
+             string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+             MAX(cents) AS cents
+      FROM gg WHERE event_type <> 'purchase'
+      GROUP BY user_id, grp)
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM paths GROUP BY path
+    ORDER BY n_conversions DESC, path LIMIT 20
+    """,
+)
+def q_journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top converting journeys: the ordered touch-type sequence of each
+    conversion path (same path construction as
+    ``attribution_position_value``), counted and revenue-summed, top 20
+    by frequency.  The product-analytics read: which exact sequences of
+    interactions lead to purchases.
+
+    Scale shape: one user-clustered Exchange builds paths; the
+    per-path sequence is an array_sort over a collect_list bounded by
+    the path length (events between two consecutive purchases of one
+    user -- the usual hot-key caveat, nothing else scales with total
+    rows); paths then hash-aggregate to distinct sequences and a
+    TakeOrderedAndProject keeps 20.  Determinism: ties inside a path
+    break on (ts, event_id); equal-frequency paths rank by path text."""
+    e = read_events(spark, sf_dir)
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = e.withColumn(
+        "grp",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w_desc),
+    ).filter(F.col("grp") > 0)
+    w_grp = Window.partitionBy("user_id", "grp")
+    gg = g.withColumn(
+        "cents",
+        F.floor(
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            ).over(w_grp)
+            * 100.0
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    paths = (
+        gg.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                "->",
+            ).alias("path"),
+            F.max("cents").alias("cents"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy(F.desc("n_conversions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Shapley channel attribution + hash-split A/B z-test
+# --------------------------------------------------------------------------
+
+_SHAPLEY_CHANNELS = ["view", "click", "error", "signup"]
+
+
+def _shapley_oracle() -> str:
+    from math import factorial
+
+    from ..operators.experiments import _popcount_sql
+
+    ordered = sorted(_SHAPLEY_CHANNELS)
+    n = len(ordered)
+    case_bits = " ".join(
+        f"WHEN '{c}' THEN {1 << i}" for i, c in enumerate(ordered)
+    )
+    in_list = ", ".join(f"'{c}'" for c in ordered)
+    values = ", ".join(
+        f"('{c}', CAST({1 << i} AS BIGINT))" for i, c in enumerate(ordered)
+    )
+    wt_cases = " ".join(
+        f"WHEN {k} THEN {factorial(k) * factorial(n - 1 - k)}"
+        for k in range(n)
+    )
+    popcnt = _popcount_sql("v1.t", n)
+    return f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS grp
+      FROM events),
+    masks AS (
+      SELECT user_id, grp,
+             CAST(bit_or(CASE event_type {case_bits} END) AS BIGINT) AS m
+      FROM g
+      WHERE grp > 0 AND event_type <> 'purchase'
+        AND event_type IN ({in_list})
+      GROUP BY user_id, grp),
+    cm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c_m FROM masks GROUP BY m),
+    lat AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, {1 << n})),
+    vt AS (SELECT t, CAST(COALESCE(SUM(c_m), 0) AS BIGINT) AS v
+           FROM lat LEFT JOIN cm ON (m & t) = m GROUP BY t),
+    chan AS (SELECT * FROM (VALUES {values}) AS c(channel, b)),
+    pairs AS (
+      SELECT chan.channel,
+             CAST(CASE CAST(({popcnt}) AS INT) {wt_cases} END AS BIGINT) AS w,
+             v1.v AS v_t, v2.v AS v_tb
+      FROM chan
+      JOIN vt v1 ON (v1.t & chan.b) = 0
+      JOIN vt v2 ON v2.t = v1.t + chan.b)
+    SELECT channel, CAST(SUM(w * (v_tb - v_t)) AS BIGINT) AS phi_xnfact
+    FROM pairs GROUP BY channel
+    """
+
+
+@register("shapley_channel_attribution", oracle=_shapley_oracle())
+def q_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value credit per touch channel over conversion-path
+    channel sets -- the order-independent counterpart to the position
+    attribution query; pure-BIGINT lattice arithmetic, credits reported
+    x n! (`operators/experiments.py::shapley_channel_attribution`)."""
+    from ..operators.experiments import shapley_channel_attribution
+
+    return shapley_channel_attribution(
+        read_events(spark, sf_dir), _SHAPLEY_CHANNELS
+    )
+
+
+@register(
+    "abtest_hash_split_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    units AS (
+      SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2, 15)
+                  AS BIGINT) % 2 AS variant,
+             converted
+      FROM per_user),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ctl,
+        CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_ctl,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_trt,
+        CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_trt
+      FROM units)
+    SELECT n_ctl, conv_ctl, n_trt, conv_trt,
+      CAST(FLOOR((CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)
+                  - CAST(conv_ctl AS DOUBLE) / CAST(n_ctl AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS lift_micro,
+      CASE WHEN conv_ctl + conv_trt > 0
+            AND conv_ctl + conv_trt < n_ctl + n_trt THEN
+        CAST(FLOOR(
+          (CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)
+           - CAST(conv_ctl AS DOUBLE) / CAST(n_ctl AS DOUBLE))
+          / sqrt(
+            (CAST(conv_ctl + conv_trt AS DOUBLE)
+             / CAST(n_ctl + n_trt AS DOUBLE))
+            * (CAST(1.0 AS DOUBLE) - CAST(conv_ctl + conv_trt AS DOUBLE)
+               / CAST(n_ctl + n_trt AS DOUBLE))
+            * (CAST(1.0 AS DOUBLE) / CAST(n_ctl AS DOUBLE)
+               + CAST(1.0 AS DOUBLE) / CAST(n_trt AS DOUBLE)))
+          * 1000000.0 + 0.5) AS BIGINT)
+      ELSE NULL END AS z_micro
+    FROM agg
+    """,
+)
+def q_abtest_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout with a deterministic hash split: users bucket into
+    control/treatment by the portable 60-bit md5 hash (the split any
+    engine can replay), conversion = ever purchased; pooled
+    two-proportion z and absolute lift in half-up micro units
+    (`operators/experiments.py::two_proportion_ztest`).  sqrt is the
+    only non-rational step and IEEE-754 rounds it correctly on both
+    engines."""
+    from ..operators.dedup import portable_base_hash
+    from ..operators.experiments import two_proportion_ztest
+
+    per_user = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    units = per_user.withColumn(
+        "variant",
+        F.pmod(portable_base_hash(F.col("user_id").cast("string")), F.lit(2)),
+    )
+    return two_proportion_ztest(units, "variant", "converted")

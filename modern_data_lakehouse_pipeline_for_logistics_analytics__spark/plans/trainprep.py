@@ -254,3 +254,66 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         _docs(spark, sf_dir), "doc_id", "text", "lang", budget_tokens=2000
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual-information feature audit
+# --------------------------------------------------------------------------
+
+_MI_PAIRS = [
+    ("o_orderstatus", "high_value"),
+    ("o_orderpriority", "high_value"),
+    ("o_orderstatus", "o_orderpriority"),
+]
+_MI_LABEL_SQL = "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END"
+
+
+def _mi_pair_sql(fx: str, fy: str) -> str:
+    """One pair's MI block: cells -> window marginals -> nano-unit
+    fixed-point cell terms -> one summary row.  Mirrors
+    ``operators/trainprep.py::mutual_information`` exactly."""
+    return f"""
+    SELECT '{fx}' AS feature, '{fy}' AS label,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(term_fp) AS BIGINT) AS mi_nano
+    FROM (
+      SELECT n,
+             CAST(FLOOR(
+               (CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS term_fp
+      FROM (
+        SELECT c_xy,
+               CAST(SUM(c_xy) OVER (PARTITION BY x) AS BIGINT) AS c_x,
+               CAST(SUM(c_xy) OVER (PARTITION BY y) AS BIGINT) AS c_y,
+               CAST(SUM(c_xy) OVER () AS BIGINT) AS n
+        FROM (
+          SELECT {fx} AS x, {fy} AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+          FROM (SELECT o_orderstatus, o_orderpriority,
+                       {_MI_LABEL_SQL} AS high_value
+                FROM orders)
+          GROUP BY 1, 2)))
+    """
+
+
+@register(
+    "mi_feature_audit",
+    oracle=" UNION ALL ".join(_mi_pair_sql(fx, fy) for fx, fy in _MI_PAIRS),
+)
+def q_mi_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order features and a derived
+    high-value label (plus the feature-feature dependency), nano-unit
+    fixed-point cell terms summed as BIGINT
+    (`operators/trainprep.py::mutual_information`).  The training-prep
+    read: which categorical feature carries signal about the label, and
+    are two candidate features redundant with each other."""
+    from ..operators.trainprep import mutual_information
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("o_totalprice") > 150000).cast("int").alias("high_value"),
+    )
+    return mutual_information(orders, _MI_PAIRS)

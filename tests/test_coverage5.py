@@ -1040,3 +1040,243 @@ def test_audio_chunk_windows_hand_case(spark):
         (2, 0): (0, 0, 16000),
         (2, 1): (1000, 8000, 16000),
     }
+
+
+# ------------------------------------------------- mutual information
+def test_mutual_information_independent_is_zero(spark):
+    # 2x2 uniform: every cell matches independence exactly, ln(1) = 0.
+    df = spark.createDataFrame(
+        [(x, y) for x in ("a", "b") for y in (0, 1)],
+        "x string, y long",
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        mutual_information,
+    )
+
+    [r] = mutual_information(df, [("x", "y")]).collect()
+    assert (r["feature"], r["label"]) == ("x", "y")
+    assert (r["n_rows"], r["n_cells"], r["mi_nano"]) == (4, 4, 0)
+
+
+def test_mutual_information_perfect_dependence(spark):
+    # y == x over a uniform binary x: MI = ln 2, split over two cells,
+    # each rounded half-up to nano BEFORE the sum (the order-stable
+    # fixed-point contract).
+    import math
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 1), ("b", 1)], "x string, y long"
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        mutual_information,
+    )
+
+    [r] = mutual_information(df, [("x", "y")]).collect()
+    cell = math.floor(0.5 * math.log(2.0) * 1e9 + 0.5)
+    assert (r["n_rows"], r["n_cells"], r["mi_nano"]) == (4, 2, 2 * cell)
+
+
+def test_mutual_information_multi_pair_and_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 0, "u"), ("b", 1, "u")], "x string, y long, z string"
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        mutual_information,
+    )
+
+    rows = {
+        (r["feature"], r["label"]): r["mi_nano"]
+        for r in mutual_information(df, [("x", "y"), ("z", "y")]).collect()
+    }
+    # z is constant: knowing z says nothing about y -> MI exactly 0;
+    # x determines y -> MI = ln 2 in per-cell nano rounding.
+    import math
+
+    cell = math.floor(0.5 * math.log(2.0) * 1e9 + 0.5)
+    assert rows[("z", "y")] == 0
+    assert rows[("x", "y")] == 2 * cell
+    with _pytest.raises(ValueError):
+        mutual_information(df, [])
+
+
+# ------------------------------------------------ position attribution
+def _ev(spark, rows):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [
+            (uid, eid, datetime(2024, 1, 1, 0, mi), et, v)
+            for (uid, eid, mi, et, v) in rows
+        ],
+        "user_id long, event_id long, ts timestamp,"
+        " event_type string, value double",
+    )
+
+
+def test_attribution_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+        position_attribution,
+    )
+
+    df = _ev(
+        spark,
+        [
+            # user 1: two touches -> 50/50 of 1000 cents.
+            (1, 10, 1, "view", 0.5),
+            (1, 11, 2, "click", 0.5),
+            (1, 12, 3, "purchase", 10.0),
+            # user 2: five touches -> 400000, 66667, 66667, 66666,
+            # 400000 micro of 200 cents (remainder 2 goes one micro
+            # each to the earliest two middles); trailing view after
+            # the purchase attributes nothing.
+            (2, 20, 1, "view", 0.1),
+            (2, 21, 2, "view", 0.1),
+            (2, 22, 3, "click", 0.1),
+            (2, 23, 4, "error", 0.1),
+            (2, 24, 5, "signup", 0.1),
+            (2, 25, 6, "purchase", 2.0),
+            (2, 26, 7, "view", 0.1),
+            # user 3: purchase with no prior touch -> nothing.
+            (3, 30, 1, "purchase", 99.0),
+        ],
+    )
+    got = {
+        r["event_type"]: (r["n_touches"], r["attributed_microcents"])
+        for r in position_attribution(df).collect()
+    }
+    assert got == {
+        "view": (3, 1000 * 500000 + 200 * (400000 + 66667)),
+        "click": (2, 1000 * 500000 + 200 * 66667),
+        "error": (1, 200 * 66666),
+        "signup": (1, 200 * 400000),
+    }
+
+
+def test_attribution_path_sums_are_exact(spark):
+    # For every path length 1..8 the weights sum to exactly 1,000,000:
+    # total attributed == cents * 1e6 with no rounding drift.
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+        position_attribution,
+    )
+
+    rows = []
+    for n in range(1, 9):
+        uid = 100 + n
+        for p in range(n):
+            rows.append((uid, uid * 100 + p, p + 1, "view", 0.1))
+        rows.append((uid, uid * 100 + 99, 50, "purchase", 1.23))
+    out = position_attribution(_ev(spark, rows)).collect()
+    assert sum(r["attributed_microcents"] for r in out) == 8 * 123 * 1000000
+    assert sum(r["n_touches"] for r in out) == sum(range(1, 9))
+
+
+def test_attribution_paths_reset_between_conversions(spark):
+    # touch A, purchase 1, touch B, purchase 2: each purchase is
+    # attributed only to ITS preceding touch (single-touch -> 100%).
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+        position_attribution,
+    )
+
+    df = _ev(
+        spark,
+        [
+            (7, 1, 1, "view", 0.1),
+            (7, 2, 2, "purchase", 1.0),
+            (7, 3, 3, "click", 0.1),
+            (7, 4, 4, "purchase", 3.0),
+        ],
+    )
+    got = {
+        r["event_type"]: r["attributed_microcents"]
+        for r in position_attribution(df).collect()
+    }
+    assert got == {"view": 100 * 1000000, "click": 300 * 1000000}
+
+
+# ---------------------------------------------------- shapley / abtest
+def test_shapley_hand_case_and_efficiency(spark):
+    # Paths: {a} x3, {b} x1, {a,b} x2 conversions.  v(a)=3, v(b)=1,
+    # v(ab)=6.  phi_a*2! = (v(a)-v(0)) + (v(ab)-v(b)) = 3+5 = 8;
+    # phi_b*2! = 1+3 = 4; efficiency: sum == 2! * v(ab) = 12.
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        shapley_channel_attribution,
+    )
+
+    rows, eid = [], 0
+
+    def path(uid, types):
+        nonlocal eid
+        for i, t in enumerate(types):
+            eid += 1
+            rows.append((uid, eid, i + 1, t, 1.0))
+
+    for u in (1, 2, 3):
+        path(u, ["a", "purchase"])
+    path(4, ["b", "purchase"])
+    for u in (5, 6):
+        path(u, ["a", "b", "purchase"])
+    df = _ev(spark, rows)
+    got = {
+        r["channel"]: r["phi_xnfact"]
+        for r in shapley_channel_attribution(df, ["a", "b"]).collect()
+    }
+    assert got == {"a": 8, "b": 4}
+    assert sum(got.values()) == 2 * 6  # efficiency: n! * v(all)
+
+    # Dummy axiom: adding a never-touched channel c gives it exactly 0
+    # and rescales the others by 3!/2!.
+    got3 = {
+        r["channel"]: r["phi_xnfact"]
+        for r in shapley_channel_attribution(df, ["a", "b", "c"]).collect()
+    }
+    assert got3 == {"a": 24, "b": 12, "c": 0}
+
+
+def test_shapley_validates(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        shapley_channel_attribution,
+    )
+
+    df = _ev(spark, [(1, 1, 1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        shapley_channel_attribution(df, [])
+    with pytest.raises(ValueError):
+        shapley_channel_attribution(df, ["a", "a"])
+    with pytest.raises(ValueError):
+        shapley_channel_attribution(df, ["a", "purchase"])
+    with pytest.raises(ValueError):
+        shapley_channel_attribution(df, [f"c{i}" for i in range(9)])
+
+
+def test_two_proportion_ztest_hand_case(spark):
+    import math
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        two_proportion_ztest,
+    )
+
+    rows = [(0, 1), (0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (1, 0)]
+    df = spark.createDataFrame(rows, "variant long, converted long")
+    [r] = two_proportion_ztest(df, "variant", "converted").collect()
+    assert (r["n_ctl"], r["conv_ctl"], r["n_trt"], r["conv_trt"]) == (
+        4, 1, 4, 3,
+    )
+    p = 4.0 / 8.0
+    z = (0.75 - 0.25) / math.sqrt(p * (1.0 - p) * (1.0 / 4.0 + 1.0 / 4.0))
+    assert r["z_micro"] == math.floor(z * 1e6 + 0.5)
+    assert r["lift_micro"] == 500000
+
+
+def test_two_proportion_ztest_degenerate_pool_is_null(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        two_proportion_ztest,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 1)], "variant long, converted long"
+    )
+    [r] = two_proportion_ztest(df, "variant", "converted").collect()
+    assert r["z_micro"] is None
+    assert r["lift_micro"] == 0
