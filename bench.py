@@ -215,6 +215,10 @@ BENCH_QUERIES = [
     "journey_top_paths",
     "shapley_channel_attribution",
     "abtest_hash_split_purchase",
+    "abc_part_classification",
+    "otif_supplier_month",
+    "itemcf_part_recommendations",
+    "seasonal_decompose_daily_revenue",
 ]
 
 

@@ -90,3 +90,71 @@ def frequent_pairs(
         F.col("n_ab") * F.lit(float(n_baskets)) / (F.col("n_a") * F.col("n_b")), 6
     )
     return enriched.select("item_a", "item_b", "n_ab", "n_a", "n_b", lift.alias("lift"))
+
+
+def itemcf_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    k: int,
+    max_basket_items: int | None = 1000,
+) -> DataFrame:
+    """Item-item collaborative filtering: top-``k`` neighbors per item
+    by co-occurrence cosine ``n_ab / sqrt(n_a * n_b)`` -- the classic
+    "customers who bought X also bought Y" recommender, built on the
+    A-Priori pair counts (``frequent_pairs``) so only pairs that clear
+    ``min_support`` are ever scored.
+
+    Determinism: counts are exact BIGINTs; the cosine rounds half-up to
+    micro units ONCE (sqrt is correctly rounded per IEEE-754 on every
+    engine); neighbor rank breaks ties on (cosine desc, neighbor asc).
+    The ``n_a * n_b`` product is computed in doubles -- exact while
+    counts stay below 2^26 each (any realistic per-item basket count;
+    document-scale corpora with billions of baskets per item would
+    need the log-domain variant).
+
+    Scale shape: inherits frequent_pairs' economics (A-Priori pruning,
+    per-basket capped pair expansion, map-side-combinable counts); the
+    symmetrization doubles a support-pruned pair list, and the top-k
+    window partitions by item -- nothing scales with raw row count
+    after the pair aggregate.
+
+    Output: ``item, neighbor, n_ab, cos_micro, rank`` (rank 1..k).
+    """
+    from pyspark.sql import Window
+
+    pairs = frequent_pairs(
+        df, basket_col, item_col, min_support, max_basket_items
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_ab",
+        F.col("n_a").alias("n_i"),
+        F.col("n_b").alias("n_j"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "n_ab",
+            F.col("n_b").alias("n_i"),
+            F.col("n_a").alias("n_j"),
+        )
+    )
+    scored = sym.withColumn(
+        "cos_micro",
+        F.expr(
+            "CAST(FLOOR(CAST(n_ab AS DOUBLE)"
+            " / sqrt(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE))"
+            " * 1000000.0D + 0.5D) AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("item", "neighbor", "n_ab", "cos_micro", "rank")
+    )

@@ -154,3 +154,55 @@ def lag_delta_days(
     w = Window.partitionBy(*keys).orderBy(*order_by)
     prev = F.lag(F.col(ts_col)).over(w)
     return df.withColumn(alias, F.datediff(F.col(ts_col).cast("date"), prev.cast("date")))
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    range_col: str,
+    value_col: str,
+    alias: str = "cum",
+    range_desc: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running SUM of ``value_col`` over a GLOBAL total order without a
+    single-task sort -- the prefix-sum sibling of ``global_ntile``.
+
+    Same two-phase scheme: value-derived range partitions
+    (``range_partition_ids`` -- a pure function of the row, so separate
+    jobs agree), a per-partition window cumsum, and a broadcast join of
+    per-partition sum offsets.  The only driver-side data is one row
+    per partition (bounded by the partition count, never by rows).
+
+    ``order_by`` must be a TOTAL order whose leading key is
+    ``range_col`` (ties on ``range_col`` stay in one partition);
+    ``range_col`` must be non-null; ``value_col`` must be integral
+    (exact prefix sums -- float cumsums are order-fragile).
+    """
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = range_partition_ids(df, range_col, P, desc=range_desc)
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            alias,
+            (F.sum(value_col).over(w) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )

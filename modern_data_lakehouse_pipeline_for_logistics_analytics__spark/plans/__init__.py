@@ -64,6 +64,7 @@ def _load_all() -> None:
         "coverage4",
         "coverage5",
         "retrieval",
+        "logistics",
     ):
         try:
             __import__(f"{__name__}.{mod}")

@@ -1,0 +1,304 @@
+"""Logistics-domain KPI queries -- the reference's own analytics
+vertical, generalized: ABC (Pareto) inventory classification, OTIF
+delivery performance, item-item recommendations, and a seasonal
+decomposition of daily revenue.
+
+All four follow the repo's exact-arithmetic discipline: money in
+e4 fixed-point BIGINT (`plans/tpch2._rev_e4` convention), ratios as
+half-up micro units via integer `div`, cosines with one terminal
+half-up rounding over IEEE-exact doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, table_path
+
+_REV_E4 = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "lineitem"))
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "orders"))
+
+
+@register(
+    "abc_part_classification",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey, CAST(SUM({_REV_E4}) AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_partkey),
+    cum AS (
+      SELECT l_partkey, rev_e4,
+             CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum_e4,
+             CAST(SUM(rev_e4) OVER () AS BIGINT) AS tot_e4
+      FROM pr),
+    cls AS (
+      SELECT CASE WHEN cum_e4 * 5 <= tot_e4 * 4 THEN 'A'
+                  WHEN cum_e4 * 20 <= tot_e4 * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_e4, tot_e4
+      FROM cum)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_e4) AS BIGINT) AS class_rev_e4,
+           CAST((2 * (SUM(rev_e4) // 10000) * 1000000
+                 + (MAX(tot_e4) // 10000))
+                // (2 * (MAX(tot_e4) // 10000)) AS BIGINT) AS rev_share_micro
+    FROM cls GROUP BY abc_class
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A while the running share stays <= 80%, B to 95%, C beyond --
+    the stocking-policy split every warehouse runs.
+
+    Exactness: revenue in e4 fixed-point BIGINT; class boundaries are
+    INTEGER cross-multiplications (cum*5 <= tot*4), never a float share
+    (a float boundary can flip the part sitting exactly on 80%); the
+    reported share rounds half-up to micro by integer div over
+    DOLLAR-TRUNCATED sums (e4 sums overflowed 2e6x multiplication at
+    sf0.01 -- dollars keep 2*s*1e6 under 2^63 to ~$4.6e12 total).
+    Headroom on the class boundary itself: tot_e4*20 < 2^63 while
+    total revenue < ~4.6e16 e4-units.
+
+    Scale shape: the per-part aggregate is map-side combinable; the
+    GLOBAL running sum uses the two-phase range-partition prefix-sum
+    (`operators/windows.py::global_cumsum` -- per-partition window +
+    broadcast offsets, one bounded P-row collect), NOT a single-task
+    Window.orderBy; the classifier is pure codegen and the final rollup
+    is 3 rows."""
+    from ..operators.dedup import _cache_aged
+    from ..operators.windows import global_cumsum
+
+    pr = (
+        _lineitem(spark, sf_dir)
+        .groupBy("l_partkey")
+        .agg(F.expr(f"CAST(SUM({_REV_E4}) AS BIGINT)").alias("rev_e4"))
+    )
+    # Four consumers read pr (the split-point probe and offset collect
+    # inside global_cumsum, the cum branch, and the total) -- cache it
+    # once or the fact-table scan+aggregate runs four times.
+    pr = _cache_aged("abc_pr", pr)
+    cum = global_cumsum(
+        pr,
+        order_by=[F.desc("rev_e4"), F.asc("l_partkey")],
+        range_col="rev_e4",
+        value_col="rev_e4",
+        alias="cum_e4",
+        range_desc=True,
+    )
+    tot = pr.agg(F.sum("rev_e4").cast("long").alias("tot_e4"))
+    cls = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(F.col("cum_e4") * 5 <= F.col("tot_e4") * 4, "A")
+        .when(F.col("cum_e4") * 20 <= F.col("tot_e4") * 19, "B")
+        .otherwise("C"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev_e4").cast("long").alias("class_rev_e4"),
+        F.expr(
+            "CAST((2 * (SUM(rev_e4) DIV 10000) * 1000000"
+            " + (MAX(tot_e4) DIV 10000))"
+            " DIV (2 * (MAX(tot_e4) DIV 10000)) AS BIGINT)"
+        ).alias("rev_share_micro"),
+    )
+
+
+@register(
+    "otif_supplier_month",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_suppkey,
+             CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS month,
+             CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END AS on_time,
+             CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                   AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END AS otif
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT l_suppkey, month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST((2 * SUM(on_time) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS on_time_micro,
+           CAST((2 * SUM(otif) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS otif_micro
+    FROM j GROUP BY l_suppkey, month
+    """,
+)
+def q_otif_supplier_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTIF (on-time-in-full) per supplier-month: share of lines shipped
+    within the 30-day SLA of the order date, and the stricter OTIF share
+    (on time AND not returned) -- the core logistics delivery KPI
+    (receipt/commit dates adapted to the fixture's shipdate-vs-orderdate
+    the same way `tpch_q21` adapts).
+
+    Exactness: flag counts are exact; both shares are half-up micro via
+    integer div.  Scale shape: the orders->lineitem equi-join shuffles
+    on orderkey (co-partitioned/bucketed tables make it Exchange-free;
+    AQE broadcasts the filtered side at small SF), then one map-side-
+    combinable aggregate on (supplier, month)."""
+    l = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_returnflag"
+    )
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderdate")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("on_time"),
+        F.when(
+            (
+                F.col("l_shipdate")
+                <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            )
+            & (F.col("l_returnflag") != "R"),
+            1,
+        )
+        .otherwise(0)
+        .alias("otif"),
+    )
+    return j.groupBy("l_suppkey", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.expr(
+            "CAST((2 * SUM(on_time) * 1000000 + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("on_time_micro"),
+        F.expr(
+            "CAST((2 * SUM(otif) * 1000000 + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("otif_micro"),
+    )
+
+
+_ITEMCF_SUPPORT = 3
+_ITEMCF_K = 5
+
+
+@register(
+    "itemcf_part_recommendations",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i
+           FROM items GROUP BY item),
+    freq AS (SELECT item FROM ic WHERE n_i >= {_ITEMCF_SUPPORT}),
+    pi AS (SELECT basket, item FROM items JOIN freq USING (item)),
+    prs AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM pi a JOIN pi b ON a.basket = b.basket AND a.item < b.item),
+    cnt AS (
+      SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM prs GROUP BY item_a, item_b
+      HAVING COUNT(*) >= {_ITEMCF_SUPPORT}),
+    sym AS (
+      SELECT item_a AS item, item_b AS neighbor, n_ab FROM cnt
+      UNION ALL
+      SELECT item_b AS item, item_a AS neighbor, n_ab FROM cnt),
+    sc AS (
+      SELECT s.item, s.neighbor, s.n_ab,
+             CAST(FLOOR(CAST(s.n_ab AS DOUBLE)
+                  / sqrt(CAST(i1.n_i AS DOUBLE) * CAST(i2.n_i AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+      FROM sym s
+      JOIN ic i1 ON i1.item = s.item
+      JOIN ic i2 ON i2.item = s.neighbor),
+    rk AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+                     ORDER BY cos_micro DESC, neighbor) AS BIGINT) AS rank
+      FROM sc)
+    SELECT item, neighbor, n_ab, cos_micro, rank
+    FROM rk WHERE rank <= {_ITEMCF_K}
+    """,
+)
+def q_itemcf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Ships-with" part recommendations: top-5 co-occurrence-cosine
+    neighbors per part over order baskets, A-Priori-pruned at support 3
+    (`operators/mining.py::itemcf_topk`)."""
+    from ..operators.mining import itemcf_topk
+
+    return itemcf_topk(
+        _lineitem(spark, sf_dir),
+        "l_orderkey",
+        "l_partkey",
+        min_support=_ITEMCF_SUPPORT,
+        k=_ITEMCF_K,
+    )
+
+
+@register(
+    "seasonal_decompose_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM({_REV_E4}) AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY 1),
+    tr AS (
+      SELECT d, rev_e4,
+             CAST(SUM(rev_e4) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT CAST((dayofweek(d) + 6) % 7 AS BIGINT) AS dow,
+             rev_e4 - CAST((2 * s7 + 7) // 14 AS BIGINT) AS det_e4
+      FROM tr WHERE c7 = 7)
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(det_e4) AS BIGINT) AS sum_det_e4,
+           CAST(SUM(det_e4) // COUNT(*) AS BIGINT) AS seasonal_e4
+    FROM det GROUP BY dow
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average seasonal decomposition of daily revenue: trend =
+    centered 7-day mean (half-up e4, full windows only), seasonal =
+    per-weekday mean of the detrended series -- the classical
+    decomposition a capacity planner reads for day-of-week shape.
+
+    Determinism: revenue in e4 BIGINT; the trend divides half-up by
+    integer arithmetic; the per-dow seasonal mean divides with `div`
+    (truncation toward zero -- identical in Spark and DuckDB, probed --
+    documented rather than half-up because detrended sums are signed).
+    dow is 0=Monday via Spark `weekday` / DuckDB (dayofweek+6)%7 (their
+    native DAYOFWEEK bases differ).
+
+    Scale shape: the only scan-scale stage is the daily aggregate
+    (map-side combinable); the trend/seasonal windows run over ONE ROW
+    PER DAY -- a bounded series (365/yr) where a single-task window is
+    the right plan, not a bottleneck."""
+    daily = (
+        _lineitem(spark, sf_dir)
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.expr(f"CAST(SUM({_REV_E4}) AS BIGINT)").alias("rev_e4"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.withColumn("s7", F.sum("rev_e4").over(w).cast("long")).withColumn(
+        "c7", F.count(F.lit(1)).over(w).cast("long")
+    )
+    det = tr.filter(F.col("c7") == 7).select(
+        F.expr("CAST(weekday(d) AS BIGINT)").alias("dow"),
+        (F.col("rev_e4") - F.expr("CAST((2 * s7 + 7) DIV 14 AS BIGINT)")).alias(
+            "det_e4"
+        ),
+    )
+    return det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("det_e4").cast("long").alias("sum_det_e4"),
+        F.expr("CAST(SUM(det_e4) DIV COUNT(*) AS BIGINT)").alias("seasonal_e4"),
+    )

@@ -1,0 +1,127 @@
+"""Operator-level tests for the round-10 logistics-KPI batch:
+distributed global prefix sums, item-item CF, and the weekday
+convention the seasonal decomposition depends on.  Hand-computable
+cases per the coverage4/5 discipline (oracle parity proves
+fixture-scale equivalence; these prove semantics a fixture might
+dodge -- cross-partition offsets, cosine tie-breaks, dow base)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.mining import (
+    itemcf_topk,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.windows import (
+    global_cumsum,
+)
+
+
+# ----------------------------------------------------- global_cumsum
+def test_global_cumsum_matches_single_window(spark):
+    # 40 rows, deterministic values with repeats; force MANY range
+    # partitions so per-partition cumsums + offsets must compose
+    # exactly across boundaries.
+    rows = [(i, ((i * 7) % 13) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in global_cumsum(
+            df,
+            order_by=[F.desc("v"), F.asc("k")],
+            range_col="v",
+            value_col="v",
+            range_desc=True,
+            num_partitions=8,
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    acc, want = 0, {}
+    for k, v in ordered:
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_global_cumsum_single_value_ties(spark):
+    # All range_col values equal: one range partition takes everything;
+    # the order_by tiebreak still yields a strict prefix sum.
+    df = spark.createDataFrame([(i, 5) for i in range(6)], "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in global_cumsum(
+            df,
+            order_by=[F.desc("v"), F.asc("k")],
+            range_col="v",
+            value_col="v",
+            range_desc=True,
+            num_partitions=4,
+        ).collect()
+    }
+    assert got == {i: 5 * (i + 1) for i in range(6)}
+
+
+# ----------------------------------------------------------- item CF
+def test_itemcf_hand_case(spark):
+    import math
+
+    # baskets: {a,b} x2, {a,c}, {a,b,c}: n_a=4 n_b=3 n_c=2,
+    # ab=3 ac=2 bc=1; support 2 keeps ab, ac.
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "a"), (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item"], r["rank"]): (r["neighbor"], r["n_ab"], r["cos_micro"])
+        for r in itemcf_topk(df, "basket", "item", min_support=2, k=5).collect()
+    }
+    cos_ab = math.floor(3.0 / math.sqrt(4.0 * 3.0) * 1e6 + 0.5)
+    cos_ac = math.floor(2.0 / math.sqrt(4.0 * 2.0) * 1e6 + 0.5)
+    assert got == {
+        ("a", 1): ("b", 3, cos_ab),
+        ("a", 2): ("c", 2, cos_ac),
+        ("b", 1): ("a", 3, cos_ab),
+        ("c", 1): ("a", 2, cos_ac),
+    }
+
+
+def test_itemcf_tie_breaks_on_neighbor(spark):
+    # Two neighbors with identical cosine: rank must order by neighbor
+    # ascending, deterministically.
+    rows = [
+        (1, "x"), (1, "m"),
+        (2, "x"), (2, "z"),
+        (3, "x"), (3, "m"),
+        (4, "x"), (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = [
+        (r["rank"], r["neighbor"])
+        for r in itemcf_topk(df, "basket", "item", min_support=2, k=5)
+        .filter(F.col("item") == "x")
+        .collect()
+    ]
+    assert sorted(got) == [(1, "m"), (2, "z")]
+
+
+# -------------------------------------------------- weekday convention
+def test_weekday_is_monday_zero(spark):
+    # seasonal_decompose relies on Spark weekday() == 0 for Monday and
+    # on DuckDB (dayofweek+6)%7 matching it; pin the Spark side to
+    # Python's date.weekday() (2024-01-01 was a Monday).
+    import duckdb
+
+    rows = spark.sql(
+        "SELECT weekday(DATE'2024-01-01') AS mon,"
+        " weekday(DATE'2024-01-07') AS sun"
+    ).collect()[0]
+    assert (rows["mon"], rows["sun"]) == (0, 6)
+    d = duckdb.connect().execute(
+        "SELECT (dayofweek(DATE '2024-01-01') + 6) % 7,"
+        " (dayofweek(DATE '2024-01-07') + 6) % 7"
+    ).fetchone()
+    assert d == (0, 6)
