@@ -79,15 +79,10 @@ def shapley_channel_attribution(
     bits = {c: 1 << i for i, c in enumerate(ordered)}
     spark = df.sparkSession
 
+    from .timeseries import conversion_paths
+
     is_conv = F.col(type_col) == conversion
-    w_desc = (
-        Window.partitionBy(user_col)
-        .orderBy(F.desc(ts_col), F.desc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    g = df.withColumn(
-        "__grp", F.sum(F.when(is_conv, 1).otherwise(0)).over(w_desc)
-    ).filter(F.col("__grp") > 0)
+    g = conversion_paths(df, user_col, ts_col, id_col, type_col, conversion)
     bit_expr = F.create_map(
         *[x for c in ordered for x in (F.lit(c), F.lit(bits[c]))]
     )[F.col(type_col)]
@@ -141,9 +136,11 @@ def two_proportion_ztest(
     absolute lift are computed in IEEE doubles whose every step
     (ratios of exact ints, one multiply chain, one sqrt -- correctly
     rounded per IEEE-754 on both engines) is bit-reproducible, then
-    rounded half-up ONCE to micro units.  Degenerate pools (pooled
-    rate 0 or 1, where z is undefined) return NULL z rather than a
-    division artifact.
+    rounded half-up ONCE to micro units.  Degenerate inputs return
+    NULL rather than a division artifact: an empty variant NULLs both
+    lift and z (the session runs ANSI mode, where an unguarded 0/0
+    THROWS on Spark while DuckDB returns NULL -- r10 review finding);
+    a pooled rate of exactly 0 or 1 NULLs z.
 
     Scale shape: one map-side-combinable global aggregate -> a single
     row; nothing else.
@@ -173,12 +170,15 @@ def two_proportion_ztest(
         "n_trt",
         "conv_trt",
         F.expr(
-            "CAST(FLOOR((CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)"
+            "CASE WHEN n_ctl > 0 AND n_trt > 0 THEN"
+            " CAST(FLOOR((CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)"
             " - CAST(conv_ctl AS DOUBLE) / CAST(n_ctl AS DOUBLE))"
             " * 1000000.0D + 0.5D) AS BIGINT)"
+            " ELSE NULL END"
         ).alias("lift_micro"),
         F.expr(
-            "CASE WHEN conv_ctl + conv_trt > 0"
+            "CASE WHEN n_ctl > 0 AND n_trt > 0"
+            " AND conv_ctl + conv_trt > 0"
             " AND conv_ctl + conv_trt < n_ctl + n_trt THEN"
             " CAST(FLOOR("
             "  (CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)"

@@ -68,10 +68,14 @@ def ql_dirichlet_topk(
     Output: ``id, dl, n_hit_terms, score_fp`` (nano units), score desc,
     id asc, top ``topn``.
     """
-    from .dedup import tokenize
+    from .dedup import _cache_aged, tokenize
 
     if not query_terms:
         raise ValueError("ql_dirichlet_topk needs at least one query term")
+    if mu <= 0:
+        # mu = 0 diverges SILENTLY between engines: Spark ln(0) is NULL,
+        # DuckDB raises -- fail loudly instead (r10 review finding).
+        raise ValueError(f"ql_dirichlet_topk needs mu > 0, got {mu}")
     mu_r = repr(float(mu))
 
     base = df.select(
@@ -79,6 +83,11 @@ def ql_dirichlet_topk(
         F.size(tokenize(text_col)).cast("long").alias("__dl"),
         tokenize(text_col).alias("__toks"),
     )
+    # Three consumers read base (the __L aggregate, the query-term
+    # explode, and the zero-hit doc projection) -- cache it or the
+    # corpus is read and tokenized three times per run (r10 review
+    # finding, same shape as the kl_source_drift fix).
+    base = _cache_aged("ql_base", base)
     stats = base.agg(F.sum("__dl").cast("long").alias("__L"))
     tok = base.select(F.col(id_col), F.explode("__toks").alias("term")).filter(
         F.col("term").isin(query_terms)

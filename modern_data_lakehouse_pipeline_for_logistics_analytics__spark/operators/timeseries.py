@@ -164,6 +164,46 @@ def counter_repair(
     )
 
 
+def conversion_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Assign every event its conversion-path id: ``__grp`` counts the
+    user's conversions at-or-after the event (one descending cumulative
+    sum -- never a stream self-join), so path ``k`` is conversion ``k``
+    plus the events since conversion ``k+1``; events after the user's
+    last conversion (``__grp`` 0) are dropped.  With ``value_col``, the
+    path's conversion value rides every row as ``__cents`` (rounded
+    half-up to cents ONCE).  Ties break on (ts, id) -- id must be
+    unique.  Shared path construction for ``position_attribution``,
+    Shapley attribution, and journey mining: one definition, one place
+    to fix path semantics."""
+    is_conv = F.col(type_col) == conversion
+    w_desc = (
+        Window.partitionBy(user_col)
+        .orderBy(F.desc(ts_col), F.desc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = df.withColumn(
+        "__grp", F.sum(F.when(is_conv, 1).otherwise(0)).over(w_desc)
+    ).filter(F.col("__grp") > 0)
+    if value_col is not None:
+        w_grp = Window.partitionBy(user_col, "__grp")
+        g = g.withColumn(
+            "__cents",
+            F.floor(
+                F.max(F.when(is_conv, F.col(value_col))).over(w_grp) * 100.0
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    return g
+
+
 def position_attribution(
     df: DataFrame,
     user_col: str = "user_id",
@@ -198,21 +238,9 @@ def position_attribution(
     Output: ``event_type, n_touches, attributed_microcents``.
     """
     is_conv = F.col(type_col) == conversion
-    w_desc = (
-        Window.partitionBy(user_col)
-        .orderBy(F.desc(ts_col), F.desc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    g = df.withColumn(
-        "__grp", F.sum(F.when(is_conv, 1).otherwise(0)).over(w_desc)
-    ).filter(F.col("__grp") > 0)
     w_grp = Window.partitionBy(user_col, "__grp")
-    gg = g.withColumn(
-        "__cents",
-        F.floor(
-            F.max(F.when(is_conv, F.col(value_col))).over(w_grp) * 100.0
-            + F.lit(0.5)
-        ).cast("long"),
+    gg = conversion_paths(
+        df, user_col, ts_col, id_col, type_col, conversion, value_col
     ).withColumn(
         "__n_t",
         F.sum(F.when(~is_conv, 1).otherwise(0)).over(w_grp).cast("long"),

@@ -84,6 +84,28 @@ def range_partition_ids(
     return df.withColumn("__pid", pid_expr.cast("int"))
 
 
+def _pid_offsets(ranged: DataFrame, value_col: str | None = None):
+    """Per-range-partition prefix offsets -- the shared second phase of
+    every two-phase global-ordering scheme (``global_ntile`` counts rows,
+    ``global_cumsum`` sums ``value_col``).  One bounded collect (a row
+    per partition, never per data row) folds into a tiny broadcastable
+    ``(__pid, __off)`` frame; returns ``(off_df, grand_total)``."""
+    spark = ranged.sparkSession
+    measure = (
+        F.count(F.lit(1)) if value_col is None else F.sum(value_col)
+    ).cast("long")
+    per_pid = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(measure.alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(per_pid):
+        offsets.append((pid, acc))
+        acc += per_pid[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    return off_df, acc
+
+
 def global_ntile(
     df: DataFrame,
     order_by: list[Column],
@@ -119,16 +141,7 @@ def global_ntile(
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     ranged = range_partition_ids(df, range_col, P, desc=range_desc)
-    counts = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_total = sum(counts.values())
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    off_df, n_total = _pid_offsets(ranged)
     w = Window.partitionBy("__pid").orderBy(*order_by)
     rn = (F.row_number().over(w) + F.col("__off")).alias("__rn")
     ranked = ranged.join(F.broadcast(off_df), "__pid").withColumn("__rn", rn)
@@ -182,17 +195,7 @@ def global_cumsum(
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     ranged = range_partition_ids(df, range_col, P, desc=range_desc)
-    sums = {
-        r["__pid"]: r["s"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).cast("long").alias("s"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(sums):
-        offsets.append((pid, acc))
-        acc += sums[pid]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    off_df, _ = _pid_offsets(ranged, value_col)
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_by)

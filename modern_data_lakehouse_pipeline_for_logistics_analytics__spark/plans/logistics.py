@@ -230,12 +230,18 @@ def q_itemcf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/mining.py::itemcf_topk`)."""
     from ..operators.mining import itemcf_topk
 
+    # max_basket_items=None: the oracle's pair CTE has no basket cap, so
+    # the Spark side must not cap either (a capped side silently drops
+    # pairs the oracle keeps once a basket exceeds the cap -- r10 review
+    # finding).  Order baskets are <= 7 lines here; a production caller
+    # with unbounded baskets should keep the operator's default cap.
     return itemcf_topk(
         _lineitem(spark, sf_dir),
         "l_orderkey",
         "l_partkey",
         min_support=_ITEMCF_SUPPORT,
         k=_ITEMCF_K,
+        max_basket_items=None,
     )
 
 

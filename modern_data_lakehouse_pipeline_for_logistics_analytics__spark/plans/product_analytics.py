@@ -13,6 +13,32 @@ from pyspark.sql import functions as F
 
 from .registry import read_events, register
 
+# Shared conversion-path CTE text -- the SQL twin of
+# `operators/timeseries.py::conversion_paths`, written ONCE so the
+# attribution / journey / Shapley oracles cannot drift from each other
+# (r10 review finding: the block was copy-pasted into three oracles).
+_PATHS_G_CTE = """
+    g AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS grp
+      FROM events)"""
+
+_PATHS_GG_CTE = (
+    _PATHS_G_CTE
+    + """,
+    gg AS (
+      SELECT user_id, grp, event_id, ts, event_type,
+             CAST(FLOOR(MAX(CASE WHEN event_type = 'purchase'
+                                 THEN value END)
+                        OVER (PARTITION BY user_id, grp)
+                        * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id, grp) AS BIGINT) AS n_t
+      FROM g WHERE grp > 0)"""
+)
+
 
 @register(
     "funnel_view_click_purchase",
@@ -110,22 +136,8 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "attribution_position_value",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, event_id, ts, event_type, value,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id
-                     ORDER BY ts DESC, event_id DESC) AS grp
-      FROM events),
-    gg AS (
-      SELECT user_id, grp, event_id, ts, event_type,
-             CAST(FLOOR(MAX(CASE WHEN event_type = 'purchase'
-                                 THEN value END)
-                        OVER (PARTITION BY user_id, grp)
-                        * 100.0 + 0.5) AS BIGINT) AS cents,
-             CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY user_id, grp) AS BIGINT) AS n_t
-      FROM g WHERE grp > 0),
+    oracle=f"""
+    WITH {_PATHS_GG_CTE},
     touch AS (
       SELECT event_type, cents, n_t,
              CAST(ROW_NUMBER() OVER (PARTITION BY user_id, grp
@@ -174,20 +186,8 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "journey_top_paths",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, event_id, ts, event_type, value,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id
-                     ORDER BY ts DESC, event_id DESC) AS grp
-      FROM events),
-    gg AS (
-      SELECT user_id, grp, event_id, ts, event_type,
-             CAST(FLOOR(MAX(CASE WHEN event_type = 'purchase'
-                                 THEN value END)
-                        OVER (PARTITION BY user_id, grp)
-                        * 100.0 + 0.5) AS BIGINT) AS cents
-      FROM g WHERE grp > 0),
+    oracle=f"""
+    WITH {_PATHS_GG_CTE},
     paths AS (
       SELECT user_id, grp,
              string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
@@ -214,33 +214,15 @@ def q_journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     user -- the usual hot-key caveat, nothing else scales with total
     rows); paths then hash-aggregate to distinct sequences and a
     TakeOrderedAndProject keeps 20.  Determinism: ties inside a path
-    break on (ts, event_id); equal-frequency paths rank by path text."""
-    e = read_events(spark, sf_dir)
-    w_desc = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.desc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    g = e.withColumn(
-        "grp",
-        F.sum(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).over(w_desc),
-    ).filter(F.col("grp") > 0)
-    w_grp = Window.partitionBy("user_id", "grp")
-    gg = g.withColumn(
-        "cents",
-        F.floor(
-            F.max(
-                F.when(F.col("event_type") == "purchase", F.col("value"))
-            ).over(w_grp)
-            * 100.0
-            + F.lit(0.5)
-        ).cast("long"),
-    )
+    break on (ts, event_id); equal-frequency paths rank by path text.
+    Path construction is the shared
+    `operators/timeseries.py::conversion_paths`."""
+    from ..operators.timeseries import conversion_paths
+
+    gg = conversion_paths(read_events(spark, sf_dir), value_col="value")
     paths = (
         gg.filter(F.col("event_type") != "purchase")
-        .groupBy("user_id", "grp")
+        .groupBy("user_id", "__grp")
         .agg(
             F.array_join(
                 F.transform(
@@ -251,7 +233,7 @@ def q_journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "->",
             ).alias("path"),
-            F.max("cents").alias("cents"),
+            F.max("__cents").alias("cents"),
         )
     )
     return (
@@ -292,12 +274,7 @@ def _shapley_oracle() -> str:
     )
     popcnt = _popcount_sql("v1.t", n)
     return f"""
-    WITH g AS (
-      SELECT user_id, event_id, ts, event_type,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id
-                     ORDER BY ts DESC, event_id DESC) AS grp
-      FROM events),
+    WITH {_PATHS_G_CTE},
     masks AS (
       SELECT user_id, grp,
              CAST(bit_or(CASE event_type {case_bits} END) AS BIGINT) AS m
@@ -360,10 +337,13 @@ def q_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
           AS conv_trt
       FROM units)
     SELECT n_ctl, conv_ctl, n_trt, conv_trt,
-      CAST(FLOOR((CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)
-                  - CAST(conv_ctl AS DOUBLE) / CAST(n_ctl AS DOUBLE))
-                 * 1000000.0 + 0.5) AS BIGINT) AS lift_micro,
-      CASE WHEN conv_ctl + conv_trt > 0
+      CASE WHEN n_ctl > 0 AND n_trt > 0 THEN
+        CAST(FLOOR((CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)
+                    - CAST(conv_ctl AS DOUBLE) / CAST(n_ctl AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT)
+      ELSE NULL END AS lift_micro,
+      CASE WHEN n_ctl > 0 AND n_trt > 0
+            AND conv_ctl + conv_trt > 0
             AND conv_ctl + conv_trt < n_ctl + n_trt THEN
         CAST(FLOOR(
           (CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE)

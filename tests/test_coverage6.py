@@ -125,3 +125,29 @@ def test_weekday_is_monday_zero(spark):
         " (dayofweek(DATE '2024-01-07') + 6) % 7"
     ).fetchone()
     assert d == (0, 6)
+
+
+def test_two_proportion_ztest_empty_variant_is_null(spark):
+    # Every unit in one arm: ANSI Spark would throw on the unguarded
+    # 0-division while DuckDB returns NULL -- both lift and z must be
+    # NULL instead (r10 review finding).
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        two_proportion_ztest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0)], "variant long, converted long"
+    )
+    [r] = two_proportion_ztest(df, "variant", "converted").collect()
+    assert (r["n_ctl"], r["n_trt"]) == (0, 2)
+    assert r["lift_micro"] is None and r["z_micro"] is None
+
+
+def test_ql_dirichlet_rejects_nonpositive_mu(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.retrieval import (
+        ql_dirichlet_topk,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ql_dirichlet_topk(df, "doc_id", "text", ["a"], mu=0.0)
