@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "otif_supplier_month",
     "itemcf_part_recommendations",
     "seasonal_decompose_daily_revenue",
+    "geofence_customer_zones",
+    "dp_noisy_orders_by_priority",
 ]
 
 

@@ -67,3 +67,66 @@ def k_anonymize(
     out_cols.append(F.col("qgroup_n"))
     out_cols.append(risky.cast("long").alias("suppressed"))
     return joined.select(*out_cols)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float,
+    salt: str,
+    sensitivity: int = 1,
+) -> DataFrame:
+    """Differentially-private style noisy group counts: Laplace
+    (sensitivity/epsilon) noise added to each group's exact count via
+    the inverse-CDF transform ``-b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)``.
+
+    REPLAYABILITY CAVEAT, stated plainly: the uniform draw ``u`` is
+    derived from the salted portable hash of the group key -- a
+    deterministic pseudo-sample, so the whole release replays
+    bit-for-bit on any engine (and the SQL oracle verifies it).  That
+    determinism is exactly what a production DP release must NOT have
+    across releases: swap the salt per release (fresh independent
+    noise per salt) or swap in true RNG at the trust boundary; the
+    noise SHAPE, scaling, and post-processing here are the production
+    arithmetic.
+
+    Exactness: ``u = (h mod 2^52 + 1/2) / 2^52`` lies strictly inside
+    (0, 1), so ``1 - 2|u - 1/2|`` is in (2^-52, 1] and ln never sees 0;
+    every float step (one ratio, one ln, one multiply) is IEEE-exact
+    from integers, rounded half-up ONCE to nano units.  Output counts
+    are ``count * 1e9 + noise_nano`` -- BIGINT nano units (headroom:
+    group counts below ~9.2e9; beyond that report micro units).
+
+    Scale shape: one map-side-combinable aggregate; the noise is pure
+    codegen over the (few) group rows.
+
+    Output: ``<group_cols>, n_exact, noisy_count_nano``.
+    """
+    from .dedup import portable_base_hash
+
+    if epsilon <= 0:
+        raise ValueError(f"dp_noisy_counts needs epsilon > 0, got {epsilon}")
+    if sensitivity < 1:
+        raise ValueError(f"sensitivity must be >= 1, got {sensitivity}")
+    b_r = repr(float(sensitivity) / float(epsilon))
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in group_cols])
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    g = g.withColumn("__h", portable_base_hash(key) % F.lit(1 << 52))
+    noise = F.expr(
+        f"CAST(FLOOR("
+        f" -CAST({b_r} AS DOUBLE)"
+        f" * (CASE WHEN __h >= {1 << 51} THEN 1.0D ELSE -1.0D END)"
+        f" * ln(CAST(1 AS DOUBLE)"
+        f"      - 2.0D * abs((CAST(__h AS DOUBLE) + 0.5D)"
+        f"                   / CAST({1 << 52} AS DOUBLE) - 0.5D))"
+        f" * 1000000000.0D + 0.5D) AS BIGINT)"
+    )
+    return g.select(
+        *group_cols,
+        "n_exact",
+        (F.col("n_exact") * F.lit(1000000000) + noise)
+        .cast("long")
+        .alias("noisy_count_nano"),
+    )

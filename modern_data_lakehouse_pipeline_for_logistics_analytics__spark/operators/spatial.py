@@ -95,3 +95,72 @@ def grid_nn_join(
         .filter(F.col("__rn") == 1)
         .select(point_id, site_id, "dist2")
     )
+
+
+def point_in_polygon_counts(
+    points: DataFrame,
+    fences: dict[str, list[tuple[int, int]]],
+    point_id: str,
+) -> DataFrame:
+    """Geofence assignment by EXACT integer ray casting: for each named
+    polygon, count the crossing parity of a horizontal ray from every
+    point (integer ``x``/``y`` columns) -- the logistics question "which
+    delivery zone is this point in" without any float geometry.
+
+    Exactness: each directed edge contributes a crossing iff it spans
+    the point's y and the 2x2 cross product ``(x2-x1)(py-y1) -
+    (px-x1)(y2-y1)`` sits strictly on the edge's upward side -- all
+    BIGINT products (exact while |coords| < 2^31); inside = odd crossing
+    count.  Points exactly ON an edge follow the strict-inequality
+    convention deterministically on every engine -- integer arithmetic
+    has no knife edges.
+
+    Scale shape: the edge table is a literal (fences x vertices rows)
+    broadcast against the point stream; the parity aggregate is
+    map-side combinable on (point, fence); the final per-fence rollup
+    is |fences| rows.  Nothing shuffles at point scale except the tiny
+    (point, fence) parity rows for points near fences.
+
+    Output: ``fence_id, n_inside`` -- one row per fence (0-count fences
+    included).
+    """
+    spark = points.sparkSession
+    if not fences:
+        raise ValueError("point_in_polygon_counts needs at least one fence")
+    edges = []
+    for fid, verts in fences.items():
+        if len(verts) < 3:
+            raise ValueError(f"fence {fid!r} needs >= 3 vertices")
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            edges.append((fid, int(x1), int(y1), int(x2), int(y2)))
+    e = spark.createDataFrame(
+        edges, "fence_id string, x1 long, y1 long, x2 long, y2 long"
+    )
+    # Filter to ACTUAL crossings before anything shuffles: a point far
+    # from every fence contributes zero rows (parity 0 == outside), so
+    # the aggregate sees only edge-spanning rows, not |points|x|fences|.
+    crossings = (
+        points.select(point_id, "x", "y")
+        .crossJoin(F.broadcast(e))
+        .filter(
+            F.expr(
+                "(y1 > y) <> (y2 > y) AND ("
+                " (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)"
+                ") * (CASE WHEN y2 > y1 THEN 1 ELSE -1 END) > 0"
+            )
+        )
+        .groupBy(point_id, "fence_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    counted = (
+        crossings.filter(F.col("__k") % 2 == 1)
+        .groupBy("fence_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inside"))
+    )
+    all_fences = spark.createDataFrame(
+        [(fid,) for fid in sorted(fences)], "fence_id string"
+    )
+    return all_fences.join(counted, "fence_id", "left").select(
+        "fence_id",
+        F.coalesce("n_inside", F.lit(0)).cast("long").alias("n_inside"),
+    )

@@ -308,3 +308,113 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("det_e4").cast("long").alias("sum_det_e4"),
         F.expr("CAST(SUM(det_e4) DIV COUNT(*) AS BIGINT)").alias("seasonal_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Geofence assignment (exact integer ray casting)
+# --------------------------------------------------------------------------
+
+_GRID_SCALE = 1_000_000
+_FENCES: dict[str, list[tuple[int, int]]] = {
+    "zone_a": [(100000, 100000), (400000, 150000), (250000, 450000)],
+    "zone_b": [
+        (300000, 300000),
+        (700000, 320000),
+        (680000, 640000),
+        (320000, 600000),
+    ],
+    "zone_c": [
+        (500000, 50000),
+        (800000, 120000),
+        (900000, 400000),
+        (700000, 550000),
+        (550000, 300000),
+    ],
+}
+
+
+def _geofence_oracle() -> str:
+    edge_rows = []
+    for fid, verts in _FENCES.items():
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            edge_rows.append(f"('{fid}', {x1}, {y1}, {x2}, {y2})")
+    edges = ", ".join(edge_rows)
+    fl = ", ".join(f"('{fid}')" for fid in sorted(_FENCES))
+    xy = (
+        "CAST(('0x' || substring(md5('x:' || CAST(c_custkey AS VARCHAR)), 2, 15))"
+        f" AS BIGINT) % {_GRID_SCALE} AS x,"
+        " CAST(('0x' || substring(md5('y:' || CAST(c_custkey AS VARCHAR)), 2, 15))"
+        f" AS BIGINT) % {_GRID_SCALE} AS y"
+    )
+    return f"""
+    WITH pts AS (SELECT c_custkey, {xy} FROM customer),
+    edges(fence_id, x1, y1, x2, y2) AS (VALUES {edges}),
+    par AS (
+      SELECT p.c_custkey, e.fence_id, COUNT(*) AS k
+      FROM pts p CROSS JOIN edges e
+      WHERE (e.y1 > p.y) <> (e.y2 > p.y)
+        AND ((e.x2 - e.x1) * (p.y - e.y1) - (p.x - e.x1) * (e.y2 - e.y1))
+            * (CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END) > 0
+      GROUP BY p.c_custkey, e.fence_id),
+    ins AS (SELECT fence_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM par WHERE k % 2 = 1 GROUP BY fence_id),
+    fl(fence_id) AS (VALUES {fl})
+    SELECT fl.fence_id, CAST(COALESCE(ins.n, 0) AS BIGINT) AS n_inside
+    FROM fl LEFT JOIN ins ON fl.fence_id = ins.fence_id
+    """
+
+
+@register("geofence_customer_zones", oracle=_geofence_oracle())
+def q_geofence_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-zone assignment: customers (deterministic hash-derived
+    integer coordinates, same convention as `spatial_nearest_supplier`)
+    counted per literal polygon fence by exact integer ray casting --
+    no float geometry anywhere
+    (`operators/spatial.py::point_in_polygon_counts`)."""
+    from ..operators.spatial import hashed_coords, point_in_polygon_counts
+
+    cust = hashed_coords(
+        spark.read.parquet(table_path(sf_dir, "customer")).select("c_custkey"),
+        "c_custkey",
+        _GRID_SCALE,
+    )
+    return point_in_polygon_counts(cust, _FENCES, "c_custkey")
+
+
+@register(
+    "dp_noisy_orders_by_priority",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM orders GROUP BY o_orderpriority),
+    h AS (
+      SELECT *,
+             CAST(('0x' || substring(md5('r10dp' || chr(31)
+                   || CAST(o_orderpriority AS VARCHAR)), 2, 15)) AS BIGINT)
+             % 4503599627370496 AS hh
+      FROM g)
+    SELECT o_orderpriority, n_exact,
+      CAST(n_exact * 1000000000 + CAST(FLOOR(
+        -CAST(1.0 AS DOUBLE)
+        * (CASE WHEN hh >= 2251799813685248 THEN 1.0 ELSE -1.0 END)
+        * ln(CAST(1 AS DOUBLE)
+             - 2.0 * abs((CAST(hh AS DOUBLE) + 0.5)
+                         / CAST(4503599627370496 AS DOUBLE) - 0.5))
+        * 1000000000.0 + 0.5) AS BIGINT) AS BIGINT) AS noisy_count_nano
+    FROM h
+    """,
+)
+def q_dp_noisy_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-noised order counts per priority (epsilon = 1): the DP
+    release arithmetic with hash-derived deterministic noise so the
+    whole release replays bit-for-bit -- salt rotation / true RNG is the
+    documented production swap point
+    (`operators/privacy.py::dp_noisy_counts`)."""
+    from ..operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        spark.read.parquet(table_path(sf_dir, "orders")),
+        ["o_orderpriority"],
+        epsilon=1.0,
+        salt="r10dp",
+    )

@@ -151,3 +151,84 @@ def test_ql_dirichlet_rejects_nonpositive_mu(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         ql_dirichlet_topk(df, "doc_id", "text", ["a"], mu=0.0)
+
+
+# -------------------------------------------------------- geofence / dp
+def test_point_in_polygon_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.spatial import (
+        point_in_polygon_counts,
+    )
+
+    # Concave "L" polygon plus a disjoint triangle; points chosen to
+    # exercise inside, outside, the concave notch, and both fences.
+    fences = {
+        "ell": [(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)],
+        "tri": [(10, 10), (14, 10), (12, 14)],
+    }
+    pts = spark.createDataFrame(
+        [
+            (1, 1, 1),    # inside ell (lower arm)
+            (2, 3, 1),    # inside ell (right arm)
+            (3, 3, 3),    # in the notch -> outside ell
+            (4, 1, 3),    # inside ell (upper arm)
+            (5, 12, 11),  # inside tri
+            (6, 20, 20),  # outside everything
+        ],
+        "pid long, x long, y long",
+    )
+    got = {
+        r["fence_id"]: r["n_inside"]
+        for r in point_in_polygon_counts(pts, fences, "pid").collect()
+    }
+    assert got == {"ell": 3, "tri": 1}
+
+
+def test_point_in_polygon_validates(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.spatial import (
+        point_in_polygon_counts,
+    )
+
+    pts = spark.createDataFrame([(1, 0, 0)], "pid long, x long, y long")
+    with pytest.raises(ValueError):
+        point_in_polygon_counts(pts, {}, "pid")
+    with pytest.raises(ValueError):
+        point_in_polygon_counts(pts, {"bad": [(0, 0), (1, 1)]}, "pid")
+
+
+def test_dp_noisy_counts_matches_closed_form(spark):
+    import hashlib
+    import math
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2, "grp string"
+    )
+    got = {
+        r["grp"]: (r["n_exact"], r["noisy_count_nano"])
+        for r in dp_noisy_counts(df, ["grp"], epsilon=2.0, salt="s").collect()
+    }
+
+    def expect(key, n):
+        h = int(hashlib.md5(f"s\x1f{key}".encode()).hexdigest()[1:16], 16)
+        hh = h % (1 << 52)
+        u = (hh + 0.5) / float(1 << 52)
+        sign = 1.0 if hh >= (1 << 51) else -1.0
+        noise = -0.5 * sign * math.log(1.0 - 2.0 * abs(u - 0.5))
+        return n * 1000000000 + math.floor(noise * 1e9 + 0.5)
+
+    assert got == {"a": (5, expect("a", 5)), "b": (2, expect("b", 2))}
+
+
+def test_dp_noisy_counts_validates(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    df = spark.createDataFrame([("a",)], "grp string")
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["grp"], epsilon=0.0, salt="s")
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["grp"], epsilon=1.0, salt="s", sensitivity=0)
