@@ -221,6 +221,9 @@ BENCH_QUERIES = [
     "seasonal_decompose_daily_revenue",
     "geofence_customer_zones",
     "dp_noisy_orders_by_priority",
+    "embedding_quantization_audit",
+    "sla_business_days_by_priority",
+    "safety_stock_parts",
 ]
 
 

@@ -859,3 +859,70 @@ def power_iteration_topvec(
     if prev_ckpt is not None:
         hold_pinned("similarity.power", prev_ckpt)
     return v.select("node", F.col("val").alias("eigvec_fp"))
+
+
+def scalar_quantization_audit(
+    df: DataFrame, id_col: str, vec_col: str, levels: int = 256
+) -> DataFrame:
+    """Per-dimension scalar quantization (the int8 codebook every
+    vector store compresses embeddings with) plus its reconstruction-
+    error audit: each dimension maps to ``round((v - min) * (levels-1)
+    / (max - min))`` codes, and the audit reports the total squared
+    reconstruction error per dimension -- the number that says which
+    dimensions survive 8-bit storage and which need more bits.
+
+    Determinism: codes come from one half-up floor over an IEEE-exact
+    ratio of doubles (identical op order both engines); per-(vector,
+    dim) squared errors round half-up to NANO units BEFORE the per-dim
+    sum (order-stable fixed point); constant dimensions (max == min)
+    quantize to code 0 with zero error rather than dividing by zero.
+    min/max are reported in nano units, not raw doubles.
+
+    Scale shape: one posexplode feeds a d-row min/max aggregate
+    (map-side combinable) that broadcasts back onto the same exploded
+    stream; the error aggregate collapses map-side to d rows.  Two
+    passes over the exploded stream, nothing wider than (id, dim, v)
+    ever shuffles, and only d-row frames move between stages.
+
+    Output: ``dim, n_vecs, min_nano, max_nano, sq_err_nano``.
+    """
+    if levels < 2:
+        raise ValueError(f"levels must be >= 2, got {levels}")
+    lm1 = repr(float(levels - 1))
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "__vf")
+    ).select(
+        id_col,
+        F.col("dim").cast("long").alias("dim"),
+        F.col("__vf").cast("double").alias("v"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    j = ex.join(F.broadcast(stats), "dim")
+    q = F.expr(
+        f"CASE WHEN mx > mn THEN"
+        f" CAST(FLOOR((v - mn) * CAST({lm1} AS DOUBLE) / (mx - mn) + 0.5D)"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    err = F.expr(
+        f"CASE WHEN mx > mn THEN CAST(FLOOR("
+        f" (v - (mn + CAST(__q AS DOUBLE) * (mx - mn) / CAST({lm1} AS DOUBLE)))"
+        f" * (v - (mn + CAST(__q AS DOUBLE) * (mx - mn) / CAST({lm1} AS DOUBLE)))"
+        f" * 1000000000.0D + 0.5D) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        j.withColumn("__q", q)
+        .withColumn("__e", err)
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr(
+                "CAST(FLOOR(MIN(mn) * 1000000000.0D + 0.5D) AS BIGINT)"
+            ).alias("min_nano"),
+            F.expr(
+                "CAST(FLOOR(MAX(mx) * 1000000000.0D + 0.5D) AS BIGINT)"
+            ).alias("max_nano"),
+            F.sum("__e").cast("long").alias("sq_err_nano"),
+        )
+    )

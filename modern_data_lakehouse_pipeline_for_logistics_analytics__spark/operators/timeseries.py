@@ -274,3 +274,45 @@ def position_attribution(
             .alias("attributed_microcents"),
         )
     )
+
+
+# A Monday safely before every fixture date; the closed form below
+# counts business days from it.
+_BD_EPOCH_MONDAY = "1992-01-06"
+
+
+def business_days_expr(date_col: str) -> F.Column:
+    """Business days (Mon-Fri) from the epoch Monday through
+    ``date_col`` inclusive, as a CLOSED FORM -- no per-row calendar
+    array, O(1) arithmetic per row:
+
+        n  = days since the epoch Monday        (n >= 0)
+        bd = 5 * (n div 7) + least(n % 7 + 1, 5)
+
+    (full weeks contribute 5 each; the partial week's first ``n%7 + 1``
+    days are Mon.. so ``min(.., 5)`` of them are weekdays).  The
+    business-day distance between two dates is the difference of two of
+    these -- exact BIGINT, replayed verbatim by the SQL twin
+    (``sql_business_days``).  Dates before the epoch are a caller
+    error (the fixture starts 1995)."""
+    return F.expr(sql_business_days(date_col, engine="spark"))
+
+
+def sql_business_days(date_col: str, engine: str) -> str:
+    """Engine-portable SQL text of :func:`business_days_expr` -- one
+    builder, two dialect tokens (the fs_em single-source pattern):
+    Spark spells days-between ``datediff(end, start)`` and integer
+    division ``div``; DuckDB spells them ``date_diff('day', start,
+    end)`` and ``//``."""
+    if engine == "spark":
+        n = f"datediff(CAST({date_col} AS DATE), DATE'{_BD_EPOCH_MONDAY}')"
+        div = "div"
+    elif engine == "duckdb":
+        n = (
+            f"date_diff('day', DATE '{_BD_EPOCH_MONDAY}',"
+            f" CAST({date_col} AS DATE))"
+        )
+        div = "//"
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    return f"CAST(5 * (({n}) {div} 7) + least(({n}) % 7 + 1, 5) AS BIGINT)"

@@ -418,3 +418,140 @@ def q_dp_noisy_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         epsilon=1.0,
         salt="r10dp",
     )
+
+
+# --------------------------------------------------------------------------
+# Business-day SLA + safety stock
+# --------------------------------------------------------------------------
+
+
+def _sla_oracle() -> str:
+    from ..operators.timeseries import sql_business_days
+
+    bd_ship = sql_business_days("l.l_shipdate", engine="duckdb")
+    bd_order = sql_business_days("o.o_orderdate", engine="duckdb")
+    return f"""
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             ({bd_ship}) - ({bd_order}) AS bd
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(bd) AS BIGINT) AS sum_bd,
+           CAST(MAX(bd) AS BIGINT) AS max_bd,
+           CAST((2 * SUM(bd) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS avg_bd_micro
+    FROM j GROUP BY o_orderpriority
+    """
+
+
+@register("sla_business_days_by_priority", oracle=_sla_oracle())
+def q_sla_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping delay in BUSINESS days (Mon-Fri) per order priority --
+    the SLA the ops team actually quotes.  The weekday count is a
+    CLOSED FORM per date (5 * weeks + clamped partial week from a fixed
+    epoch Monday -- `operators/timeseries.py::business_days_expr`), so
+    the delay is O(1) exact BIGINT per row: no per-row calendar arrays,
+    no holiday table scan (holiday calendars join in as a tiny
+    broadcast dim when a deployment needs them).
+
+    Scale shape: one orderkey equi-join, then a map-side-combinable
+    5-row aggregate; the mean is half-up micro by integer div."""
+    from ..operators.timeseries import business_days_expr
+
+    l = _lineitem(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    o = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        (
+            business_days_expr("l_shipdate")
+            - business_days_expr("o_orderdate")
+        ).alias("bd"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("bd").cast("long").alias("sum_bd"),
+        F.max("bd").cast("long").alias("max_bd"),
+        F.expr(
+            "CAST((2 * SUM(bd) * 1000000 + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("avg_bd_micro"),
+    )
+
+
+import math as _math
+
+# z(95%) * sqrt(lead time of 7 days): ONE Python-computed literal shared
+# by both engines (repr = shortest round-trip double), so neither engine
+# computes sqrt(7) itself.
+_SS_ZL = repr(1.645 * _math.sqrt(7.0))
+
+
+@register(
+    "safety_stock_parts",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    st AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(SUM(q * q) AS BIGINT) AS sum_q2
+      FROM daily GROUP BY l_partkey)
+    SELECT l_partkey, n_days,
+           CAST((2 * sum_q * 1000000 + n_days)
+                // (2 * n_days) AS BIGINT) AS mean_demand_micro,
+           CAST(FLOOR(CAST({_SS_ZL} AS DOUBLE)
+                * sqrt(CAST(n_days * sum_q2 - sum_q * sum_q AS DOUBLE))
+                / CAST(n_days AS DOUBLE)
+                * 1000000.0 + 0.5) AS BIGINT) AS safety_stock_micro
+    FROM st
+    """,
+)
+def q_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock per part: z(95%) * sqrt(lead time) * sigma of daily
+    demand over the part's observed demand days -- the reorder-point
+    buffer every inventory policy carries.
+
+    Exactness: daily demand is integer units, so the variance numerator
+    ``n * sum(q^2) - sum(q)^2`` is exact BIGINT; sigma enters through
+    ONE IEEE sqrt (correctly rounded on both engines) and the z *
+    sqrt(L) factor is a shared Python literal -- one terminal half-up
+    micro rounding.  The mean is half-up micro by integer div.
+
+    Scale shape: two map-side-combinable aggregates (lineitem ->
+    (part, day) -> part); nothing else.  Population sigma over observed
+    demand days (zero-demand days are a date-spine join a deployment
+    adds when its calendar says so)."""
+    daily = (
+        _lineitem(spark, sf_dir)
+        .groupBy(
+            "l_partkey", F.col("l_shipdate").cast("date").alias("d")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q")
+        )
+    )
+    st = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sum_q2"),
+    )
+    return st.select(
+        "l_partkey",
+        "n_days",
+        F.expr(
+            "CAST((2 * sum_q * 1000000 + n_days)"
+            " DIV (2 * n_days) AS BIGINT)"
+        ).alias("mean_demand_micro"),
+        F.expr(
+            f"CAST(FLOOR(CAST({_SS_ZL} AS DOUBLE)"
+            f" * sqrt(CAST(n_days * sum_q2 - sum_q * sum_q AS DOUBLE))"
+            f" / CAST(n_days AS DOUBLE)"
+            f" * 1000000.0D + 0.5D) AS BIGINT)"
+        ).alias("safety_stock_micro"),
+    )

@@ -301,3 +301,48 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_portable_topk(
         emb, queries, "vec_id", "embedding", k=10, n_clusters=16, nprobe=4
     )
+
+
+@register(
+    "embedding_quantization_audit",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+    qq AS (
+      SELECT ex.dim, ex.v, st.mn, st.mx,
+             CASE WHEN st.mx > st.mn THEN
+               CAST(FLOOR((ex.v - st.mn) * CAST(255.0 AS DOUBLE)
+                          / (st.mx - st.mn) + 0.5) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS q
+      FROM ex JOIN st USING (dim)),
+    ee AS (
+      SELECT dim, mn, mx,
+             CASE WHEN mx > mn THEN CAST(FLOOR(
+               (v - (mn + CAST(q AS DOUBLE) * (mx - mn)
+                          / CAST(255.0 AS DOUBLE)))
+               * (v - (mn + CAST(q AS DOUBLE) * (mx - mn)
+                            / CAST(255.0 AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS e
+      FROM qq)
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(FLOOR(MIN(mn) * 1000000000.0 + 0.5) AS BIGINT) AS min_nano,
+           CAST(FLOOR(MAX(mx) * 1000000000.0 + 0.5) AS BIGINT) AS max_nano,
+           CAST(SUM(e) AS BIGINT) AS sq_err_nano
+    FROM ee GROUP BY dim
+    """,
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus
+    with its reconstruction-error audit -- which dimensions survive
+    8-bit vector storage
+    (`operators/similarity.py::scalar_quantization_audit`)."""
+    from ..operators.similarity import scalar_quantization_audit
+
+    return scalar_quantization_audit(
+        _emb(spark, sf_dir), "vec_id", "embedding", levels=256
+    )

@@ -232,3 +232,67 @@ def test_dp_noisy_counts_validates(spark):
         dp_noisy_counts(df, ["grp"], epsilon=0.0, salt="s")
     with pytest.raises(ValueError):
         dp_noisy_counts(df, ["grp"], epsilon=1.0, salt="s", sensitivity=0)
+
+
+# ------------------------------------------- quantization / business days
+def test_scalar_quantization_hand_case(spark):
+    import math
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+        scalar_quantization_audit,
+    )
+
+    # dim0 spans [0,1] with a midpoint; dim1 is constant (degenerate:
+    # code 0, zero error, min == max).
+    df = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [1.0, 7.0]), (3, [0.5, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["dim"]: (r["n_vecs"], r["min_nano"], r["max_nano"], r["sq_err_nano"])
+        for r in scalar_quantization_audit(df, "vec_id", "embedding").collect()
+    }
+    # v=0.5 -> q=floor(0.5*255+0.5)=128, recon=128/255, per-dim err
+    # rounds half-up to nano BEFORE the sum.
+    e = 0.5 - 128.0 * 1.0 / 255.0
+    mid_err = math.floor(e * e * 1e9 + 0.5)
+    assert got == {
+        0: (3, 0, 10**9, mid_err),
+        1: (3, 7 * 10**9, 7 * 10**9, 0),
+    }
+    with pytest.raises(ValueError):
+        scalar_quantization_audit(df, "vec_id", "embedding", levels=1)
+
+
+def test_business_days_closed_form_matches_calendar(spark):
+    from datetime import date, timedelta
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.timeseries import (
+        sql_business_days,
+    )
+
+    # Closed form vs literal calendar count for every day across three
+    # weeks straddling month ends, on BOTH engines.
+    import duckdb
+
+    epoch = date(1992, 1, 6)  # Monday
+    days = [date(1995, 12, 25) + timedelta(d) for d in range(21)]
+
+    def calendar_bd(d):
+        return sum(
+            1
+            for i in range((d - epoch).days + 1)
+            if (epoch + timedelta(i)).weekday() < 5
+        )
+
+    exprs = ", ".join(
+        sql_business_days(f"DATE '{d}'", engine="spark") for d in days
+    )
+    spark_got = list(spark.sql(f"SELECT {exprs}").collect()[0])
+    duck_exprs = ", ".join(
+        sql_business_days(f"DATE '{d}'", engine="duckdb") for d in days
+    )
+    duck_got = list(duckdb.connect().execute(f"SELECT {duck_exprs}").fetchone())
+    want = [calendar_bd(d) for d in days]
+    assert spark_got == want
+    assert duck_got == want
