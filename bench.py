@@ -224,6 +224,8 @@ BENCH_QUERIES = [
     "embedding_quantization_audit",
     "sla_business_days_by_priority",
     "safety_stock_parts",
+    "rake_keyword_phrases",
+    "sortkey_pruning_audit",
 ]
 
 

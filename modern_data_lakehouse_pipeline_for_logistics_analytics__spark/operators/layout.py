@@ -185,3 +185,111 @@ def compaction_bins(
             F.max(key_col).alias("last_key"),
         )
     )
+
+
+def pruning_audit(
+    df: DataFrame,
+    id_col: str,
+    layouts: dict[str, str],
+    probe_cols: list[str],
+    probes: list[tuple[str, str, int, int]],
+    rows_per_file: int = 1000,
+) -> DataFrame:
+    """Sort-key selection audit: for each candidate layout (a LONG sort
+    column), simulate writing the table in ``rows_per_file`` files
+    sorted by that key, record each file's min/max zone map per probe
+    column, and report how many files each workload predicate (``(id,
+    col, lo, hi)`` closed ranges) would have to scan -- the measurement
+    behind "should this table be clustered by custkey or by date", made
+    BEFORE rewriting a single byte.
+
+    Exactness: file assignment comes from an exact global rank
+    (``windows.global_cumsum`` of ones -- the two-phase scheme, no
+    single-task sort); zone maps and overlap tests are BIGINT
+    comparisons; the scan share is half-up micro by integer div.
+
+    Scale shape: one value-ranged shuffle per candidate layout (the
+    rank), a map-side-combinable file aggregate (rows/1000 output
+    rows), then everything downstream operates on file-count-sized
+    frames (stack + broadcast probe join).  The audit never rewrites
+    data.
+
+    Output: ``layout, pred_id, files_total, files_scanned,
+    scan_share_micro``.
+    """
+    from functools import reduce
+
+    from .windows import global_cumsum
+
+    if rows_per_file < 1:
+        raise ValueError(f"rows_per_file must be >= 1, got {rows_per_file}")
+    bad = [c for _, c, _, _ in probes if c not in probe_cols]
+    if bad:
+        raise ValueError(f"probes reference non-probe columns: {bad}")
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(
+        [(pid, c, int(lo), int(hi)) for pid, c, lo, hi in probes],
+        "pred_id string, col string, lo long, hi long",
+    )
+    stack_args = ", ".join(
+        f"'{c}', __mn_{c}, __mx_{c}" for c in probe_cols
+    )
+    outs = []
+    for lname, scol in layouts.items():
+        ranked = global_cumsum(
+            df.withColumn("__one", F.lit(1)),
+            order_by=[F.asc(scol), F.asc(id_col)],
+            range_col=scol,
+            value_col="__one",
+            alias="__rk",
+        )
+        files = (
+            ranked.withColumn(
+                "__file", F.expr(f"(__rk - 1) div {int(rows_per_file)}")
+            )
+            .groupBy("__file")
+            .agg(
+                *[
+                    f
+                    for c in probe_cols
+                    for f in (
+                        F.min(c).cast("long").alias(f"__mn_{c}"),
+                        F.max(c).cast("long").alias(f"__mx_{c}"),
+                    )
+                ]
+            )
+        )
+        long_files = files.select(
+            "__file",
+            F.expr(
+                f"stack({len(probe_cols)}, {stack_args}) AS (col, mn, mx)"
+            ),
+        )
+        res = (
+            long_files.join(F.broadcast(probe_df), "col")
+            .groupBy("pred_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("files_total"),
+                F.sum(
+                    F.when(
+                        (F.col("lo") <= F.col("mx"))
+                        & (F.col("hi") >= F.col("mn")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("files_scanned"),
+            )
+            .select(
+                F.lit(lname).alias("layout"),
+                "pred_id",
+                "files_total",
+                "files_scanned",
+                F.expr(
+                    "CAST((2 * files_scanned * 1000000 + files_total)"
+                    " DIV (2 * files_total) AS BIGINT)"
+                ).alias("scan_share_micro"),
+            )
+        )
+        outs.append(res)
+    return reduce(lambda a, b: a.unionByName(b), outs)

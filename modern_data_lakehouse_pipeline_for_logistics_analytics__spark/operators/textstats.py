@@ -650,3 +650,97 @@ def phrase_search(
             .select(F.lit(phrase).alias("phrase"), id_col, "n_matches", "first_pos")
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str],
+    topn: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are the
+    maximal stopword-free token runs; each word scores ``deg/freq``
+    (deg = sum of the lengths of the phrases its occurrences sit in,
+    freq = its occurrence count); a phrase scores the sum of its words'
+    scores -- the classic cheap keyword extractor a corpus-triage
+    pipeline runs before anything neural.
+
+    Determinism: deg and freq are exact BIGINT counts; each WORD score
+    rounds half-up to micro units by integer div BEFORE the phrase sum
+    (the order-stable fixed-point discipline), so identical phrase
+    texts always carry identical BIGINT scores and the top-n is
+    reproducible (ties break on phrase text).
+
+    Scale shape: one posexplode; phrase ids are a per-doc running
+    stopword count (window clustered on the doc id); word stats are one
+    map-side-combinable vocab aggregate broadcast back onto the phrase
+    members; the phrase rebuild groups (doc, phrase) -- bounded by
+    phrase length -- and the final top-n is TakeOrderedAndProject.
+
+    Output: ``phrase, n_words, n_occurrences, score_micro`` (top
+    ``topn`` by score desc, phrase asc).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _cache_aged, tokenize
+
+    if not stopwords:
+        raise ValueError("rake_keywords needs a stopword list")
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokenize(text_col)).alias("pos", "term"),
+    )
+    w_doc = (
+        Window.partitionBy("__doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.withColumn(
+        "__grp",
+        F.sum(F.when(F.col("term").isin(stopwords), 1).otherwise(0)).over(
+            w_doc
+        ),
+    ).filter(~F.col("term").isin(stopwords))
+    members = marked.withColumn(
+        "__plen",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("__doc", "__grp"))
+        .cast("long"),
+    )
+    members = _cache_aged("rake_members", members)
+    words = members.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("__plen").cast("long").alias("deg"),
+    )
+    scored = words.select(
+        "term",
+        F.expr(
+            "CAST((2 * deg * 1000000 + freq) DIV (2 * freq) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    phrases = (
+        members.join(F.broadcast(scored), "term")
+        .groupBy("__doc", "__grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_micro").cast("long").alias("score_micro"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(topn)
+    )

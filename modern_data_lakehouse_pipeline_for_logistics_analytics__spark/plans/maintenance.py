@@ -331,3 +331,99 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = stale_updates.unionByName(deletes).unionByName(updates).unionByName(inserts)
     return apply_changes(target, changes, key="o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Sort-key pruning audit (zone-map effectiveness per candidate layout)
+# --------------------------------------------------------------------------
+
+from datetime import date as _date
+
+_PA_EPOCH = _date(1992, 1, 6)
+
+
+def _pa_day(y: int, m: int, d: int) -> int:
+    return (_date(y, m, d) - _PA_EPOCH).days
+
+
+_PA_LAYOUTS = {
+    "by_custkey": "k_cust",
+    "by_orderdate": "k_day",
+    "by_totalprice": "k_p4",
+}
+_PA_PROBES = [
+    ("date_1996q1", "k_day", _pa_day(1996, 1, 1), _pa_day(1996, 3, 31)),
+    ("date_1997h2", "k_day", _pa_day(1997, 7, 1), _pa_day(1997, 12, 31)),
+    ("price_mid", "k_p4", 100000 * 10000, 150000 * 10000),
+    ("price_low", "k_p4", 0, 20000 * 10000),
+]
+_PA_RPF = 1000
+
+
+def _pa_oracle() -> str:
+    base = (
+        "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS k_cust,"
+        " CAST(date_diff('day', DATE '1992-01-06',"
+        " CAST(o_orderdate AS DATE)) AS BIGINT) AS k_day,"
+        " CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT) AS k_p4"
+        " FROM orders"
+    )
+    parts = []
+    ctes = [f"base AS ({base})"]
+    for lname, scol in _PA_LAYOUTS.items():
+        ctes.append(
+            f"""f_{scol}_{lname} AS (
+      SELECT ((rk - 1) // {_PA_RPF}) AS fid,
+             MIN(k_day) AS mn_k_day, MAX(k_day) AS mx_k_day,
+             MIN(k_p4) AS mn_k_p4, MAX(k_p4) AS mx_k_p4
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY {scol}, o_orderkey)
+                      AS rk FROM base)
+      GROUP BY 1)"""
+        )
+        for pid, pcol, lo, hi in _PA_PROBES:
+            parts.append(
+                f"""SELECT '{lname}' AS layout, '{pid}' AS pred_id,
+       CAST(COUNT(*) AS BIGINT) AS files_total,
+       CAST(SUM(CASE WHEN {lo} <= mx_{pcol} AND {hi} >= mn_{pcol}
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST((2 * SUM(CASE WHEN {lo} <= mx_{pcol} AND {hi} >= mn_{pcol}
+                     THEN 1 ELSE 0 END) * 1000000 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS scan_share_micro
+FROM f_{scol}_{lname}"""
+            )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
+@register("sortkey_pruning_audit", oracle=_pa_oracle())
+def q_sortkey_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which clustering key earns its rewrite: simulate 1000-row files
+    under three candidate sort keys and count the files each workload
+    predicate's zone maps would prune -- exact global ranks via the
+    two-phase prefix-sum, BIGINT zone-map overlap tests
+    (`operators/layout.py::pruning_audit`)."""
+    from ..operators.dedup import _cache_aged
+    from ..operators.layout import pruning_audit
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("k_cust"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-06')"
+            " AS BIGINT)"
+        ).alias("k_day"),
+        F.expr(
+            "CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)"
+        ).alias("k_p4"),
+    )
+    # Each layout's global_cumsum probes splits, collects offsets, and
+    # feeds the file aggregate -- ~9 consumers over three layouts; cache
+    # the projected base once instead of re-scanning orders per job.
+    base = _cache_aged("pa_base", base)
+    return pruning_audit(
+        base,
+        "o_orderkey",
+        _PA_LAYOUTS,
+        ["k_day", "k_p4"],
+        _PA_PROBES,
+        rows_per_file=_PA_RPF,
+    )

@@ -676,3 +676,70 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import phrase_search
 
     return phrase_search(_docs(spark, sf_dir), "doc_id", "text", _PHRASES)
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction
+# --------------------------------------------------------------------------
+
+_RAKE_STOPS = ["the", "a", "and", "of", "to", "is"]
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+             unnest(t) AS term
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents)),
+    marked AS (
+      SELECT doc_id, pos, term,
+             SUM(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tok),
+    filtered AS (
+      SELECT doc_id, grp, pos, term FROM marked
+      WHERE term NOT IN ({stops})),
+    members AS (
+      SELECT doc_id, grp, pos, term,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id, grp) AS BIGINT)
+               AS plen
+      FROM filtered),
+    words AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM members GROUP BY term),
+    ws AS (
+      SELECT term,
+             CAST((2 * deg * 1000000 + freq) // (2 * freq) AS BIGINT)
+               AS w_micro
+      FROM words),
+    ph AS (
+      SELECT m.doc_id, m.grp,
+             string_agg(m.term, ' ' ORDER BY m.pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(ws.w_micro) AS BIGINT) AS score_micro
+      FROM members m JOIN ws USING (term)
+      GROUP BY m.doc_id, m.grp)
+    SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(score_micro) AS BIGINT) AS score_micro
+    FROM ph GROUP BY phrase
+    ORDER BY score_micro DESC, phrase LIMIT 20
+    """
+
+
+@register("rake_keyword_phrases", oracle=_rake_oracle())
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the document corpus: stopword-
+    delimited candidate phrases scored by summed word deg/freq ratios in
+    half-up micro fixed point -- the cheap corpus-triage keyword pass
+    (`operators/textstats.py::rake_keywords`)."""
+    from ..operators.textstats import rake_keywords
+
+    return rake_keywords(
+        _docs(spark, sf_dir), "doc_id", "text", _RAKE_STOPS, topn=20
+    )

@@ -296,3 +296,75 @@ def test_business_days_closed_form_matches_calendar(spark):
     want = [calendar_bd(d) for d in days]
     assert spark_got == want
     assert duck_got == want
+
+
+# ------------------------------------------------- rake / pruning audit
+def test_rake_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        rake_keywords,
+    )
+
+    # "big data pipeline the data": phrases "big data pipeline" (len 3)
+    # and "data" (len 1).  freq/deg: big 1/3, pipeline 1/3, data 2/4.
+    df = spark.createDataFrame(
+        [(1, "big data pipeline the data")], "doc_id long, text string"
+    )
+    got = {
+        r["phrase"]: (r["n_words"], r["n_occurrences"], r["score_micro"])
+        for r in rake_keywords(df, "doc_id", "text", ["the"]).collect()
+    }
+    assert got == {
+        "big data pipeline": (3, 1, 3000000 + 2000000 + 3000000),
+        "data": (1, 1, 2000000),
+    }
+    with pytest.raises(ValueError):
+        rake_keywords(df, "doc_id", "text", [])
+
+
+def test_rake_identical_phrases_merge(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.textstats import (
+        rake_keywords,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "fast scan the fast scan"), (2, "fast scan")],
+        "doc_id long, text string",
+    )
+    [r] = rake_keywords(df, "doc_id", "text", ["the"]).collect()
+    # freq fast=3, deg=6 -> 2e6; scan identical; phrase occurs 3x.
+    assert (r["phrase"], r["n_occurrences"], r["score_micro"]) == (
+        "fast scan", 3, 4000000,
+    )
+
+
+def test_pruning_audit_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.layout import (
+        pruning_audit,
+    )
+
+    # 8 rows; v interleaves so sorting by id leaves v spread across all
+    # files, sorting by v isolates the probe range in one file.
+    rows = [(i, [10, 90, 20, 80, 30, 70, 40, 60][i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "rid long, v long")
+    got = {
+        (r["layout"], r["pred_id"]): (r["files_total"], r["files_scanned"])
+        for r in pruning_audit(
+            df,
+            "rid",
+            {"by_id": "rid", "by_v": "v"},
+            ["v"],
+            [("lowv", "v", 10, 30)],
+            rows_per_file=2,
+        ).collect()
+    }
+    # by_v files: {10,20},{30,40},{60,70},{80,90} -> ranges [10,30]
+    # overlap files 1 and 2.  by_id files: {10,90},{20,80},{30,70},
+    # {40,60} -> first three overlap [10,30].
+    assert got == {("by_v", "lowv"): (4, 2), ("by_id", "lowv"): (4, 3)}
+    with pytest.raises(ValueError):
+        pruning_audit(df, "rid", {"a": "rid"}, ["v"], [("p", "w", 0, 1)])
+    with pytest.raises(ValueError):
+        pruning_audit(
+            df, "rid", {"a": "rid"}, ["v"], [("p", "v", 0, 1)],
+            rows_per_file=0,
+        )
