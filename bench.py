@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "safety_stock_parts",
     "rake_keyword_phrases",
     "sortkey_pruning_audit",
+    "hdr_value_quantiles",
+    "funnel_time_to_convert_hdr",
+    "seasonal_anomaly_days",
 ]
 
 

@@ -246,3 +246,121 @@ def cms_estimate(
             .alias("n_cms")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HDR-style log-linear histogram: the mergeable QUANTILE sketch next to
+# the portable HLL (distincts) and CMS (frequencies).
+# --------------------------------------------------------------------------
+
+HDR_SUB_BITS = 4  # 16 sub-buckets per octave -> <= 2^-4 relative error
+
+
+def hdr_bucket_sql(v: str, div: str) -> str:
+    """Bucket id of non-negative BIGINT ``v`` -- log-linear (HdrHistogram
+    scheme): values < 16 map to themselves; otherwise octave
+    ``e = floor(log2 v)`` (EXACT via ``length(bin(v)) - 1`` -- never a
+    float log near a power-of-two knife edge) with 16 linear sub-buckets
+    ``v div 2^(e-4) - 16``.  Bucket ids are contiguous, so a cumulative
+    over bucket_id walks value order.  One builder, two div tokens
+    ('div' Spark / '//' DuckDB)."""
+    e = f"(length(bin({v})) - 1)"
+    return (
+        f"CASE WHEN {v} < 16 THEN {v}"
+        f" ELSE ({e} - 3) * 16"
+        f" + (({v}) {div} CAST(pow(2.0, {e} - 4) AS BIGINT)) - 16 END"
+    )
+
+
+def hdr_bounds_sql(b: str, div: str) -> tuple[str, str]:
+    """(inclusive lower, inclusive upper) value bounds of bucket ``b`` --
+    the quantile estimate interval; width/lower <= 1/16."""
+    lo = (
+        f"CASE WHEN {b} < 16 THEN {b}"
+        f" ELSE (16 + ({b}) % 16)"
+        f" * CAST(pow(2.0, ({b}) {div} 16 - 1) AS BIGINT) END"
+    )
+    hi = (
+        f"CASE WHEN {b} < 16 THEN {b}"
+        f" ELSE (16 + ({b}) % 16)"
+        f" * CAST(pow(2.0, ({b}) {div} 16 - 1) AS BIGINT)"
+        f" + CAST(pow(2.0, ({b}) {div} 16 - 1) AS BIGINT) - 1 END"
+    )
+    return lo, hi
+
+
+def hdr_registers(
+    df: DataFrame, group_cols: list[str], val_col: str
+) -> DataFrame:
+    """Per-group HDR registers ``(<group_cols>, bucket, cnt)`` from a
+    non-negative BIGINT value column.  Register count is bounded by
+    16 buckets per octave x 60 octaves regardless of row count -- the
+    shuffle moves register cells, never values.  Registers MERGE by
+    summing cnt per bucket (``hdr_merge``): sketch(A) + sketch(B) ==
+    sketch(A UNION ALL B) exactly, the property day->week->month
+    rollups rest on (asserted in tests)."""
+    b = F.expr(hdr_bucket_sql(val_col, div="div"))
+    return (
+        df.withColumn("__b", b)
+        .groupBy(*group_cols, F.col("__b").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse register frames to ``group_cols`` granularity (drop the
+    finer keys by summing cnt per bucket)."""
+    return regs.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hdr_quantiles(
+    regs: DataFrame, quantiles: list[tuple[str, int, int]]
+) -> DataFrame:
+    """Quantile estimates from a merged (ungrouped) register frame:
+    for each ``(label, num, den)`` the estimate is the bucket holding
+    the ``ceil(num*n/den)``-th value -- rank arithmetic is exact
+    integers, so the chosen BUCKET is exact; only the value inside the
+    bucket is approximate, bounded by the reported [lo, hi] (<= 1/16
+    relative).  The cumulative window runs over the register frame --
+    bounded by bucket count (~hundreds), not data rows, so the
+    single-partition window is the right plan.
+
+    Output: ``q_label, n_total, bucket, est_lo, est_hi``.
+    """
+    from pyspark.sql import Window
+
+    if not quantiles:
+        raise ValueError("hdr_quantiles needs at least one quantile")
+    for lab, num, den in quantiles:
+        if not 0 < num <= den:
+            raise ValueError(f"quantile {lab!r}: need 0 < num <= den")
+    spark = regs.sparkSession
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = regs.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    tot = regs.agg(F.sum("cnt").cast("long").alias("n_total"))
+    qdf = spark.createDataFrame(
+        [(lab, int(n), int(d)) for lab, n, d in quantiles],
+        "q_label string, num long, den long",
+    )
+    lo, hi = hdr_bounds_sql("bucket", div="div")
+    hits = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qdf))
+        .filter(
+            F.col("cum")
+            >= F.expr("(num * n_total + den - 1) div den")
+        )
+        .groupBy("q_label", "n_total")
+        .agg(F.min("bucket").cast("long").alias("bucket"))
+    )
+    return hits.select(
+        "q_label",
+        "n_total",
+        "bucket",
+        F.expr(lo).cast("long").alias("est_lo"),
+        F.expr(hi).cast("long").alias("est_hi"),
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import register, table_path
+from .registry import read_events, register, table_path
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1023,3 +1023,67 @@ def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# --------------------------------------------------------------------------
+# HDR log-linear quantile sketch (mergeable, day -> total rollup)
+# --------------------------------------------------------------------------
+
+_HDR_QS = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def _hdr_oracle() -> str:
+    from ..operators.sketches import hdr_bounds_sql, hdr_bucket_sql
+
+    b = hdr_bucket_sql("cents", div="//")
+    lo, hi = hdr_bounds_sql("bucket", div="//")
+    qvals = ", ".join(f"('{lab}', {n}, {d})" for lab, n, d in _HDR_QS)
+    return f"""
+    WITH vals AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    day_regs AS (
+      SELECT day, CAST({b} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1, 2),
+    merged AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM day_regs GROUP BY bucket),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+      FROM merged),
+    qs(q_label, num, den) AS (VALUES {qvals}),
+    hits AS (
+      SELECT q_label, n_total, CAST(MIN(bucket) AS BIGINT) AS bucket
+      FROM cum CROSS JOIN qs
+      WHERE cum >= (num * n_total + den - 1) // den
+      GROUP BY q_label, n_total)
+    SELECT q_label, n_total, bucket,
+           CAST({lo} AS BIGINT) AS est_lo,
+           CAST({hi} AS BIGINT) AS est_hi
+    FROM hits
+    """
+
+
+@register("hdr_value_quantiles", oracle=_hdr_oracle())
+def q_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per-day HDR log-linear registers over
+    event value cents, merged day->total by summing register cells
+    (never re-scanning values), p50/p90/p99 bucket estimates with exact
+    integer rank arithmetic and <= 1/16 relative value bounds -- the
+    third sketch family next to portable HLL and CMS
+    (`operators/sketches.py::hdr_registers/hdr_merge/hdr_quantiles`)."""
+    from ..operators.sketches import hdr_merge, hdr_quantiles, hdr_registers
+
+    e = read_events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    day_regs = hdr_registers(e, ["day"], "cents")
+    merged = hdr_merge(day_regs, [])
+    return hdr_quantiles(merged, _HDR_QS)

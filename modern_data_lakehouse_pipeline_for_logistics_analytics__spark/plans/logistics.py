@@ -245,10 +245,11 @@ def q_itemcf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "seasonal_decompose_daily_revenue",
-    oracle=f"""
-    WITH daily AS (
+# Shared daily-revenue + centered-7-day-trend CTE text: the SQL twin of
+# `_daily_detrended` below, written once for the seasonal decomposition
+# and the anomaly query (same single-source discipline as _PATHS_G_CTE).
+_DAILY_DET_CTES = f"""
+    daily AS (
       SELECT CAST(l_shipdate AS DATE) AS d,
              CAST(SUM({_REV_E4}) AS BIGINT) AS rev_e4
       FROM lineitem GROUP BY 1),
@@ -259,14 +260,48 @@ def q_itemcf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
       WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
     det AS (
-      SELECT CAST((dayofweek(d) + 6) % 7 AS BIGINT) AS dow,
+      SELECT d, rev_e4,
              rev_e4 - CAST((2 * s7 + 7) // 14 AS BIGINT) AS det_e4
-      FROM tr WHERE c7 = 7)
+      FROM tr WHERE c7 = 7)"""
+
+
+def _daily_detrended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily e4 revenue with the centered-7-day half-up trend removed
+    (full windows only): ``d, rev_e4, det_e4``.  The day series is
+    post-aggregate (365 rows/yr), so the single-task trend window is
+    the right plan."""
+    from pyspark.sql import Window
+
+    daily = (
+        _lineitem(spark, sf_dir)
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.expr(f"CAST(SUM({_REV_E4}) AS BIGINT)").alias("rev_e4"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.withColumn(
+        "s7", F.sum("rev_e4").over(w).cast("long")
+    ).withColumn("c7", F.count(F.lit(1)).over(w).cast("long"))
+    return tr.filter(F.col("c7") == 7).select(
+        "d",
+        "rev_e4",
+        (
+            F.col("rev_e4") - F.expr("CAST((2 * s7 + 7) DIV 14 AS BIGINT)")
+        ).alias("det_e4"),
+    )
+
+
+@register(
+    "seasonal_decompose_daily_revenue",
+    oracle=f"""
+    WITH {_DAILY_DET_CTES},
+    dows AS (
+      SELECT CAST((dayofweek(d) + 6) % 7 AS BIGINT) AS dow, det_e4
+      FROM det)
     SELECT dow,
            CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(SUM(det_e4) AS BIGINT) AS sum_det_e4,
            CAST(SUM(det_e4) // COUNT(*) AS BIGINT) AS seasonal_e4
-    FROM det GROUP BY dow
+    FROM dows GROUP BY dow
     """,
 )
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,23 +320,10 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the only scan-scale stage is the daily aggregate
     (map-side combinable); the trend/seasonal windows run over ONE ROW
     PER DAY -- a bounded series (365/yr) where a single-task window is
-    the right plan, not a bottleneck."""
-    daily = (
-        _lineitem(spark, sf_dir)
-        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
-        .agg(F.expr(f"CAST(SUM({_REV_E4}) AS BIGINT)").alias("rev_e4"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("d").rowsBetween(-3, 3)
-    tr = daily.withColumn("s7", F.sum("rev_e4").over(w).cast("long")).withColumn(
-        "c7", F.count(F.lit(1)).over(w).cast("long")
-    )
-    det = tr.filter(F.col("c7") == 7).select(
-        F.expr("CAST(weekday(d) AS BIGINT)").alias("dow"),
-        (F.col("rev_e4") - F.expr("CAST((2 * s7 + 7) DIV 14 AS BIGINT)")).alias(
-            "det_e4"
-        ),
+    the right plan, not a bottleneck.  Daily/trend construction is the
+    shared `_daily_detrended`."""
+    det = _daily_detrended(spark, sf_dir).select(
+        F.expr("CAST(weekday(d) AS BIGINT)").alias("dow"), "det_e4"
     )
     return det.groupBy("dow").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
@@ -554,4 +576,71 @@ def q_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / CAST(n_days AS DOUBLE)"
             f" * 1000000.0D + 0.5D) AS BIGINT)"
         ).alias("safety_stock_micro"),
+    )
+
+
+@register(
+    "seasonal_anomaly_days",
+    oracle=f"""
+    WITH {_DAILY_DET_CTES},
+    med AS (
+      SELECT det_e4 AS v,
+             ROW_NUMBER() OVER (ORDER BY det_e4, d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM det),
+    m1 AS (SELECT v AS med FROM med WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT det.d, det.rev_e4, det.det_e4,
+             ABS(det.det_e4 - m1.med) AS adev
+      FROM det CROSS JOIN m1),
+    med2 AS (
+      SELECT adev, d,
+             ROW_NUMBER() OVER (ORDER BY adev, d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM dev),
+    m2 AS (SELECT adev AS mad FROM med2 WHERE rn = (n + 1) // 2)
+    SELECT dev.d, dev.rev_e4, dev.det_e4
+    FROM dev CROSS JOIN m2
+    WHERE dev.adev > 3 * m2.mad
+    """,
+)
+def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly days: detrend daily revenue (shared
+    `_daily_detrended`), then flag days whose deviation from the median
+    detrended value exceeds 3x the MAD -- the robust alert rule that
+    survives both trend drift (removed by the MA) and heavy tails
+    (median/MAD, not mean/stddev).
+
+    Exactness: detrended values are BIGINT; medians are exact
+    rank-selected elements (lower median at rank (n+1) div 2,
+    deterministic (value, day) tie-break); the 3x MAD threshold is an
+    integer comparison.  No float enters the rule.
+
+    Scale shape: everything after the daily aggregate operates on the
+    bounded day series (row_number windows over ~hundreds of rows);
+    both medians broadcast as single-row frames."""
+    from pyspark.sql import Window
+
+    det = _daily_detrended(spark, sf_dir)
+    w1 = Window.orderBy("det_e4", "d")
+    med = (
+        det.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("det_e4").alias("med"))
+    )
+    dev = det.crossJoin(F.broadcast(med)).withColumn(
+        "adev", F.abs(F.col("det_e4") - F.col("med"))
+    )
+    w2 = Window.orderBy("adev", "d")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("adev").alias("mad"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select("d", "rev_e4", "det_e4")
     )

@@ -385,3 +385,78 @@ def q_abtest_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(portable_base_hash(F.col("user_id").cast("string")), F.lit(2)),
     )
     return two_proportion_ztest(units, "variant", "converted")
+
+
+@register(
+    "funnel_time_to_convert_hdr",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id),
+    deltas AS (
+      SELECT CAST(date_diff('second', t_view, t_purchase) AS BIGINT)
+               AS secs
+      FROM per_user
+      WHERE t_view IS NOT NULL AND t_purchase > t_view),
+    regs AS (
+      SELECT CAST(CASE WHEN secs < 16 THEN secs
+                  ELSE ((length(bin(secs)) - 1) - 3) * 16
+                       + ((secs) // CAST(pow(2.0, (length(bin(secs)) - 1)
+                                               - 4) AS BIGINT)) - 16 END
+                  AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM deltas GROUP BY 1),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+      FROM regs),
+    qs(q_label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10)),
+    hits AS (
+      SELECT q_label, n_total, CAST(MIN(bucket) AS BIGINT) AS bucket
+      FROM cum CROSS JOIN qs
+      WHERE cum >= (num * n_total + den - 1) // den
+      GROUP BY q_label, n_total)
+    SELECT q_label, n_total, bucket,
+           CAST(CASE WHEN bucket < 16 THEN bucket
+                ELSE (16 + (bucket) % 16)
+                     * CAST(pow(2.0, (bucket) // 16 - 1) AS BIGINT) END
+                AS BIGINT) AS est_lo,
+           CAST(CASE WHEN bucket < 16 THEN bucket
+                ELSE (16 + (bucket) % 16)
+                     * CAST(pow(2.0, (bucket) // 16 - 1) AS BIGINT)
+                     + CAST(pow(2.0, (bucket) // 16 - 1) AS BIGINT) - 1 END
+                AS BIGINT) AS est_hi
+    FROM hits
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per-user first-view -> first-
+    purchase delay in seconds, summarized by the HDR quantile sketch
+    (p50/p90 with <= 1/16 relative bounds) -- sketch composition over
+    the funnel instead of a global sort of deltas."""
+    from ..operators.sketches import hdr_merge, hdr_quantiles, hdr_registers
+
+    e = read_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    deltas = per_user.filter(
+        F.col("t_view").isNotNull()
+        & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+        ).cast("long").alias("secs")
+    )
+    regs = hdr_merge(hdr_registers(deltas, [], "secs"), [])
+    return hdr_quantiles(regs, [("p50", 1, 2), ("p90", 9, 10)])

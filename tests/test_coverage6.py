@@ -368,3 +368,72 @@ def test_pruning_audit_hand_case(spark):
             df, "rid", {"a": "rid"}, ["v"], [("p", "v", 0, 1)],
             rows_per_file=0,
         )
+
+
+# --------------------------------------------------------------- HDR
+def test_hdr_bucket_bounds_cover_all_values(spark):
+    # Every v in [0, 2048): the bucket's [lo, hi] must contain v, ids
+    # must be monotone in v, and width/lo <= 1/16 for v >= 16.
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+        hdr_bounds_sql,
+        hdr_bucket_sql,
+    )
+
+    b = hdr_bucket_sql("v", div="div")
+    lo, hi = hdr_bounds_sql(f"({b})", div="div")
+    rows = spark.range(0, 2048).selectExpr(
+        "id AS v", f"{b} AS bucket", f"{lo} AS lo", f"{hi} AS hi"
+    ).collect()
+    prev_bucket = -1
+    for r in sorted(rows, key=lambda r: r["v"]):
+        assert r["lo"] <= r["v"] <= r["hi"], r
+        assert r["bucket"] >= prev_bucket
+        prev_bucket = r["bucket"]
+        if r["v"] >= 16:
+            assert (r["hi"] - r["lo"]) * 16 <= r["lo"]
+
+
+def test_hdr_merge_equals_whole_corpus_sketch(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+        hdr_merge,
+        hdr_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(d, (i * 37) % 500 + 1) for d in (1, 2, 3) for i in range(50)],
+        "day long, v long",
+    )
+    merged = {
+        r["bucket"]: r["cnt"]
+        for r in hdr_merge(hdr_registers(df, ["day"], "v"), []).collect()
+    }
+    whole = {
+        r["bucket"]: r["cnt"]
+        for r in hdr_registers(df, [], "v").collect()
+    }
+    assert merged == whole
+
+
+def test_hdr_quantiles_exact_rank_semantics(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.sketches import (
+        hdr_quantiles,
+        hdr_registers,
+    )
+
+    # values 1..10 (each its own bucket, < 16): p50 -> rank ceil(5) ->
+    # value 5 exactly; p90 -> rank 9; p100 -> rank 10.
+    df = spark.createDataFrame([(v,) for v in range(1, 11)], "v long")
+    regs = hdr_registers(df, [], "v")
+    got = {
+        r["q_label"]: (r["bucket"], r["est_lo"], r["est_hi"])
+        for r in hdr_quantiles(
+            regs, [("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1)]
+        ).collect()
+    }
+    assert got == {
+        "p50": (5, 5, 5), "p90": (9, 9, 9), "p100": (10, 10, 10),
+    }
+    with pytest.raises(ValueError):
+        hdr_quantiles(regs, [])
+    with pytest.raises(ValueError):
+        hdr_quantiles(regs, [("bad", 3, 2)])
