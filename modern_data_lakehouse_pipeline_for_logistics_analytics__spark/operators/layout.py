@@ -227,6 +227,14 @@ def pruning_audit(
     if bad:
         raise ValueError(f"probes reference non-probe columns: {bad}")
     spark = df.sparkSession
+    # Each layout's global rank runs the split probe, the offsets
+    # collect, AND the file aggregate over the input (~3 jobs x
+    # len(layouts) consumers) -- cache the projected input HERE so a
+    # direct caller is not re-scanned ~9 times (r10 review finding).
+    from .dedup import _cache_aged
+
+    needed = sorted({id_col, *layouts.values(), *probe_cols})
+    df = _cache_aged("layout.pruning_audit", df.select(*needed))
     probe_df = spark.createDataFrame(
         [(pid, c, int(lo), int(hi)) for pid, c, lo, hi in probes],
         "pred_id string, col string, lo long, hi long",

@@ -109,7 +109,20 @@ def dp_noisy_counts(
     if sensitivity < 1:
         raise ValueError(f"sensitivity must be >= 1, got {sensitivity}")
     b_r = repr(float(sensitivity) / float(epsilon))
-    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in group_cols])
+    # NULL group keys: concat_ws silently SKIPS nulls (two NULL-keyed
+    # columns would collapse onto the bare salt and draw correlated
+    # noise) while the SQL twin's || propagates NULL -- coalesce each
+    # component to an explicit sentinel on BOTH sides instead (r10
+    # review finding; the sentinel starts with \x00 so no real value
+    # collides with it).
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in group_cols
+        ],
+    )
     g = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")
     )

@@ -412,7 +412,8 @@ def q_geofence_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
       SELECT *,
              CAST(('0x' || substring(md5('r10dp' || chr(31)
-                   || CAST(o_orderpriority AS VARCHAR)), 2, 15)) AS BIGINT)
+                   || COALESCE(CAST(o_orderpriority AS VARCHAR),
+                               chr(0) || 'null')), 2, 15)) AS BIGINT)
              % 4503599627370496 AS hh
       FROM g)
     SELECT o_orderpriority, n_exact,

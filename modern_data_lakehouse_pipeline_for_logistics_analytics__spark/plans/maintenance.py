@@ -401,7 +401,6 @@ def q_sortkey_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate's zone maps would prune -- exact global ranks via the
     two-phase prefix-sum, BIGINT zone-map overlap tests
     (`operators/layout.py::pruning_audit`)."""
-    from ..operators.dedup import _cache_aged
     from ..operators.layout import pruning_audit
 
     base = _t(spark, sf_dir, "orders").select(
@@ -415,10 +414,8 @@ def q_sortkey_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)"
         ).alias("k_p4"),
     )
-    # Each layout's global_cumsum probes splits, collects offsets, and
-    # feeds the file aggregate -- ~9 consumers over three layouts; cache
-    # the projected base once instead of re-scanning orders per job.
-    base = _cache_aged("pa_base", base)
+    # pruning_audit caches its projected input internally (one orders
+    # scan instead of ~9 across the three layouts).
     return pruning_audit(
         base,
         "o_orderkey",

@@ -387,9 +387,12 @@ def q_abtest_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_proportion_ztest(units, "variant", "converted")
 
 
-@register(
-    "funnel_time_to_convert_hdr",
-    oracle="""
+def _ttc_oracle() -> str:
+    from ..operators.sketches import hdr_bounds_sql, hdr_bucket_sql
+
+    b = hdr_bucket_sql("secs", div="//")
+    lo, hi = hdr_bounds_sql("bucket", div="//")
+    return f"""
     WITH per_user AS (
       SELECT user_id,
              MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
@@ -401,11 +404,7 @@ def q_abtest_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user
       WHERE t_view IS NOT NULL AND t_purchase > t_view),
     regs AS (
-      SELECT CAST(CASE WHEN secs < 16 THEN secs
-                  ELSE ((length(bin(secs)) - 1) - 3) * 16
-                       + ((secs) // CAST(pow(2.0, (length(bin(secs)) - 1)
-                                               - 4) AS BIGINT)) - 16 END
-                  AS BIGINT) AS bucket,
+      SELECT CAST({b} AS BIGINT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM deltas GROUP BY 1),
     cum AS (
@@ -422,24 +421,19 @@ def q_abtest_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE cum >= (num * n_total + den - 1) // den
       GROUP BY q_label, n_total)
     SELECT q_label, n_total, bucket,
-           CAST(CASE WHEN bucket < 16 THEN bucket
-                ELSE (16 + (bucket) % 16)
-                     * CAST(pow(2.0, (bucket) // 16 - 1) AS BIGINT) END
-                AS BIGINT) AS est_lo,
-           CAST(CASE WHEN bucket < 16 THEN bucket
-                ELSE (16 + (bucket) % 16)
-                     * CAST(pow(2.0, (bucket) // 16 - 1) AS BIGINT)
-                     + CAST(pow(2.0, (bucket) // 16 - 1) AS BIGINT) - 1 END
-                AS BIGINT) AS est_hi
+           CAST({lo} AS BIGINT) AS est_lo,
+           CAST({hi} AS BIGINT) AS est_hi
     FROM hits
-    """,
-)
+    """
+
+
+@register("funnel_time_to_convert_hdr", oracle=_ttc_oracle())
 def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: per-user first-view -> first-
     purchase delay in seconds, summarized by the HDR quantile sketch
     (p50/p90 with <= 1/16 relative bounds) -- sketch composition over
     the funnel instead of a global sort of deltas."""
-    from ..operators.sketches import hdr_merge, hdr_quantiles, hdr_registers
+    from ..operators.sketches import hdr_quantiles, hdr_registers
 
     e = read_events(spark, sf_dir)
     per_user = e.groupBy("user_id").agg(
@@ -458,5 +452,7 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
         ).cast("long").alias("secs")
     )
-    regs = hdr_merge(hdr_registers(deltas, [], "secs"), [])
+    # hdr_registers with no group cols is already per-bucket -- no merge
+    # needed (the r10 review caught a redundant identity re-aggregate).
+    regs = hdr_registers(deltas, [], "secs")
     return hdr_quantiles(regs, [("p50", 1, 2), ("p90", 9, 10)])

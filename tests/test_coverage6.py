@@ -204,7 +204,7 @@ def test_dp_noisy_counts_matches_closed_form(spark):
     )
 
     df = spark.createDataFrame(
-        [("a",)] * 5 + [("b",)] * 2, "grp string"
+        [("a",)] * 5 + [("b",)] * 2 + [(None,)] * 3, "grp string"
     )
     got = {
         r["grp"]: (r["n_exact"], r["noisy_count_nano"])
@@ -219,7 +219,13 @@ def test_dp_noisy_counts_matches_closed_form(spark):
         noise = -0.5 * sign * math.log(1.0 - 2.0 * abs(u - 0.5))
         return n * 1000000000 + math.floor(noise * 1e9 + 0.5)
 
-    assert got == {"a": (5, expect("a", 5)), "b": (2, expect("b", 2))}
+    # NULL keys hash via the explicit sentinel, never collapse onto the
+    # bare salt (r10 review finding).
+    assert got == {
+        "a": (5, expect("a", 5)),
+        "b": (2, expect("b", 2)),
+        None: (3, expect("\x00null", 3)),
+    }
 
 
 def test_dp_noisy_counts_validates(spark):
