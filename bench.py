@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "hdr_value_quantiles",
     "funnel_time_to_convert_hdr",
     "seasonal_anomaly_days",
+    "bitmap_distinct_daily_users",
+    "bitmap_type_overlap_exact",
 ]
 
 

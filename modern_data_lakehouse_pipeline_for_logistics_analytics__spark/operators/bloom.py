@@ -162,3 +162,100 @@ def bloom_prune_join(
     dim = build.select(F.col(build_key).alias("__bloom_bk")).distinct()
     joined = pruned.join(F.broadcast(dim), on=F.col(probe_key) == F.col("__bloom_bk"), how=how)
     return joined.drop("__bloom_bk")
+
+
+# --------------------------------------------------------------------------
+# Bitmap indexes: EXACT mergeable distinct counting / set algebra over
+# dense integer id spaces (the roaring-bitmap pattern, 32-bit words).
+# --------------------------------------------------------------------------
+
+
+def bitmap_registers(
+    df: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """Per-group bitmap words over a NON-NEGATIVE integer id column:
+    word ``id div 32`` holds bit ``id mod 32`` (32-bit masks -- shifts
+    come from ``pow(2.0, bit)`` which is exact to 2^31 and never trips
+    the BIGINT sign bit).  One map-side-combinable ``bit_or`` collapses
+    any number of rows to at most ``max_id/32`` word cells per group --
+    the EXACT counterpart to the HLL registers: distinct counts,
+    unions (bit_or), and intersections (bitwise AND on joined words)
+    all come from the word frame without re-touching raw rows, and
+    word frames MERGE across partitions/days by bit_or.
+
+    Scale: cells shuffled, never ids; the id space must be dense-ish
+    (cells ~ max_id/32 per group) -- the classic bitmap-index
+    applicability condition; sparse 64-bit id spaces belong to HLL.
+
+    Output: ``<group_cols>, word, bm``.
+    """
+    word = F.expr(f"CAST(({id_col}) div 32 AS BIGINT)")
+    mask = F.expr(f"CAST(pow(2.0, ({id_col}) % 32) AS BIGINT)")
+    return (
+        df.select(*group_cols, word.alias("word"), mask.alias("__m"))
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("__m").cast("long").alias("bm"))
+    )
+
+
+def bitmap_cardinality(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Exact distinct count per group from bitmap words: sum of
+    ``bit_count`` over cells (both engines agree on BIGINT popcount).
+    Output: ``<group_cols>, n_distinct``."""
+    return regs.groupBy(*group_cols).agg(
+        F.sum(F.expr("bit_count(bm)")).cast("long").alias("n_distinct")
+    )
+
+
+def bitmap_pair_overlap(
+    regs: DataFrame, key_col: str, jaccard_scale: int = 1_000_000
+) -> DataFrame:
+    """Exact pairwise set algebra between every pair of groups in a
+    single-key register frame: ``|A n B|`` by popcounting ANDed words,
+    ``|A u B|`` by inclusion-exclusion, Jaccard as half-up fixed point.
+    The word equi-join touches only cells both groups populate; group
+    cardinalities ride in from ``bitmap_cardinality`` (broadcast-sized:
+    one row per group).
+
+    Output: ``<key>_a, <key>_b, n_a, n_b, n_both, n_union,
+    jaccard_fp`` for every unordered pair with key_a < key_b (disjoint
+    pairs appear with n_both = 0).
+    """
+    a = regs.select(
+        F.col(key_col).alias("ka"), "word", F.col("bm").alias("bma")
+    )
+    b = regs.select(
+        F.col(key_col).alias("kb"), "word", F.col("bm").alias("bmb")
+    )
+    both = (
+        a.join(b, "word")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(
+            F.sum(F.expr("bit_count(bma & bmb)")).cast("long").alias("n_both")
+        )
+    )
+    card = bitmap_cardinality(regs, [key_col])
+    ca = card.select(F.col(key_col).alias("ka"), F.col("n_distinct").alias("n_a"))
+    cb = card.select(F.col(key_col).alias("kb"), F.col("n_distinct").alias("n_b"))
+    pairs = (
+        ca.crossJoin(cb)
+        .filter(F.col("ka") < F.col("kb"))
+        .join(both, ["ka", "kb"], "left")
+        .withColumn("n_both", F.coalesce("n_both", F.lit(0)).cast("long"))
+        .withColumn(
+            "n_union", (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("long")
+        )
+    )
+    return pairs.select(
+        F.col("ka").alias(f"{key_col}_a"),
+        F.col("kb").alias(f"{key_col}_b"),
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_union",
+        F.expr(
+            f"CAST((2 * n_both * {int(jaccard_scale)} + n_union)"
+            " DIV (2 * n_union) AS BIGINT)"
+        ).alias("jaccard_fp"),
+    )

@@ -1087,3 +1087,76 @@ def q_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_regs = hdr_registers(e, ["day"], "cents")
     merged = hdr_merge(day_regs, [])
     return hdr_quantiles(merged, _HDR_QS)
+
+
+# --------------------------------------------------------------------------
+# Exact bitmap indexes (roaring pattern): the oracles here are GROUND
+# TRUTH (COUNT DISTINCT / distinct self-join), not replays -- the hash
+# gate proves the bitmap path computes the true sets exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bitmap_distinct_daily_users",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    """,
+)
+def q_bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users via 32-bit bitmap words -- the
+    roaring-bitmap pattern: one bit_or aggregate collapses the stream
+    to word cells, popcounts sum to the exact distinct count, and the
+    word frame merges across days without re-touching rows.  The oracle
+    is the semantic ground truth (COUNT DISTINCT), so the hash gate
+    proves exactness, not just replay
+    (`operators/bloom.py::bitmap_registers/bitmap_cardinality`)."""
+    from ..operators.bloom import bitmap_cardinality, bitmap_registers
+
+    e = read_events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    return bitmap_cardinality(
+        bitmap_registers(e, ["day"], "user_id"), ["day"]
+    )
+
+
+@register(
+    "bitmap_type_overlap_exact",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ut GROUP BY 1),
+    ovl AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT ca.event_type AS event_type_a, cb.event_type AS event_type_b,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(COALESCE(ovl.nb, 0) AS BIGINT) AS n_both,
+           CAST(ca.n + cb.n - COALESCE(ovl.nb, 0) AS BIGINT) AS n_union,
+           CAST((2 * COALESCE(ovl.nb, 0) * 1000000
+                 + (ca.n + cb.n - COALESCE(ovl.nb, 0)))
+                // (2 * (ca.n + cb.n - COALESCE(ovl.nb, 0)))
+                AS BIGINT) AS jaccard_fp
+    FROM c ca CROSS JOIN c cb
+    LEFT JOIN ovl ON ovl.ta = ca.event_type AND ovl.tb = cb.event_type
+    WHERE ca.event_type < cb.event_type
+    """,
+)
+def q_bitmap_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience overlap between every event-type pair via bitmap
+    AND: intersections popcount ANDed words, unions come by inclusion-
+    exclusion, Jaccard in half-up micro fixed point -- the exact
+    counterpart to the portable-HLL `sketch_event_type_overlap` (use
+    bitmaps while ids are dense, sketches when they are not).  Oracle =
+    ground-truth distinct self-join
+    (`operators/bloom.py::bitmap_pair_overlap`)."""
+    from ..operators.bloom import bitmap_pair_overlap, bitmap_registers
+
+    e = read_events(spark, sf_dir).select("event_type", "user_id")
+    regs = bitmap_registers(e, ["event_type"], "user_id")
+    return bitmap_pair_overlap(regs, "event_type")

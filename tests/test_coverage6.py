@@ -443,3 +443,69 @@ def test_hdr_quantiles_exact_rank_semantics(spark):
         hdr_quantiles(regs, [])
     with pytest.raises(ValueError):
         hdr_quantiles(regs, [("bad", 3, 2)])
+
+
+# ------------------------------------------------------------- bitmaps
+def test_bitmap_word_boundaries_and_dups(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.bloom import (
+        bitmap_cardinality,
+        bitmap_registers,
+    )
+
+    # ids straddle the 32-bit word boundary; duplicates count once.
+    df = spark.createDataFrame(
+        [("g", i) for i in (0, 31, 31, 32, 63, 64, 64)],
+        "grp string, uid long",
+    )
+    regs = bitmap_registers(df, ["grp"], "uid")
+    words = {r["word"]: r["bm"] for r in regs.collect()}
+    assert words == {0: (1 << 0) | (1 << 31), 1: (1 << 0) | (1 << 31), 2: 1}
+    [c] = bitmap_cardinality(regs, ["grp"]).collect()
+    assert c["n_distinct"] == 5
+
+
+def test_bitmap_registers_merge_exactly(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.bloom import (
+        bitmap_registers,
+    )
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(d, (i * 13) % 100) for d in (1, 2) for i in range(40)],
+        "day long, uid long",
+    )
+    per_day = bitmap_registers(df, ["day"], "uid")
+    merged = {
+        r["word"]: r["bm"]
+        for r in per_day.groupBy("word")
+        .agg(F2.bit_or("bm").alias("bm"))
+        .collect()
+    }
+    whole = {
+        r["word"]: r["bm"]
+        for r in bitmap_registers(df.select("uid"), [], "uid").collect()
+    }
+    assert merged == whole
+
+
+def test_bitmap_pair_overlap_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.bloom import (
+        bitmap_pair_overlap,
+        bitmap_registers,
+    )
+
+    # A = {1,2,3,40}, B = {3,40,50}, C = {99} (disjoint from both).
+    rows = [("A", u) for u in (1, 2, 3, 40)] + [
+        ("B", u) for u in (3, 40, 50)
+    ] + [("C", 99)]
+    df = spark.createDataFrame(rows, "k string, uid long")
+    regs = bitmap_registers(df, ["k"], "uid")
+    got = {
+        (r["k_a"], r["k_b"]): (r["n_both"], r["n_union"], r["jaccard_fp"])
+        for r in bitmap_pair_overlap(regs, "k").collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 5, 400000),
+        ("A", "C"): (0, 5, 0),
+        ("B", "C"): (0, 4, 0),
+    }
