@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "seasonal_anomaly_days",
     "bitmap_distinct_daily_users",
     "bitmap_type_overlap_exact",
+    "hits_part_supplier",
 ]
 
 

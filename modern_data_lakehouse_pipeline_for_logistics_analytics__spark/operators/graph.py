@@ -596,3 +596,80 @@ def kcore_bounded(
         _unpersist_checkpoint(prev)
     hold_pinned("graph.kcore", ckpt)
     return deg if deg is not None else ckpt.withColumn("deg", F.lit(None).cast("long"))
+
+
+def hits_fixedpoint(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities (Kleinberg) over a directed edge list --
+    the two-sided companion to PageRank: authorities collect hub mass
+    over in-edges, hubs collect authority mass over out-edges, each
+    side renormalized per half-step.
+
+    Exact cross-engine replay: scores live in BIGINT ``scale`` units;
+    the usual L2 normalization (an irrational sqrt of a sum) is
+    replaced by L-inf -- divide by the max, ``(s * scale) div max`` --
+    which preserves the RANKING each half-step exactly and keeps every
+    intermediate an integer the oracle can replay (headroom: max
+    in-degree * scale^2 must stay < 2^63, i.e. degree < ~9e3 at the
+    default scale; shrink ``scale`` for denser graphs).
+
+    Loop discipline (the PageRank/CC pattern): edges distinct +
+    persisted pre-partitioned once; each half-step is one equi-join +
+    map-side-combinable sum; the per-round max is a bounded 1-row
+    collect; frames localCheckpoint per half-step with superseded-
+    checkpoint release.
+
+    Returns ``(hubs, auths)`` as ``(node, score_fp)`` frames.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .persist()
+    )
+    hubs = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.lit(scale).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    auths = None
+    supers: list[DataFrame] = [hubs]
+
+    def _half(frame: DataFrame, edge_key: str, out_key: str) -> DataFrame:
+        raw = (
+            e.join(frame.withColumnRenamed("node", edge_key), edge_key)
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum("r").cast("long").alias("s"))
+        )
+        raw = raw.localCheckpoint(eager=True)
+        supers.append(raw)
+        mx = raw.agg(F.max("s")).first()[0]
+        if mx is None:
+            raise ValueError("hits_fixedpoint: empty edge list")
+        out = raw.select(
+            "node",
+            F.expr(f"(s * {int(scale)}) div {int(mx)}").cast("long").alias("r"),
+        ).localCheckpoint(eager=True)
+        supers.append(out)
+        return out
+
+    try:
+        for _ in range(iterations):
+            auths = _half(hubs, "s", "d")
+            hubs = _half(auths, "d", "s")
+    finally:
+        e.unpersist()
+        # Release every superseded intermediate except the two finals.
+        for f in supers:
+            if f is not hubs and f is not auths:
+                _unpersist_checkpoint(f)
+    hold_pinned("graph.hits_hubs", hubs)
+    hold_pinned("graph.hits_auths", auths)
+    return (
+        hubs.select("node", F.col("r").alias("score_fp")),
+        auths.select("node", F.col("r").alias("score_fp")),
+    )

@@ -1160,3 +1160,86 @@ def q_bitmap_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_events(spark, sf_dir).select("event_type", "user_id")
     regs = bitmap_registers(e, ["event_type"], "user_id")
     return bitmap_pair_overlap(regs, "event_type")
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (unrolled-CTE oracle, L-inf renorm)
+# --------------------------------------------------------------------------
+
+_HITS_ITER = 3
+_HITS_SCALE = 1_000_000
+_HITS_TOP = 10
+
+
+def _hits_oracle() -> str:
+    s = _HITS_SCALE
+    ctes = [
+        """edges AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem)""",
+        f"""h0 AS (SELECT DISTINCT s AS node, CAST({s} AS BIGINT) AS r
+      FROM edges)""",
+    ]
+    for i in range(1, _HITS_ITER + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+      SELECT e.d AS node, CAST(SUM(h.r) AS BIGINT) AS sm
+      FROM edges e JOIN h{i - 1} h ON h.node = e.s GROUP BY e.d)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT node, CAST((sm * {s}) // (SELECT MAX(sm) FROM a{i}r)
+                        AS BIGINT) AS r
+      FROM a{i}r)"""
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+      SELECT e.s AS node, CAST(SUM(a.r) AS BIGINT) AS sm
+      FROM edges e JOIN a{i} a ON a.node = e.d GROUP BY e.s)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+      SELECT node, CAST((sm * {s}) // (SELECT MAX(sm) FROM h{i}r)
+                        AS BIGINT) AS r
+      FROM h{i}r)"""
+        )
+    n = _HITS_ITER
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT * FROM (
+      SELECT 'hub' AS side, node, r AS score_fp FROM h{n}
+      ORDER BY r DESC, node LIMIT {_HITS_TOP})
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'auth' AS side, node, r AS score_fp FROM a{n}
+      ORDER BY r DESC, node LIMIT {_HITS_TOP})
+    """
+    )
+
+
+@register("hits_part_supplier", oracle=_hits_oracle())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the directed part->supplier graph: top-10 hub parts and
+    top-10 authority suppliers after 3 L-inf-renormalized fixed-point
+    rounds -- exact BIGINT replay, per-round max as a bounded 1-row
+    collect (`operators/graph.py::hits_fixedpoint`)."""
+    from ..operators.graph import hits_fixedpoint
+
+    li = spark.read.parquet(table_path(sf_dir, "lineitem")).select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    hubs, auths = hits_fixedpoint(
+        li, iterations=_HITS_ITER, scale=_HITS_SCALE
+    )
+    top_h = (
+        hubs.orderBy(F.desc("score_fp"), F.asc("node"))
+        .limit(_HITS_TOP)
+        .select(F.lit("hub").alias("side"), "node", "score_fp")
+    )
+    top_a = (
+        auths.orderBy(F.desc("score_fp"), F.asc("node"))
+        .limit(_HITS_TOP)
+        .select(F.lit("auth").alias("side"), "node", "score_fp")
+    )
+    return top_h.unionByName(top_a)

@@ -509,3 +509,39 @@ def test_bitmap_pair_overlap_hand_case(spark):
         ("A", "C"): (0, 5, 0),
         ("B", "C"): (0, 4, 0),
     }
+
+
+# ----------------------------------------------------------------- HITS
+def test_hits_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        hits_fixedpoint,
+    )
+
+    # 1->10, 2->10, 2->20 at scale 100, 2 rounds:
+    # a1r: 10=200, 20=100 -> a1: 100, 50
+    # h1r: 1=100, 2=150   -> h1: 66, 100
+    # a2r: 10=166, 20=100 -> a2: 100, 60
+    # h2r: 1=100, 2=160   -> h2: 62, 100
+    e = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 20)], "src long, dst long"
+    )
+    hubs, auths = hits_fixedpoint(e, iterations=2, scale=100)
+    assert {r["node"]: r["score_fp"] for r in hubs.collect()} == {
+        1: 62, 2: 100,
+    }
+    assert {r["node"]: r["score_fp"] for r in auths.collect()} == {
+        10: 100, 20: 60,
+    }
+
+
+def test_hits_validates(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.graph import (
+        hits_fixedpoint,
+    )
+
+    e = spark.createDataFrame([(1, 10)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits_fixedpoint(e, iterations=0)
+    empty = e.filter("src < 0")
+    with pytest.raises(ValueError):
+        hits_fixedpoint(empty, iterations=1)
