@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "bitmap_distinct_daily_users",
     "bitmap_type_overlap_exact",
     "hits_part_supplier",
+    "theilsen_daily_revenue_trend",
 ]
 
 

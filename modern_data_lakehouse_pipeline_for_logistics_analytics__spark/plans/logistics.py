@@ -645,3 +645,88 @@ def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adev") > 3 * F.col("mad"))
         .select("d", "rev_e4", "det_e4")
     )
+
+
+@register(
+    "theilsen_daily_revenue_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM({_REV_E4}) AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY 1),
+    idx AS (
+      SELECT rev_e4,
+             CAST(date_diff('day', DATE '1992-01-06', d) AS BIGINT) AS x
+      FROM daily),
+    slopes AS (
+      SELECT CAST(((b.rev_e4 - a.rev_e4) * 1000
+                   + (CASE WHEN b.rev_e4 >= a.rev_e4 THEN 1 ELSE -1 END)
+                     * (b.x - a.x) // 2)
+                  // (b.x - a.x) AS BIGINT) AS slope_milli
+      FROM idx a JOIN idx b ON b.x > a.x),
+    ranked AS (
+      SELECT slope_milli,
+             ROW_NUMBER() OVER (ORDER BY slope_milli) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2
+                    THEN slope_milli END) AS BIGINT) AS slope_lo_milli,
+           CAST(MAX(CASE WHEN rn = n // 2 + 1
+                    THEN slope_milli END) AS BIGINT) AS slope_hi_milli
+    FROM ranked
+    """,
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise slopes -- the estimator that shrugs off the outlier days a
+    least-squares fit chases (complement to the median/MAD anomaly
+    rule).  Reports BOTH middle order statistics (lower/upper median)
+    so even-count medians need no cross-engine averaging.
+
+    Exactness: slopes are half-up MILLI-e4-units-per-day fixed point
+    computed in pure integer arithmetic -- (dy * 1000 + sign * dx/2)
+    / dx with dx > 0, where the sign term makes truncation toward zero
+    equal half-up rounding for either dy sign; median selection is an
+    exact rank pick over ROW_NUMBER.
+
+    Scale shape, stated honestly: the pair join is O(days^2) -- ~3M
+    pairs for a decade of days -- which is fine BECAUSE it runs on the
+    post-aggregate day series, never on raw rows; for multi-decade
+    second-granularity series, subsample pairs or use the repeated-
+    median variant.  The day aggregate is the only row-scale stage."""
+    from pyspark.sql import Window
+
+    daily = (
+        _lineitem(spark, sf_dir)
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.expr(f"CAST(SUM({_REV_E4}) AS BIGINT)").alias("rev_e4"))
+    )
+    idx = daily.select(
+        "rev_e4",
+        F.expr(
+            "CAST(datediff(d, DATE'1992-01-06') AS BIGINT)"
+        ).alias("x"),
+    )
+    a = idx.select(F.col("rev_e4").alias("ya"), F.col("x").alias("xa"))
+    b = idx.select(F.col("rev_e4").alias("yb"), F.col("x").alias("xb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        F.expr(
+            "CAST(((yb - ya) * 1000"
+            " + (CASE WHEN yb >= ya THEN 1 ELSE -1 END) * (xb - xa) DIV 2)"
+            " DIV (xb - xa) AS BIGINT)"
+        ).alias("slope_milli")
+    )
+    w = Window.orderBy("slope_milli")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope_milli"))
+        ).cast("long").alias("slope_lo_milli"),
+        F.max(
+            F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("slope_milli"))
+        ).cast("long").alias("slope_hi_milli"),
+    )

@@ -545,3 +545,26 @@ def test_hits_validates(spark):
     empty = e.filter("src < 0")
     with pytest.raises(ValueError):
         hits_fixedpoint(empty, iterations=1)
+
+
+def test_theilsen_slope_rounding_is_half_up_both_signs(spark):
+    # The (dy*1000 + sign*dx div 2) div dx formula must equal
+    # round-half-up(dy*1000/dx) for positive AND negative dy.
+    from pyspark.sql import functions as F2
+
+    rows = [(3, 5), (3, -5), (7, 10), (7, -10), (4, 6), (4, -6)]
+    df = spark.createDataFrame(rows, "dx long, dy long")
+    got = df.select(
+        F2.expr(
+            "CAST((dy * 1000"
+            " + (CASE WHEN dy >= 0 THEN 1 ELSE -1 END) * dx DIV 2)"
+            " DIV dx AS BIGINT)"
+        ).alias("s")
+    ).collect()
+    import math
+
+    def half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    want = [half_up(dy * 1000 / dx) for dx, dy in rows]
+    assert [r["s"] for r in got] == want
