@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "bitmap_type_overlap_exact",
     "hits_part_supplier",
     "theilsen_daily_revenue_trend",
+    "hrw_shard_rebalance_audit",
+    "segment_transition_halves",
 ]
 
 

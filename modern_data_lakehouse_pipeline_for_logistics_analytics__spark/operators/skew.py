@@ -266,3 +266,46 @@ def fd_violations(
         .cast("long")
         .alias("violation_bp"),
     )
+
+
+def hrw_assignments(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "hrw"
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to the shard with the largest portable hash of (salt, shard,
+    key) -- the consistent-routing scheme where resizing from N to N+1
+    shards moves only ~1/(N+1) of the keys (vs ~all for mod-N), with
+    NO ring state to store.
+
+    Determinism: the argmax packs (weight, shard) into ONE BIGINT --
+    ``w * 8 + shard`` (w is 60-bit, shards <= 8, so the pack stays
+    under 2^63) -- and takes a plain MAX, so ties (impossible in
+    practice, deterministic anyway) break toward the higher shard
+    identically on every engine; no max_by/arbitrary-tie semantics.
+
+    Scale shape: the shard candidates explode a literal N-element
+    array (N rows per key, map-side), and ONE map-side-combinable max
+    per key assigns it.  Adds ``shard`` (long).
+    """
+    if not 1 <= n_shards <= 8:
+        raise ValueError(f"hrw_assignments supports 1..8 shards, got {n_shards}")
+    from .dedup import portable_base_hash
+
+    cand = df.select(
+        key_col,
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_shards)])
+        ).alias("__s"),
+    )
+    w = portable_base_hash(
+        F.concat_ws(
+            ":", F.lit(salt), F.col("__s").cast("string"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    packed = cand.select(
+        key_col, (w * 8 + F.col("__s")).alias("__p")
+    ).groupBy(key_col).agg(F.max("__p").alias("__m"))
+    return packed.select(
+        key_col, (F.col("__m") % 8).cast("long").alias("shard")
+    )

@@ -1243,3 +1243,58 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("auth").alias("side"), "node", "score_fp")
     )
     return top_h.unionByName(top_a)
+
+
+# --------------------------------------------------------------------------
+# Rendezvous-hash shard rebalance audit
+# --------------------------------------------------------------------------
+
+
+def _hrw_a_sql(name: str, n: int) -> str:
+    vals = ", ".join(f"({i})" for i in range(n))
+    w = (
+        "CAST(('0x' || substring(md5('hrw:' || CAST(s AS VARCHAR)"
+        " || ':' || CAST(k AS VARCHAR)), 2, 15)) AS BIGINT)"
+    )
+    return f"""{name} AS (
+      SELECT k, CAST(MAX({w} * 8 + s) % 8 AS BIGINT) AS shard
+      FROM (SELECT k, s FROM keys CROSS JOIN (VALUES {vals}) v(s))
+      GROUP BY k)"""
+
+
+@register(
+    "hrw_shard_rebalance_audit",
+    oracle=f"""
+    WITH keys AS (SELECT o_orderkey AS k FROM orders),
+    {_hrw_a_sql("a4", 4)},
+    {_hrw_a_sql("a5", 5)}
+    SELECT a5.shard,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN a4.shard <> a5.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_in
+    FROM a4 JOIN a5 USING (k) GROUP BY a5.shard
+    """,
+)
+def q_hrw_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash resize audit: shard assignments of every order
+    key at N=4 vs N=5 -- HRW's minimal-disruption property means every
+    moved key lands in the NEW shard (n_moved_in > 0 only for shard 4)
+    and ~1/5 of keys move; the hash gate verifies both via the exact
+    per-shard counts (`operators/skew.py::hrw_assignments`)."""
+    from ..operators.skew import hrw_assignments
+
+    keys = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        F.col("o_orderkey").alias("k")
+    )
+    a4 = hrw_assignments(keys, "k", 4).withColumnRenamed("shard", "s4")
+    a5 = hrw_assignments(keys, "k", 5).withColumnRenamed("shard", "s5")
+    return (
+        a4.join(a5, "k")
+        .groupBy(F.col("s5").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("s4") != F.col("s5"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved_in"),
+        )
+    )

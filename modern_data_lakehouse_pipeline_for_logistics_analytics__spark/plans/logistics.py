@@ -730,3 +730,79 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("slope_milli"))
         ).cast("long").alias("slope_hi_milli"),
     )
+
+
+_SEG_SQL = (
+    "CASE WHEN spend_e4 < 10000000000 THEN 'LOW'"
+    " WHEN spend_e4 < 15000000000 THEN 'MID'"
+    " ELSE 'HIGH' END"
+)
+
+
+@register(
+    "segment_transition_halves",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                  THEN 1 ELSE 0 END AS h2,
+             CAST(SUM({_REV_E4.replace('l_extendedprice * (1 - l_discount)',
+                                       'o_totalprice')}) AS BIGINT)
+               AS spend_e4
+      FROM orders GROUP BY 1, 2),
+    seg AS (SELECT o_custkey, h2, {_SEG_SQL} AS seg FROM s),
+    tr AS (
+      SELECT a.seg AS seg_from, b.seg AS seg_to
+      FROM seg a JOIN seg b
+        ON a.o_custkey = b.o_custkey AND a.h2 = 0 AND b.h2 = 1)
+    SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST((2 * COUNT(*) * 1000000
+                 + SUM(COUNT(*)) OVER (PARTITION BY seg_from))
+                // (2 * SUM(COUNT(*)) OVER (PARTITION BY seg_from))
+                AS BIGINT) AS row_share_micro
+    FROM tr GROUP BY seg_from, seg_to
+    """,
+)
+def q_segment_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment transition matrix across the two halves of
+    the order history (split 1998-07-01): exact e4 spend per customer
+    per half, fixed LOW/MID/HIGH boundaries (~terciles, stable across
+    SF), transition counts with half-up micro row shares -- the churn /
+    upgrade read a retention team watches.  One map-side-combinable
+    aggregate builds both halves; the transition join is per-customer."""
+    o = _orders(spark, sf_dir)
+    s = (
+        o.groupBy(
+            "o_custkey",
+            (F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"))
+            .cast("int")
+            .alias("h2"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("spend_e4")
+        )
+        .withColumn("seg", F.expr(_SEG_SQL))
+    )
+    a = s.filter(F.col("h2") == 0).select("o_custkey", F.col("seg").alias("seg_from"))
+    b = s.filter(F.col("h2") == 1).select("o_custkey", F.col("seg").alias("seg_to"))
+    from pyspark.sql import Window
+
+    tr = a.join(b, "o_custkey").groupBy("seg_from", "seg_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    tot = F.sum("n_customers").over(Window.partitionBy("seg_from"))
+    return (
+        tr.withColumn("__t", tot.cast("long"))
+        .select(
+            "seg_from",
+            "seg_to",
+            "n_customers",
+            F.expr(
+                "CAST((2 * n_customers * 1000000 + __t)"
+                " DIV (2 * __t) AS BIGINT)"
+            ).alias("row_share_micro"),
+        )
+    )

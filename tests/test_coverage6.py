@@ -568,3 +568,24 @@ def test_theilsen_slope_rounding_is_half_up_both_signs(spark):
 
     want = [half_up(dy * 1000 / dx) for dx, dy in rows]
     assert [r["s"] for r in got] == want
+
+
+# ---------------------------------------------------------------- HRW
+def test_hrw_minimal_disruption_property(spark):
+    # Growing from N to N+1 shards: a key may move ONLY into the new
+    # shard (HRW's defining property -- the old shards' weights are
+    # unchanged, so a reassignment means the new shard won).
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.skew import (
+        hrw_assignments,
+    )
+
+    keys = spark.range(0, 500).selectExpr("id AS k")
+    a3 = {r["k"]: r["shard"] for r in hrw_assignments(keys, "k", 3).collect()}
+    a4 = {r["k"]: r["shard"] for r in hrw_assignments(keys, "k", 4).collect()}
+    moved = [k for k in a3 if a3[k] != a4[k]]
+    assert moved, "some keys must move when a shard is added"
+    assert all(a4[k] == 3 for k in moved)
+    # and roughly 1/4 of the keys land on the new shard
+    assert 500 // 8 < len(moved) < 500 // 2
+    with pytest.raises(ValueError):
+        hrw_assignments(keys, "k", 9)
