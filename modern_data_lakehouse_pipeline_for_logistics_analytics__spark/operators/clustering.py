@@ -186,6 +186,13 @@ def kcenter_greedy_fixedpoint(
     (id, mindist) frame -- row-count-linear, shuffle-free except the
     top-1 reduce.
 
+    Driver-latency scale note (r10 verdict item 6): the loop performs
+    ``k - 1`` SEQUENTIAL one-row collects, so on a real cluster the
+    per-iteration job launch latency (~100ms+) dominates once k reaches
+    the hundreds even though each job is cheap.  For large k use
+    :func:`kcenter_batched_fixedpoint`, which certifies several centers
+    per distributed pass and provably selects the IDENTICAL sequence.
+
     Output: ``rank, vec_id, radius_fp`` -- the selection order and the
     point's min-distance-to-selected at selection time (radius_fp of
     rank 1 is 0 by convention: it seeds the cover).  Selection STOPS
@@ -247,6 +254,134 @@ def kcenter_greedy_fixedpoint(
         if prev is not None:
             _unpersist_checkpoint(prev)
         prev, md = md, nxt
+    if prev is not None:
+        _unpersist_checkpoint(prev)
+    _unpersist_checkpoint(md)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        selected, "rank long, vec_id long, radius_fp long"
+    )
+
+
+def kcenter_batched_fixedpoint(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 6,
+    dim: int = 64,
+    scale: int = 1000,
+    batch: int = 4,
+) -> DataFrame:
+    """Gonzalez k-center with CERTIFIED batch selection: identical output
+    to :func:`kcenter_greedy_fixedpoint` for every ``batch >= 1``, with
+    ~k/batch distributed passes instead of k (the driver-latency fix for
+    large k flagged by the r10 verdict).
+
+    Per pass, ONE TakeOrdered collects the top ``batch + 1`` points by
+    current min-distance-to-selected (desc, id asc).  The driver then
+    accepts centers sequentially from that candidate list, maintaining
+    each candidate's TRUE current min-distance exactly: distances to
+    centers accepted *within this pass* are computed driver-side from
+    the collected fixed-point vectors (<= batch+1 vectors of ``dim``
+    ints -- trivially bounded), and distances to all earlier centers are
+    already folded into the collected ``__md``.  A candidate is only
+    accepted while its updated distance STRICTLY exceeds the
+    (batch+1)-th collected ``__md`` -- an upper bound on the updated
+    distance of every point outside the batch (updates only ever shrink
+    distances), so the accepted point is certifiably the exact argmax
+    sequential Gonzalez would pick, including the lowest-id tie-break
+    (ties with the bound cannot be certified against an unseen outside
+    point and end the pass instead).  The first candidate of a pass
+    needs no certificate: TakeOrdered already yields the global argmax
+    of the unmodified distances, so every pass accepts >= 1 center and
+    the loop terminates.  After the pass, all accepted centers fold
+    into the distributed min-distance frame in ONE map-side pass + one
+    ``localCheckpoint`` (vs one per center in the sequential loop).
+    """
+    if k < 1:
+        raise ValueError("kcenter_batched_fixedpoint needs k >= 1")
+    if batch < 1:
+        raise ValueError("kcenter_batched_fixedpoint needs batch >= 1")
+    from .dedup import _cache_aged, _spread, _unpersist_checkpoint
+
+    vf = F.expr(
+        f"case when size({vec_col}) = {dim} "
+        f"and not exists({vec_col}, x -> x is null) "
+        f"then transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
+        f"else raise_error(concat('kcenter_batched_fixedpoint: ', "
+        f"case when {vec_col} is null then '{vec_col} is NULL' "
+        f"when size({vec_col}) = {dim} "
+        f"then '{vec_col} contains NULL component (size {dim})' "
+        f"else concat('ragged {vec_col} (expected size {dim}, got size ', "
+        f"cast(size({vec_col}) as string), ')') end)) end"
+    )
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(vec_col)))
+    base = _cache_aged("kcenter_vf", base.select("__id", vf.alias("__vf")))
+
+    first = base.orderBy("__id").limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_batched_fixedpoint: empty input")
+    selected = [(1, first[0]["__id"], 0)]
+
+    def dist_term(vec: list[int]) -> F.Column:
+        lit = "array(" + ", ".join(str(v) + "L" for v in vec) + ")"
+        return F.expr(
+            f"aggregate(zip_with(__vf, {lit}, (a, b) -> (a - b) * (a - b)), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+
+    def d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    md = base.select(
+        "__id", "__vf", dist_term(list(first[0]["__vf"])).alias("__md")
+    ).localCheckpoint(eager=True)
+    prev = None
+    exhausted = False
+    while len(selected) < k and not exhausted:
+        want = k - len(selected)
+        t = min(batch, want)
+        cand = (
+            md.orderBy(F.desc("__md"), F.asc("__id")).limit(t + 1).collect()
+        )
+        if not cand:
+            break
+        # bound on every outside point's (only-shrinking) updated distance
+        bound = int(cand[t]["__md"]) if len(cand) > t else -1
+        cur = [
+            {"id": r["__id"], "vf": list(r["__vf"]), "md": int(r["__md"])}
+            for r in cand[:t]
+        ]
+        accepted_vecs: list[list[int]] = []
+        for step in range(t):
+            if accepted_vecs:
+                # fold ONLY the center accepted on the previous step into
+                # the remaining candidates' true min-distances
+                for c in cur:
+                    c["md"] = min(c["md"], d2(c["vf"], accepted_vecs[-1]))
+            best = max(cur, key=lambda c: (c["md"], -c["id"]))
+            if step > 0 and best["md"] <= bound:
+                break  # an unseen outside point could beat (or tie) this
+            if best["md"] == 0:
+                exhausted = True  # cover exact -- stop the whole selection
+                break
+            selected.append((len(selected) + 1, best["id"], best["md"]))
+            accepted_vecs.append(best["vf"])
+            cur = [c for c in cur if c["id"] != best["id"]]
+            if not cur:
+                break
+        if accepted_vecs:
+            nxt = md.select(
+                "__id",
+                "__vf",
+                F.least(F.col("__md"), *[dist_term(v) for v in accepted_vecs]).alias(
+                    "__md"
+                ),
+            ).localCheckpoint(eager=True)
+            if prev is not None:
+                _unpersist_checkpoint(prev)
+            prev, md = md, nxt
     if prev is not None:
         _unpersist_checkpoint(prev)
     _unpersist_checkpoint(md)

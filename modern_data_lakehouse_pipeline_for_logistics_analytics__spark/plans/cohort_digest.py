@@ -1,0 +1,166 @@
+"""Order-insensitive result digests for cohort re-verification.
+
+Problem (r10 verdict item 3): the registry grew to ~240 oracle-backed
+queries while the driver verifies 50 per round, so the evidence-refresh
+cycle stretched to ~5 rounds.  Fix, as the verdict itself suggested
+("the 22 TPC-H queries could rotate as a pinned cohort"): register a
+small number of *cohort digest* queries, each of which hash-digests the
+full result of ~25 member queries on BOTH engines.  One driver window
+slot then re-verifies an entire family every round it is sampled.
+
+Digest of one member result (rows in any order):
+
+    q = member name
+    n = COUNT(*)
+    s = SUM( hash60(canonical_row_string) % 1_000_000_007 )
+
+* ``hash60`` is the repo-standard portable 60-bit md5 hash
+  (``operators/dedup.py:473``), bit-identical between Spark and DuckDB.
+* ``% 1e9+7`` keeps each term < 2^30 so the SUM of up to ~2^32 rows
+  stays far inside signed-int64 on both engines (DuckDB's HUGEINT
+  promotion is immaterial because the final value fits BIGINT).
+* The canonical row string joins the columns **sorted by name** with a
+  US (0x1f) separator; every field is NULL-coalesced to SOH (0x01)
+  *before* joining because Spark's ``concat_ws`` skips NULL arguments
+  while DuckDB's ``||`` propagates them.
+* Summing per-row hashes (rather than hashing an ordered concatenation)
+  makes the digest independent of row order, matching the driver's
+  order-insensitive value comparison.  Unlike XOR it does not cancel
+  duplicate rows.
+
+Canonicalization is driven by a *unified kind* per column, computed
+offline by ``scripts/gen_cohort_specs.py`` from BOTH engines' schemas.
+This matters because the driver compares Python values, not types: a
+member can be green with Spark DECIMAL vs DuckDB DOUBLE (``Decimal('12.5')
+== 12.5``), so each side must canonicalize its own physical type to the
+same text:
+
+    kind     Spark expression                  DuckDB expression
+    int      CAST(v AS STRING)                 CAST(v AS VARCHAR)
+    str      v                                 v
+    bool     CAST(CAST(v AS INT) AS STRING)    CAST(CAST(v AS INT) AS VARCHAR)
+    date     date_format(v, yyyy-MM-dd)        strftime(v, %Y-%m-%d)
+    ts       date_format(.. HH:mm:ss.SSSSSS)   strftime(.. %H:%M:%S.%f)
+    double   CAST(FLOOR(v*1e6 + 0.5) AS LONG)  CAST(FLOOR(v*1e6+0.5) AS BIGINT)
+
+``double`` covers every non-integer numeric (DOUBLE/FLOAT/DECIMAL and
+mixed pairs): each engine first casts its value to DOUBLE -- exact when
+the member is green, because value-equal numerics convert to the same
+IEEE double -- then applies the same floor(v*1e6+0.5) fixed-point map,
+which is deterministic on bitwise-equal inputs.  NaN and huge magnitudes
+(|v| > 9e12, where the *1e6 map would overflow int64) take literal
+sentinels on both sides.
+
+At 100 TB this pattern is how a production lakehouse audits replicated
+marts cheaply: the digest is a one-pass aggregate pushed to each engine,
+only (name, count, sum) rows cross the wire.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import portable_base_hash
+
+DIGEST_P = 1_000_000_007
+_SEP = "\x1f"
+_NULL = "\x01"
+
+#: unified kinds a cohort member may expose; anything else (arrays,
+#: structs, maps, intervals) keeps the member out of cohort coverage.
+KINDS = ("int", "str", "bool", "date", "ts", "double")
+
+
+def _spark_canon(col: F.Column, kind: str) -> F.Column:
+    if kind == "int":
+        out = col.cast("string")
+    elif kind == "str":
+        out = col
+    elif kind == "bool":
+        out = col.cast("int").cast("string")
+    elif kind == "date":
+        out = F.date_format(col, "yyyy-MM-dd")
+    elif kind == "ts":
+        out = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif kind == "double":
+        d = col.cast("double")
+        out = (
+            F.when(F.isnan(d), F.lit("NaN"))
+            .when(F.abs(d) > 9.0e12, F.concat(F.lit("BIG"), F.when(d > 0, "+").otherwise("-")))
+            .otherwise(F.floor(d * 1000000.0 + F.lit(0.5)).cast("long").cast("string"))
+        )
+    else:  # pragma: no cover - specs are generated from KINDS
+        raise ValueError(f"unknown digest kind {kind!r}")
+    return F.coalesce(out, F.lit(_NULL))
+
+
+def _duck_canon(col: str, kind: str) -> str:
+    q = f'"{col}"'
+    if kind == "int":
+        expr = f"CAST({q} AS VARCHAR)"
+    elif kind == "str":
+        expr = q
+    elif kind == "bool":
+        expr = f"CAST(CAST({q} AS INT) AS VARCHAR)"
+    elif kind == "date":
+        expr = f"strftime({q}, '%Y-%m-%d')"
+    elif kind == "ts":
+        expr = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+    elif kind == "double":
+        expr = (
+            f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN 'NaN' "
+            f"WHEN abs(CAST({q} AS DOUBLE)) > 9.0e12 THEN "
+            f"'BIG' || (CASE WHEN CAST({q} AS DOUBLE) > 0 THEN '+' ELSE '-' END) "
+            f"ELSE CAST(CAST(FLOOR(CAST({q} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) END"
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown digest kind {kind!r}")
+    return f"COALESCE({expr}, chr(1))"
+
+
+def spark_digest(name: str, df: DataFrame, spec: list[tuple[str, str]]) -> DataFrame:
+    """One-row digest frame ``(q, n, s)`` of a member query's result."""
+    fields = [_spark_canon(F.col(c), kind) for c, kind in sorted(spec)]
+    row = F.concat_ws(_SEP, *fields)
+    hm = portable_base_hash(row) % DIGEST_P
+    return df.select(hm.alias("__hm")).agg(
+        F.lit(name).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("__hm"), F.lit(0)).cast("long").alias("s"),
+    )
+
+
+def duck_digest_sql(name: str, member_sql: str, spec: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`spark_digest` over the member's oracle SQL."""
+    fields = " || chr(31) || ".join(_duck_canon(c, kind) for c, kind in sorted(spec))
+    return (
+        f"SELECT '{name}' AS q, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COALESCE(SUM(CAST(CONCAT('0x', substring(md5(__row), 2, 15)) AS BIGINT) "
+        f"% {DIGEST_P}), 0) AS BIGINT) AS s "
+        f"FROM (SELECT {fields} AS __row FROM ({member_sql}))"
+    )
+
+
+def cohort_query(members: list[str], specs: dict[str, list[tuple[str, str]]]):
+    """Build the Spark callable for a cohort digest: union of the members'
+    one-row digests.  Members resolve through the live registry at call
+    time, so a member plan change is digested automatically."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .registry import QUERIES
+
+        frames = [spark_digest(m, QUERIES[m](spark, sf_dir), specs[m]) for m in members]
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    return q
+
+
+def cohort_oracle(members: list[str], specs: dict[str, list[tuple[str, str]]]) -> str:
+    from .registry import ORACLE
+
+    return "\nUNION ALL\n".join(
+        duck_digest_sql(m, ORACLE[m], specs[m]) for m in members
+    )

@@ -187,13 +187,15 @@ def q_cheapest_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_TOPN = 20
 
 
-def _cms_oracle() -> str:
-    from ..operators.sketches import CMS_P, CMS_WIDTH, cms_bucket_sql, cms_params
+def _cms_oracle(depth: int | None = None, width: int | None = None) -> str:
+    from ..operators.sketches import CMS_DEPTH, CMS_P, CMS_WIDTH, cms_bucket_sql, cms_params
 
-    params = cms_params()
+    depth = CMS_DEPTH if depth is None else depth
+    width = CMS_WIDTH if width is None else width
+    params = cms_params(depth)
     h0 = f"(CAST('0x' || substring(md5(item), 2, 15) AS BIGINT) % {CMS_P})"
     cell_rows = " UNION ALL ".join(
-        f"SELECT item, {r} AS r, {cms_bucket_sql('h0', a, b, CMS_WIDTH)} AS bucket FROM h"
+        f"SELECT item, {r} AS r, {cms_bucket_sql('h0', a, b, width)} AS bucket FROM h"
         for r, (a, b) in enumerate(params)
     )
     return f"""
@@ -210,7 +212,7 @@ def _cms_oracle() -> str:
     ph AS (SELECT item, n_exact, {h0} AS h0 FROM top),
     pc AS ({" UNION ALL ".join(
         f"SELECT item, n_exact, {r} AS r, "
-        f"{cms_bucket_sql('h0', a, b, CMS_WIDTH)} AS bucket FROM ph"
+        f"{cms_bucket_sql('h0', a, b, width)} AS bucket FROM ph"
         for r, (a, b) in enumerate(params))})
     SELECT p.item, p.n_exact,
            CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS n_cms,
@@ -248,6 +250,50 @@ def q_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_CMS_TOPN)
     )
     est = cms_estimate(regs, top.select("item"), "item")
+    return top.join(F.broadcast(est), "item").select(
+        "item",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).cast("long").alias("overcount"),
+    )
+
+
+_CMS_WIDE_DEPTH = 5
+_CMS_WIDE_WIDTH = 2**14
+
+
+@register(
+    "cms_token_frequencies_wide",
+    oracle=_cms_oracle(_CMS_WIDE_DEPTH, _CMS_WIDE_WIDTH),
+)
+def q_cms_token_frequencies_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME count-min pipeline at a production geometry (depth 5 x
+    width 2^14 -- overcount bound ~e*N/16384 with prob 1 - e^-5), so the
+    driver hash-verifies the realistic register layout, not just the
+    demo-sized one (r10 verdict item 7; the geometry matrix pytest
+    covers 2^16 as well).  Registers stay sparse (only touched cells
+    materialize), so the wide sketch shuffles FEWER colliding cells than
+    the 512-wide demo despite 32x the address space."""
+    from ..operators.dedup import _cache_aged
+    from ..operators.sketches import cms_estimate, cms_registers
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("item")
+        )
+    )
+    toks = _cache_aged("cms_tokens", toks)
+    regs = cms_registers(toks, "item", depth=_CMS_WIDE_DEPTH, width=_CMS_WIDE_WIDTH)
+    top = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("item"))
+        .limit(_CMS_TOPN)
+    )
+    est = cms_estimate(
+        regs, top.select("item"), "item", depth=_CMS_WIDE_DEPTH, width=_CMS_WIDE_WIDTH
+    )
     return top.join(F.broadcast(est), "item").select(
         "item",
         "n_exact",
@@ -825,6 +871,25 @@ def q_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_greedy_fixedpoint(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         k=_KCEN_K, dim=_KM_DIM, scale=_KM_SCALE,
+    )
+
+
+@register(
+    "kcenter_batched_embeddings",
+    oracle=_kcenter_oracle(_KCEN_K, _KM_DIM, _KM_SCALE),
+)
+def q_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified-batch Gonzalez k-center (r11): provably the IDENTICAL
+    selection sequence as ``kcenter_diverse_embeddings`` in ~k/batch
+    distributed passes instead of k (`operators/clustering.py::
+    kcenter_batched_fixedpoint`) -- the oracle is the same unrolled
+    sequential-Gonzalez CTE chain, so a driver hash-match IS the
+    batch-equivalence proof on the real corpus."""
+    from ..operators.clustering import kcenter_batched_fixedpoint
+
+    return kcenter_batched_fixedpoint(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=_KCEN_K, dim=_KM_DIM, scale=_KM_SCALE, batch=3,
     )
 
 

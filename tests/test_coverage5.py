@@ -882,6 +882,63 @@ def test_kcenter_hand_case(spark):
     assert got == [(1, 1, 0), (2, 3, 200), (3, 2, 50)]
 
 
+def test_kcenter_batched_identical(spark):
+    """Certified-batch Gonzalez must reproduce the sequential selection
+    EXACTLY for every batch size -- including t=1 (pure certification
+    overhead), t covering the whole k in one pass, and a clustered
+    geometry where the top-t candidates are near-duplicates of each
+    other (the case naive batch selection gets wrong: picking both ends
+    of one tight cluster instead of re-ranking after the first pick)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.clustering import (
+        kcenter_batched_fixedpoint,
+        kcenter_greedy_fixedpoint,
+    )
+
+    # two tight clusters + two isolated points: after picking one end of
+    # the far cluster, its near-twin (still top-2 by stale distance)
+    # must NOT be picked next.
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.02, 0.0]),
+            (3, [10.0, 10.0]),
+            (4, [10.02, 10.0]),
+            (5, [0.0, 9.0]),
+            (6, [9.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    want = [
+        (r["rank"], r["vec_id"], r["radius_fp"])
+        for r in kcenter_greedy_fixedpoint(df, k=5, dim=2, scale=100)
+        .orderBy("rank")
+        .collect()
+    ]
+    for t in (1, 2, 3, 5):
+        got = [
+            (r["rank"], r["vec_id"], r["radius_fp"])
+            for r in kcenter_batched_fixedpoint(df, k=5, dim=2, scale=100, batch=t)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, f"batch={t}: {got} != {want}"
+
+
+def test_kcenter_batched_exhaustion(spark):
+    """All-duplicate corpus: selection stops after the seed (radius 0
+    everywhere), same early-stop as the sequential operator."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.clustering import (
+        kcenter_batched_fixedpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(1, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_batched_fixedpoint(df, k=3, dim=2, scale=10, batch=2).collect()
+    assert [(r["rank"], r["vec_id"], r["radius_fp"]) for r in rows] == [(1, 1, 0)]
+
+
 def test_kcenter_validates(spark):
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.clustering import (
         kcenter_greedy_fixedpoint,
