@@ -6,24 +6,33 @@ Importing this package registers every query module; ``QUERIES`` /
 Registration ORDER is part of the driver contract: the driver verifies
 exactly the first 50 registered queries each round.
 
-STANDING ROTATION POLICY (r6, mechanical -- replaces the hand-edited
-``_PRIORITY`` list that went stale in r5):
+STANDING ROTATION POLICY (r11, mechanical -- extends the r6 policy that
+replaced the hand-edited ``_PRIORITY`` list):
 
-1. Oracle-backed queries register stalest-first: never-driver-verified
-   queries first, then ascending last-verified round, ties broken by
-   name for determinism.
-2. Rows-only queries (registered in ``QUERIES`` but not ``ORACLE``)
+1. ``cohort_digest_*`` queries register FIRST, every round.  Each one
+   hash-digests the full result of ~30 member queries on BOTH engines
+   (``cohorts.py``), so these ~8 pinned slots re-verify the ENTIRE
+   oracle-backed registry every single round -- the structural fix for
+   the refresh cycle that stretched to ~5 rounds once the registry
+   outgrew the 50-slot window (r10 verdict items 2-3).
+2. The remaining slots go to non-digest oracle-backed queries
+   stalest-first: never-driver-verified queries first, then ascending
+   last-verified round, ties broken by name for determinism -- so each
+   query ALSO gets periodic individual driver evidence (the digest
+   localizes a failure only to a cohort; the individual run pinpoints
+   it).
+3. Rows-only queries (registered in ``QUERIES`` but not ``ORACLE``)
    NEVER occupy window slots -- a rows-only query burns a slot on a
    permanent ``no_oracle`` row; pytest recall/property tests cover them.
-3. Last-verified rounds are read from the ``CORRECTNESS_r*.json`` files
+4. Last-verified rounds are read from the ``CORRECTNESS_r*.json`` files
    the driver writes at the repo root (a query counts as verified in
    round N iff its row has ``hash_match: true``).  No hand-maintained
    dict: the next round's window is derived from the previous round's
    evidence automatically, so a forgotten rotation cannot recur.
 
-With 106+ oracle-backed queries and a 50-slot window, stalest-first
-guarantees every oracle-backed query re-verifies at least once every
-ceil(n/50) = 3 rounds.
+Net effect at 239 oracle-backed member queries: full-registry value
+evidence EVERY round via the digests, plus an individual-evidence cycle
+of ceil(239 / ~42) ~ 6 rounds through the remaining slots.
 """
 
 import json
@@ -65,6 +74,7 @@ def _load_all() -> None:
         "coverage5",
         "retrieval",
         "logistics",
+        "cohorts",  # must import LAST: digests read the full ORACLE registry
     ):
         try:
             __import__(f"{__name__}.{mod}")
@@ -99,15 +109,18 @@ def _last_verified_rounds() -> dict[str, int]:
 
 
 def _reorder() -> None:
-    """Apply the standing rotation policy (module docstring): oracle-backed
-    stalest-first (never-verified -> round 0), name tie-break; rows-only
-    queries after ALL oracle-backed ones, in registration order."""
+    """Apply the standing rotation policy (module docstring): cohort
+    digests pinned first (full-registry evidence every round), then
+    oracle-backed stalest-first (never-verified -> round 0, name
+    tie-break), then rows-only queries in registration order."""
     last = _last_verified_rounds()
+    digests = sorted(n for n in QUERIES if n.startswith("cohort_digest_"))
     oracle_backed = sorted(
-        (n for n in QUERIES if n in ORACLE), key=lambda n: (last.get(n, 0), n)
+        (n for n in QUERIES if n in ORACLE and n not in digests),
+        key=lambda n: (last.get(n, 0), n),
     )
-    rows_only = [n for n in QUERIES if n not in ORACLE]
-    ordered = oracle_backed + rows_only
+    rows_only = [n for n in QUERIES if n not in ORACLE and n not in digests]
+    ordered = digests + oracle_backed + rows_only
     for registry in (QUERIES, ORACLE):
         snapshot = dict(registry)
         registry.clear()

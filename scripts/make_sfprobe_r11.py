@@ -1,0 +1,113 @@
+"""Synthesize the r11 10x scale-probe corpus (/tmp/sfprobe3) and run the
+four r10-verdict heavy-tail queries against sf0.1 and the probe, one
+COLD process per (query, scale) measurement -- same methodology as the
+r8 probes recorded in PLANS.md.
+
+Probe construction (from sf0.1):
+
+- ``documents``: 10 replicas, doc_id shifted, TEXT UNCHANGED -- the
+  vocabulary (and hence BPE's distinct-word training table) is constant
+  while occurrence counts scale 10x, which is exactly the claim under
+  test for ``bpe_learned_merges`` (near-flat wall).
+- ``orders``: 10 replicas, o_orderkey/o_custkey shifted per replica --
+  ``sortkey_pruning_audit``'s global-rank exchanges see 10x rows.
+- ``lineitem``: 10 replicas, l_partkey/l_suppkey/l_orderkey shifted --
+  10 disjoint part->supplier subgraphs for ``hits_part_supplier``.
+- ``supplier``: 10 replicas, s_suppkey shifted, letters of s_name
+  Caesar-shifted per replica (bijective per replica, so intra-replica
+  name structure survives; cross-replica window pairs in the sorted
+  neighborhood score low and stay linear) for ``er_golden_suppliers``.
+- every other table copied through unchanged.
+
+Usage:
+  python scripts/make_sfprobe_r11.py build          # write /tmp/sfprobe3
+  python scripts/make_sfprobe_r11.py run <query> <sf_dir>   # one cold timing
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sfprobe3"
+R = 10
+SHIFT = 10_000_000
+
+
+def build() -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.session import (
+        build_session,
+    )
+
+    spark = build_session(app_name="make-sfprobe-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(DST, exist_ok=True)
+
+    def replicate(table: str, shifts: dict[str, int], extra=None):
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        parts = []
+        for k in range(R):
+            p = df
+            for col, base in shifts.items():
+                p = p.withColumn(col, F.col(col) + F.lit(k * base))
+            if extra is not None:
+                p = extra(p, k)
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+        print(f"{table}: {out.count()} rows", flush=True)
+
+    def caesar_name(p, k):
+        if k == 0:
+            return p
+        # bijective per-replica letter map: rotate a-z / A-Z by k
+        az = "abcdefghijklmnopqrstuvwxyz"
+        src_s = az + az.upper()
+        dst_s = az[k:] + az[:k] + (az[k:] + az[:k]).upper()
+        return p.withColumn("s_name", F.translate(F.col("s_name"), src_s, dst_s))
+
+    replicate("documents", {"doc_id": SHIFT})
+    replicate("orders", {"o_orderkey": SHIFT, "o_custkey": SHIFT})
+    replicate(
+        "lineitem", {"l_orderkey": SHIFT, "l_partkey": SHIFT, "l_suppkey": SHIFT}
+    )
+    replicate("supplier", {"s_suppkey": SHIFT}, extra=caesar_name)
+    for t in ["region", "nation", "customer", "part", "events", "embeddings"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+        print(f"{t}: copied", flush=True)
+    spark.stop()
+
+
+def run(query: str, sf_dir: str) -> None:
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.session import (
+        build_session,
+    )
+    import __spark_entry__ as entrymod
+
+    spark = build_session(app_name="sfprobe-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = entrymod.queries()[query]
+    t0 = time.perf_counter()
+    n = q(spark, sf_dir).count()
+    dt = time.perf_counter() - t0
+    print(f"PROBE {query} {sf_dir} cold_sec={dt:.2f} rows={n}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "build":
+        build()
+    else:
+        run(sys.argv[2], sys.argv[3])
