@@ -956,55 +956,52 @@ def simhash_candidate_pairs(signatures: DataFrame, chunks: int = 8) -> DataFrame
             f"chunks ({chunks}) must divide the 64-bit signature evenly: "
             "an inexact split silently drops the trailing bits"
         )
-    # Four plan branches read the signatures (both join sides + both
-    # verification lookups) -- cache so the signature pass runs once,
-    # aging out any previous call's cache (see _sig_caches).
+    # Both join sides read the signatures -- cache so the signature pass
+    # runs once, aging out any previous call's cache (see _sig_caches).
     signatures = _cache_aged("simhash64", signatures)
-    cols = [
-        (
-            F.shiftright(F.col("simhash"), i * (64 // chunks))
-            .bitwiseAND(F.lit((1 << (64 // chunks)) - 1))
-            .alias(f"chunk_{i}")
-        )
-        for i in range(chunks)
-    ]
-    banded = signatures.select(F.col("doc"), *cols)
-    stacked = banded.select(
+    banded = signatures.select(
         "doc",
+        "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(i).alias("chunk_no"), F.col(f"chunk_{i}").alias("val"))
+                    F.struct(
+                        F.lit(i).cast("int").alias("chunk_no"),
+                        F.shiftright(F.col("simhash"), i * (64 // chunks))
+                        .bitwiseAND(F.lit((1 << (64 // chunks)) - 1))
+                        .alias("val"),
+                    )
                     for i in range(chunks)
                 ]
             )
         ).alias("cc"),
-    ).select("doc", "cc.chunk_no", "cc.val")
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cands = (
+    ).select("doc", "simhash", "cc.chunk_no", "cc.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    # The full signature RIDES THROUGH the band join (8 extra bytes per
+    # side), so the Hamming verification needs NO join back to the
+    # signature frame -- the r10-era plan re-joined both sides after the
+    # distinct, two extra candidate-set-sized joins that dominate once
+    # the candidate set outgrows the doc table (r11 bench headroom fix).
+    # Hamming verification in the same plan: banding only guarantees
+    # distance < chunks is caught; it does NOT guarantee candidates are
+    # near.  bit_count(xor) filters the false positives BEFORE the
+    # distinct, so the dedup shuffle carries only verified-near pairs.
+    return (
         a.join(
             b,
             (F.col("a.chunk_no") == F.col("b.chunk_no"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    # Hamming verification in the same plan: banding only guarantees
-    # distance < chunks is caught; it does NOT guarantee candidates are
-    # near.  bit_count(xor) filters the false positives before they reach
-    # any downstream exact-compare stage.
-    sa = signatures.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    sb = signatures.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= F.lit(12))
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
