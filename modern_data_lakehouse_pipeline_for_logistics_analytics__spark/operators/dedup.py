@@ -1106,3 +1106,131 @@ def containment_pairs(
     return out.filter(F.col("containment") >= threshold).select(
         "l_id", "r_id", "n_common", "n_l", "containment"
     )
+
+
+def substring_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, length: int = 6
+) -> DataFrame:
+    """Exact substring-level duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" policy,
+    re-expressed relationally): a token position is DUPLICATED when it
+    is covered by some ``length``-token run that appears verbatim in at
+    least one OTHER document; maximal runs of duplicated positions are
+    the spans a training-prep pipeline would excise.  This is the
+    substring-granular member of the dedup family -- exact hashing is
+    whole-doc, MinHash/SimHash are whole-doc approximate, winnowing
+    selects sparse fingerprints; this one localizes the duplication.
+
+    The reference corpus (sankojupradeep/
+    Modern-Data-Lakehouse-Pipeline-for-Logistics-Analytics-) has no
+    dedup surface; this extends the engine per SURVEY.md §2.11.
+
+    Plan shape (suffix arrays don't distribute; hash-grams do):
+
+      1. per-doc ``length``-gram hashes with positions -- codegen
+         ``transform(sequence(...))`` over the token array, one
+         posexplode, O(tokens) rows; docs shorter than ``length``
+         produce nothing (a short gram is not an L-gram);
+      2. one groupBy(hash) over the DISTINCT (hash, doc) projection
+         counts document frequency; hashes with df >= 2 are the
+         duplicated vocabulary (shuffle keyed on the 60-bit hash --
+         uniform by construction, no skew);
+      3. a semi join marks covered start positions (never materializes
+         pair blowup: a gram shared by 10k docs contributes its
+         positions once per document, not 10k^2 pairs);
+      4. covered intervals ``[pos, pos + length - 1]`` merge into
+         maximal spans with the classic gaps-and-islands window: a new
+         island starts where ``pos`` exceeds the running max end + 1
+         (adjacent-or-overlapping coverage merges) -- per-doc window
+         partitions, scale-safe.
+
+    Output: one row per maximal span: ``id_col, span_start, span_end,
+    span_len`` (inclusive token positions).  Every step is integer /
+    portable-hash arithmetic; the DuckDB oracle replays it exactly.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__t")).filter(
+        F.size("__t") >= length
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__t) - {length}), "
+                f"i -> concat_ws(' ', slice(__t, i + 1, {length})))"
+            )
+        ).alias("pos", "__g"),
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        portable_base_hash(F.col("__g")).alias("__h"),
+    )
+    grams = _cache_aged("substr_grams", grams)
+    dup = (
+        grams.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("__h")
+    )
+    cov = (
+        grams.join(dup, "__h", "left_semi")
+        .select(id_col, "pos", (F.col("pos") + (length - 1)).alias("__end"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("__end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = cov.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("__end").cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def substring_duplicate_stats(
+    df: DataFrame, id_col: str, text_col: str, length: int = 6
+) -> DataFrame:
+    """Per-document duplicated-token budget over
+    ``substring_duplicate_spans``: how many tokens sit inside some
+    duplicated span, and what fraction of the document that is (basis
+    points, half-up, exact integer arithmetic -- hash-portable).  The
+    decision column a quality-gate pipeline thresholds on ("drop
+    documents that are > X% verbatim copies of the rest of the
+    corpus").  Only documents with at least one span appear (bounded by
+    the corpus doc count; zero-span docs carry no information here).
+    """
+    spans = substring_duplicate_spans(df, id_col, text_col, length)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
+    )
+    return per_doc.join(totals, id_col).select(
+        id_col,
+        "n_tokens",
+        "dup_tokens",
+        "n_spans",
+        # round-half-up(dup/total * 10000) in pure BIGINT: both engines
+        # floor positive integer division identically.
+        F.expr("(dup_tokens * 20000 + n_tokens) div (2 * n_tokens)").alias(
+            "dup_frac_bp"
+        ),
+    )

@@ -926,3 +926,130 @@ def scalar_quantization_audit(
             F.sum("__e").cast("long").alias("sq_err_nano"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.42,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") with the engine-
+    deterministic coarse quantizer of ``ivf_portable_topk``: cluster the
+    corpus, compare pairs ONLY within a cluster, and drop every vector
+    that has a lower-id near-duplicate (6dp cosine >= ``threshold``)
+    in its cluster.  The keep rule -- survive iff no KEPT-or-not lower
+    id is near -- is deterministic and single-pass (no fixed point): a
+    chain a~b~c keeps exactly ``a`` because b sees a and c sees b.
+
+    Scale shape: assignment is one broadcast-centroid pass (exact
+    BIGINT squared-L2 argmin, centroid-id tie-break); the quadratic
+    stage is confined WITHIN clusters -- per-cluster cost (n/k)^2, the
+    whole point of SemDeDup vs brute-force near-dup.  At 100 TB,
+    ``n_clusters`` grows with the corpus so cluster populations stay
+    bounded; nothing here touches the driver.
+
+    Output: one row per corpus vector --
+    ``id_col, cluster, is_kept (0/1), dup_of`` (lowest-id in-cluster
+    near-duplicate below it, -1 when kept; -1 not NULL so the verdict
+    column hashes identically cross-engine).
+    """
+    qc = _quantized(df, id_col, vec_col, scale)
+    cents = (
+        qc.select(
+            F.col("id").alias("cluster"), F.col("qv").alias("cent_qv"),
+            knuth_hash(F.col("id")).alias("h"),
+        )
+        .orderBy("h", "cluster")
+        .limit(n_clusters)
+        .drop("h")
+    )
+    assigned = (
+        qc.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _int_d2(F.col("qv"), F.col("cent_qv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", "cluster")
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    withv = assigned.join(vecs, "id")
+    lo = withv.select(
+        F.col("cluster"), F.col("id").alias("id_lo"), F.col("v").alias("v_lo")
+    )
+    hi = withv.select(
+        F.col("cluster"), F.col("id").alias("id_hi"), F.col("v").alias("v_hi")
+    )
+    near = (
+        lo.join(hi, "cluster")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .withColumn("cos_sim", cosine(F.col("v_lo"), F.col("v_hi")))
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("id_hi")
+        .agg(F.min("id_lo").cast("long").alias("dup_of"))
+    )
+    return (
+        assigned.join(near, assigned["id"] == near["id_hi"], "left")
+        .select(
+            assigned["id"].alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.when(F.col("dup_of").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_kept"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each anchor, the top-``k`` most-similar corpus vectors with a
+    DIFFERENT label -- the negatives that sit closest to the decision
+    boundary and carry the training signal random negatives lack.
+
+    Same cost shape as ``cosine_topk`` (the anchors broadcast; one
+    corpus scan; per-anchor top-k window) with the label-inequality
+    predicate folded into the broadcast join, so excluded same-label
+    rows never reach the scorer.  Output:
+    ``query_id, neighbor_id, neg_label, cos_sim, rank``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("q_label") != F.col("neg_label")
+    ).withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("neg_label").cast("long").alias("neg_label"),
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

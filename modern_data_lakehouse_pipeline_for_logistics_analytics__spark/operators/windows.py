@@ -209,3 +209,50 @@ def global_cumsum(
         )
         .drop("__pid", "__off")
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Merge overlapping-or-touching half-open intervals ``[start, end)``
+    per key into maximal spans -- the gaps-and-islands primitive
+    (activity sessions from validity windows, coverage spans from
+    bookings, downtime from incident intervals).  Two intervals merge
+    iff the later one starts on or before the running maximum end
+    (half-open adjacency: ``start == prev_end`` touches, so it merges).
+
+    One per-key window pass: running ``max(end)`` over rows strictly
+    before the current one flags island starts, a running sum numbers
+    the islands, one aggregate collapses them.  Per-key partitions keep
+    it scale-safe (the window never crosses keys); input rows with
+    identical (key, start) pre-aggregate first so the ordering inside
+    each window is total and the plan deterministic.
+
+    Output: ``key_col, span_start, span_end, count_col`` (input rows
+    merged into the span).
+    """
+    per_start = df.groupBy(key_col, start_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.max(end_col).alias("__e"),
+    )
+    w = Window.partitionBy(key_col).orderBy(start_col)
+    prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = per_start.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col(start_col) > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "__island", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(key_col, "__island")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max("__e").alias("span_end"),
+            F.sum("__n").cast("long").alias(count_col),
+        )
+        .drop("__island")
+    )

@@ -74,6 +74,7 @@ def _load_all() -> None:
         "coverage5",
         "retrieval",
         "logistics",
+        "coverage6",
         "cohorts",  # must import LAST: digests read the full ORACLE registry
     ):
         try:
