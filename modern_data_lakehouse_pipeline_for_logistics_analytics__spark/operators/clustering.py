@@ -161,6 +161,46 @@ def kmeans_lloyd_fixedpoint(
     )
 
 
+def _kcenter_base(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, scale: int, fname: str
+):
+    """Shared k-center setup: validated fixed-point vector frame
+    (cached, spread to full parallelism) plus the seed row (lowest id).
+    One definition of the quantization/validation expression keeps the
+    sequential and batched selectors bit-identical -- they are verified
+    against the SAME unrolled oracle, so any drift between two copies
+    would surface only as a driver hash mismatch."""
+    from .dedup import _cache_aged, _spread
+
+    vf = F.expr(
+        f"case when size({vec_col}) = {dim} "
+        f"and not exists({vec_col}, x -> x is null) "
+        f"then transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
+        f"else raise_error(concat('{fname}: ', "
+        f"case when {vec_col} is null then '{vec_col} is NULL' "
+        f"when size({vec_col}) = {dim} "
+        f"then '{vec_col} contains NULL component (size {dim})' "
+        f"else concat('ragged {vec_col} (expected size {dim}, got size ', "
+        f"cast(size({vec_col}) as string), ')') end)) end"
+    )
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(vec_col)))
+    base = _cache_aged("kcenter_vf", base.select("__id", vf.alias("__vf")))
+    first = base.orderBy("__id").limit(1).collect()
+    if not first:
+        raise ValueError(f"{fname}: empty input")
+    return base, first[0]
+
+
+def _kcenter_dist_expr(vec: list[int]) -> F.Column:
+    """Exact BIGINT squared-L2 of ``__vf`` to a driver-side center."""
+    lit = "array(" + ", ".join(str(v) + "L" for v in vec) + ")"
+    return F.expr(
+        f"aggregate(zip_with(__vf, {lit}, (a, b) -> (a - b) * (a - b)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+
+
 def kcenter_greedy_fixedpoint(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -204,35 +244,14 @@ def kcenter_greedy_fixedpoint(
     this branch.)"""
     if k < 1:
         raise ValueError("kcenter_greedy_fixedpoint needs k >= 1")
-    from .dedup import _cache_aged, _spread, _unpersist_checkpoint
-
-    vf = F.expr(
-        f"case when size({vec_col}) = {dim} "
-        f"and not exists({vec_col}, x -> x is null) "
-        f"then transform({vec_col}, x -> "
-        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
-        f"else raise_error(concat('kcenter_greedy_fixedpoint: ', "
-        f"case when {vec_col} is null then '{vec_col} is NULL' "
-        f"when size({vec_col}) = {dim} "
-        f"then '{vec_col} contains NULL component (size {dim})' "
-        f"else concat('ragged {vec_col} (expected size {dim}, got size ', "
-        f"cast(size({vec_col}) as string), ')') end)) end"
+    base, first = _kcenter_base(
+        df, id_col, vec_col, dim, scale, "kcenter_greedy_fixedpoint"
     )
-    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(vec_col)))
-    base = _cache_aged("kcenter_vf", base.select("__id", vf.alias("__vf")))
+    from .dedup import _unpersist_checkpoint
 
-    first = base.orderBy("__id").limit(1).collect()
-    if not first:
-        raise ValueError("kcenter_greedy_fixedpoint: empty input")
-    selected = [(1, first[0]["__id"], 0)]
-    center_vec = list(first[0]["__vf"])
-
-    def dist_to(vec: list[int]) -> F.Column:
-        lit = "array(" + ", ".join(str(v) + "L" for v in vec) + ")"
-        return F.expr(
-            f"aggregate(zip_with(__vf, {lit}, (a, b) -> (a - b) * (a - b)), "
-            f"0L, (acc, x) -> acc + x)"
-        )
+    selected = [(1, first["__id"], 0)]
+    center_vec = list(first["__vf"])
+    dist_to = _kcenter_dist_expr
 
     md = base.select(
         "__id", "__vf", dist_to(center_vec).alias("__md")
@@ -302,40 +321,19 @@ def kcenter_batched_fixedpoint(
         raise ValueError("kcenter_batched_fixedpoint needs k >= 1")
     if batch < 1:
         raise ValueError("kcenter_batched_fixedpoint needs batch >= 1")
-    from .dedup import _cache_aged, _spread, _unpersist_checkpoint
-
-    vf = F.expr(
-        f"case when size({vec_col}) = {dim} "
-        f"and not exists({vec_col}, x -> x is null) "
-        f"then transform({vec_col}, x -> "
-        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint)) "
-        f"else raise_error(concat('kcenter_batched_fixedpoint: ', "
-        f"case when {vec_col} is null then '{vec_col} is NULL' "
-        f"when size({vec_col}) = {dim} "
-        f"then '{vec_col} contains NULL component (size {dim})' "
-        f"else concat('ragged {vec_col} (expected size {dim}, got size ', "
-        f"cast(size({vec_col}) as string), ')') end)) end"
+    base, first = _kcenter_base(
+        df, id_col, vec_col, dim, scale, "kcenter_batched_fixedpoint"
     )
-    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(vec_col)))
-    base = _cache_aged("kcenter_vf", base.select("__id", vf.alias("__vf")))
+    from .dedup import _unpersist_checkpoint
 
-    first = base.orderBy("__id").limit(1).collect()
-    if not first:
-        raise ValueError("kcenter_batched_fixedpoint: empty input")
-    selected = [(1, first[0]["__id"], 0)]
-
-    def dist_term(vec: list[int]) -> F.Column:
-        lit = "array(" + ", ".join(str(v) + "L" for v in vec) + ")"
-        return F.expr(
-            f"aggregate(zip_with(__vf, {lit}, (a, b) -> (a - b) * (a - b)), "
-            f"0L, (acc, x) -> acc + x)"
-        )
+    selected = [(1, first["__id"], 0)]
+    dist_term = _kcenter_dist_expr
 
     def d2(a: list[int], b: list[int]) -> int:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
     md = base.select(
-        "__id", "__vf", dist_term(list(first[0]["__vf"])).alias("__md")
+        "__id", "__vf", dist_term(list(first["__vf"])).alias("__md")
     ).localCheckpoint(eager=True)
     prev = None
     exhausted = False

@@ -1138,18 +1138,24 @@ def substring_duplicate_spans(
       3. a semi join marks covered start positions (never materializes
          pair blowup: a gram shared by 10k docs contributes its
          positions once per document, not 10k^2 pairs);
-      4. covered intervals ``[pos, pos + length - 1]`` merge into
-         maximal spans with the classic gaps-and-islands window: a new
-         island starts where ``pos`` exceeds the running max end + 1
-         (adjacent-or-overlapping coverage merges) -- per-doc window
-         partitions, scale-safe.
+      4. covered HALF-OPEN intervals ``[pos, pos + length)`` merge into
+         maximal spans via ``windows.coalesce_intervals`` (the shared
+         gaps-and-islands primitive; per-doc window partitions,
+         scale-safe), then close back to inclusive token positions.
 
     Output: one row per maximal span: ``id_col, span_start, span_end,
     span_len`` (inclusive token positions).  Every step is integer /
     portable-hash arithmetic; the DuckDB oracle replays it exactly.
     """
-    from pyspark.sql import Window
+    grams = _substring_grams(df, id_col, text_col, length)
+    return _spans_from_grams(grams, id_col, length)
 
+
+def _substring_grams(
+    df: DataFrame, id_col: str, text_col: str, length: int
+) -> DataFrame:
+    """(id, pos, hash) L-gram frame, cached -- the single corpus scan
+    both the span and the stats query read."""
     toks = df.select(F.col(id_col), tokenize(text_col).alias("__t")).filter(
         F.size("__t") >= length
     )
@@ -1166,7 +1172,12 @@ def substring_duplicate_spans(
         F.col("pos").cast("long").alias("pos"),
         portable_base_hash(F.col("__g")).alias("__h"),
     )
-    grams = _cache_aged("substr_grams", grams)
+    return _cache_aged("substr_grams", grams)
+
+
+def _spans_from_grams(grams: DataFrame, id_col: str, length: int) -> DataFrame:
+    from .windows import coalesce_intervals
+
     dup = (
         grams.select("__h", id_col)
         .distinct()
@@ -1175,31 +1186,15 @@ def substring_duplicate_spans(
         .filter(F.col("__df") >= 2)
         .select("__h")
     )
-    cov = (
-        grams.join(dup, "__h", "left_semi")
-        .select(id_col, "pos", (F.col("pos") + (length - 1)).alias("__end"))
+    cov = grams.join(dup, "__h", "left_semi").select(
+        id_col, "pos", (F.col("pos") + length).alias("__end")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_max = F.max("__end").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = cov.withColumn(
-        "__new",
-        F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1).otherwise(0),
-    ).withColumn(
-        "__island",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        flagged.groupBy(id_col, "__island")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            F.max("__end").cast("long").alias("span_end"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
-        )
+    spans = coalesce_intervals(cov, id_col, "pos", "__end")
+    return spans.select(
+        id_col,
+        F.col("span_start").cast("long").alias("span_start"),
+        (F.col("span_end") - 1).cast("long").alias("span_end"),
+        (F.col("span_end") - F.col("span_start")).cast("long").alias("span_len"),
     )
 
 
@@ -1214,14 +1209,20 @@ def substring_duplicate_stats(
     documents that are > X% verbatim copies of the rest of the
     corpus").  Only documents with at least one span appear (bounded by
     the corpus doc count; zero-span docs carry no information here).
+
+    One corpus scan: totals derive from the cached gram frame
+    (``n_tokens = grams_per_doc + length - 1`` -- exact for every doc
+    long enough to carry a gram, and every span-bearing doc is), so the
+    text is never re-tokenized.
     """
-    spans = substring_duplicate_spans(df, id_col, text_col, length)
+    grams = _substring_grams(df, id_col, text_col, length)
+    spans = _spans_from_grams(grams, id_col, length)
     per_doc = spans.groupBy(id_col).agg(
         F.sum("span_len").cast("long").alias("dup_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
     )
-    totals = df.select(
-        F.col(id_col), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
+    totals = grams.groupBy(id_col).agg(
+        (F.count(F.lit(1)) + (length - 1)).cast("long").alias("n_tokens")
     )
     return per_doc.join(totals, id_col).select(
         id_col,

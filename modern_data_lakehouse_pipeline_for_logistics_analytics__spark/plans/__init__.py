@@ -30,9 +30,10 @@ replaced the hand-edited ``_PRIORITY`` list):
    dict: the next round's window is derived from the previous round's
    evidence automatically, so a forgotten rotation cannot recur.
 
-Net effect at 239 oracle-backed member queries: full-registry value
-evidence EVERY round via the digests, plus an individual-evidence cycle
-of ceil(239 / ~42) ~ 6 rounds through the remaining slots.
+Net effect (247 cohort members as of r11; the count grows with every
+``--add``): full-registry value evidence EVERY round via the digests,
+plus an individual-evidence cycle of ceil(members / ~42) ~ 6 rounds
+through the remaining slots.
 """
 
 import json

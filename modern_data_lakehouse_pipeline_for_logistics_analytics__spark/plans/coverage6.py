@@ -120,20 +120,25 @@ def q_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_THR = 0.42
 _SEMDEDUP_K = 16
+_SEMDEDUP_SCALE = 1_000_000
 
-_IVF_ASSIGN_CTES = """
+# Constants interpolate into the oracle text so retuning _SEMDEDUP_K /
+# _SEMDEDUP_SCALE can never drift the two engines apart (the
+# shared-constants rule every portable oracle in this repo follows).
+_IVF_ASSIGN_CTES = f"""
     e AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings),
     q AS (
-      SELECT vec_id, i, CAST(FLOOR(v * 1000000) AS BIGINT) AS qv FROM e),
+      SELECT vec_id, i, CAST(FLOOR(v * {_SEMDEDUP_SCALE}) AS BIGINT) AS qv
+      FROM e),
     nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM e GROUP BY 1),
     cent_ids AS (
       SELECT vec_id AS cluster FROM embeddings
       ORDER BY ((CAST(vec_id AS BIGINT) % 2147483648) * 2654435761)
                % 2147483648, vec_id
-      LIMIT 16),
+      LIMIT {_SEMDEDUP_K}),
     centq AS (
       SELECT c.cluster, q.i, q.qv AS cqv
       FROM cent_ids c JOIN q ON q.vec_id = c.cluster),
@@ -187,6 +192,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         n_clusters=_SEMDEDUP_K,
         threshold=_SEMDEDUP_THR,
+        scale=_SEMDEDUP_SCALE,
     )
 
 
