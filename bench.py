@@ -235,6 +235,15 @@ BENCH_QUERIES = [
     "theilsen_daily_revenue_trend",
     "hrw_shard_rebalance_audit",
     "segment_transition_halves",
+    # r11 additions
+    "cms_token_frequencies_wide",
+    "kcenter_batched_embeddings",
+    "dedup_substring_spans",
+    "dedup_substring_stats",
+    "semdedup_portable",
+    "hardneg_mining_topk",
+    "interval_coalesce_activity",
+    "zorder_pruning_audit",
 ]
 
 
