@@ -1189,7 +1189,9 @@ def _spans_from_grams(grams: DataFrame, id_col: str, length: int) -> DataFrame:
     cov = grams.join(dup, "__h", "left_semi").select(
         id_col, "pos", (F.col("pos") + length).alias("__end")
     )
-    spans = coalesce_intervals(cov, id_col, "pos", "__end")
+    # (doc, pos) is unique by posexplode construction -- skip the
+    # pre-aggregate shuffle inside the island merge.
+    spans = coalesce_intervals(cov, id_col, "pos", "__end", unique_starts=True)
     return spans.select(
         id_col,
         F.col("span_start").cast("long").alias("span_start"),

@@ -217,6 +217,7 @@ def coalesce_intervals(
     start_col: str,
     end_col: str,
     count_col: str = "n_rows",
+    unique_starts: bool = False,
 ) -> DataFrame:
     """Merge overlapping-or-touching half-open intervals ``[start, end)``
     per key into maximal spans -- the gaps-and-islands primitive
@@ -230,15 +231,27 @@ def coalesce_intervals(
     the islands, one aggregate collapses them.  Per-key partitions keep
     it scale-safe (the window never crosses keys); input rows with
     identical (key, start) pre-aggregate first so the ordering inside
-    each window is total and the plan deterministic.
+    each window is total and the plan deterministic.  Callers whose
+    input is unique per (key, start) BY CONSTRUCTION (e.g. posexplode
+    positions) pass ``unique_starts=True`` to skip that pre-aggregate
+    -- it would be a data no-op costing one extra full shuffle of the
+    interval frame (r11 review finding).
 
     Output: ``key_col, span_start, span_end, count_col`` (input rows
     merged into the span).
     """
-    per_start = df.groupBy(key_col, start_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.max(end_col).alias("__e"),
-    )
+    if unique_starts:
+        per_start = df.select(
+            key_col,
+            start_col,
+            F.lit(1).cast("long").alias("__n"),
+            F.col(end_col).alias("__e"),
+        )
+    else:
+        per_start = df.groupBy(key_col, start_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.max(end_col).alias("__e"),
+        )
     w = Window.partitionBy(key_col).orderBy(start_col)
     prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = per_start.withColumn(

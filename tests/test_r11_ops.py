@@ -171,6 +171,18 @@ def test_hard_negative_excludes_same_label(spark):
 # --------------------------------------------------------------------------
 
 
+def test_coalesce_intervals_unique_starts_equivalent(spark):
+    # With unique (key, start) input, the pre-aggregate-skipping fast
+    # path must produce byte-identical spans to the general path.
+    rows = [("A", 0, 6), ("A", 3, 9), ("A", 9, 12), ("A", 20, 22), ("B", 5, 8)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    slow = sorted(map(tuple, coalesce_intervals(df, "k", "s", "e").collect()))
+    fast = sorted(
+        map(tuple, coalesce_intervals(df, "k", "s", "e", unique_starts=True).collect())
+    )
+    assert slow == fast == [("A", 0, 12, 3), ("A", 20, 22, 1), ("B", 5, 8, 1)]
+
+
 def test_coalesce_intervals_hand_case(spark):
     df = spark.createDataFrame(
         [
