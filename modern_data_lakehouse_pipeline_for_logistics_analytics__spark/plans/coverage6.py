@@ -327,7 +327,14 @@ def _zvalue_expr(a: str, b: str, w: int, div: str) -> str:
     """Bit-interleaved z-value of two bucketed BIGINTs as ONE integer
     expression, emitted for either engine (`div` = 'div' Spark / '//'
     DuckDB) -- the single-source rule: the Spark column and the DuckDB
-    oracle read the same generated text, so the curve cannot drift."""
+    oracle read the same generated text, so the curve cannot drift.
+
+    Same bit convention as `operators/layout.py::morton_key` (first
+    operand in even bits) -- the Column-based builder the write path
+    uses; equivalence is pinned by
+    `tests/test_r11_ops.py::test_zvalue_expr_matches_morton_key`.
+    This text form exists because a Column cannot be replayed by the
+    DuckDB oracle."""
     terms = []
     for i in range(w):
         terms.append(f"(({a} {div} {1 << i}) % 2) * {1 << (2 * i)}")

@@ -230,6 +230,25 @@ def test_zvalue_expr_matches_python_interleave(spark):
         assert r["z"] == z_ref(r["a"], r["b"], 12), (r["a"], r["b"])
 
 
+def test_zvalue_expr_matches_morton_key(spark):
+    # The oracle-replayable text builder and the Column-based write-path
+    # builder must encode the SAME curve (first operand in even bits).
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.layout import (
+        morton_key,
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.plans.coverage6 import (
+        _zvalue_expr,
+    )
+
+    rows = [(a, b) for a in (0, 1, 3, 100, 4095) for b in (0, 2, 63, 4095)]
+    df = (
+        spark.createDataFrame(rows, "a long, b long")
+        .withColumn("z_text", F.expr(_zvalue_expr("a", "b", 12, "div")))
+        .withColumn("z_col", morton_key(F.col("a"), F.col("b"), bits=12))
+    )
+    assert df.filter("z_text <> z_col").count() == 0
+
+
 def test_zvalue_locality_beats_linear_on_cross_dimension(spark):
     # The audit's premise in miniature: sort 16x16 grid points by
     # z-value into 32-point files; a band predicate on EITHER
