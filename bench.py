@@ -266,6 +266,18 @@ def main() -> None:
         release_caches,
     )
 
+    # MEASUREMENT CAVEAT (r11, documented not silently fixed): timing
+    # `.count()` lets Catalyst eliminate any final cardinality-
+    # preserving operator a count doesn't need -- most notably a LEFT
+    # JOIN whose right side has unique keys (semdedup_portable's whole
+    # within-cluster cosine stage prunes away; verified against the
+    # optimized plan, PLANS.md "r11 probe extension").  Every budget
+    # since r4 was seeded under this same action, so the gate stays
+    # apples-to-apples round over round; the driver's CORRECTNESS pass
+    # materializes full values, so correctness evidence is unaffected.
+    # r12 item: move to a materializing action (min over every output
+    # column, the driver's shape) and re-baseline all budgets in one
+    # provenance-documented sweep.
     def _median3(name: str) -> float:
         runs = []
         for _ in range(3):
