@@ -278,11 +278,33 @@ def main() -> None:
     # r12 item: move to a materializing action (min over every output
     # column, the driver's shape) and re-baseline all budgets in one
     # provenance-documented sweep.
+    # SPARK_GRAFT_BENCH_ACTION=materialize switches the timing action to
+    # a full-materialization consume (xxhash64 over every output column,
+    # summed to one scalar -- nothing trailing can be pruned, no Arrow
+    # transfer of the result set).  The r12 re-baseline collects its
+    # budgets under this action; until then it is opt-in and NON-GATING
+    # (budgets were seeded under count(), so comparing materialized
+    # timings against them would manufacture false breaches).
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "count")
+
+    def _consume(df) -> None:
+        if action == "materialize":
+            from pyspark.sql import functions as F
+
+            try:
+                df.select(
+                    F.xxhash64(F.struct(*df.columns)).alias("__h")
+                ).agg(F.sum("__h")).collect()
+                return
+            except Exception:
+                pass  # unhashable output type: fall through to count
+        df.count()
+
     def _median3(name: str) -> float:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).count()
+            _consume(queries[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         return round(sorted(runs)[1], 4)
 
@@ -332,7 +354,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     breaches: dict[str, tuple[float, float]] = {}
     retries: dict[str, dict[str, float]] = {}
-    if sf == "0.1" and os.path.exists(budget_path):
+    if sf == "0.1" and action == "count" and os.path.exists(budget_path):
         with open(budget_path) as fh:
             budgets = json.load(fh)["budgets"]
 
@@ -364,15 +386,19 @@ def main() -> None:
     }
     if retries:
         payload["retries"] = retries
+    if action != "count":
+        payload["action"] = action
     print(json.dumps(payload))
 
     # Also persist the COMPLETE per-query map in-repo: the driver's
     # BENCH_r{N}.json artifact head-truncates long lines (the `tail`
     # field loses the first ~11 queries), so round-over-round history was
     # silently dropping courier_metrics..tpch_q5.  N = next round after
-    # the newest driver artifact present.  Canonical scale ONLY: a smoke
-    # run at another sf must not clobber the committed round record.
-    if sf == "0.1":
+    # the newest driver artifact present.  Canonical scale AND canonical
+    # action ONLY: a smoke run at another sf -- or an opt-in materialized
+    # run -- must not clobber the committed round record (a materialized
+    # run did exactly that in r11 before this guard).
+    if sf == "0.1" and action == "count":
         try:
             import re
 
