@@ -292,9 +292,14 @@ def main() -> None:
             from pyspark.sql import functions as F
 
             try:
+                # bit_xor, not sum: summing uniform 64-bit hashes
+                # overflows ANSI long arithmetic on any sizeable output,
+                # and the exception would abort AFTER real work ran --
+                # the count fallback then double-charged the query (the
+                # first materialized collection hit exactly this).
                 df.select(
                     F.xxhash64(F.struct(*df.columns)).alias("__h")
-                ).agg(F.sum("__h")).collect()
+                ).agg(F.expr("bit_xor(__h)")).collect()
                 return
             except Exception:
                 pass  # unhashable output type: fall through to count

@@ -1155,10 +1155,12 @@ def _substring_grams(
     df: DataFrame, id_col: str, text_col: str, length: int
 ) -> DataFrame:
     """(id, pos, hash) L-gram frame, cached -- the single corpus scan
-    both the span and the stats query read."""
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("__t")).filter(
-        F.size("__t") >= length
-    )
+    both the span and the stats query read.  _spread first: a
+    single-file fixture would otherwise run the whole gram explode in
+    one task (wide inputs pass through untouched)."""
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokenize(text_col).alias("__t")
+    ).filter(F.size("__t") >= length)
     grams = toks.select(
         F.col(id_col),
         F.posexplode(

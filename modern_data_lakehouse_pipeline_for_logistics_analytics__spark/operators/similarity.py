@@ -957,6 +957,12 @@ def semantic_dedup(
     near-duplicate below it, -1 when kept; -1 not NULL so the verdict
     column hashes identically cross-engine).
     """
+    from .dedup import _spread
+
+    # Single-file corpora would run the whole assignment pass (and seed
+    # the per-cluster pairwise stage) from ONE task; wide inputs pass
+    # through _spread untouched.
+    df = _spread(df.select(F.col(id_col), F.col(vec_col)))
     qc = _quantized(df, id_col, vec_col, scale)
     cents = (
         qc.select(

@@ -1526,15 +1526,28 @@ def q_ops_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         F.col("o_orderpriority").alias("pri"), F.to_date("o_orderdate").alias("day")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    filled = resample_interpolate(daily, "pri", "day", "rev").select(
-        "pri",
-        "day",
-        F.floor(F.col("rev_filled") * 10000 + 0.5).cast("long").alias("units"),
+    from ..operators.dedup import _cache_aged
+
+    # The gap-filled series fans out to FOUR consumers (median, dev,
+    # MAD, CUSUM); uncached, the whole interpolation subtree (spine
+    # join + windows) replays once per branch -- materialized-action
+    # profiling measured the duplication at ~4x the pipeline's real
+    # cost.  Same for dev (feeds MAD + CUSUM).
+    filled = _cache_aged(
+        "ops_drift.filled",
+        resample_interpolate(daily, "pri", "day", "rev").select(
+            "pri",
+            "day",
+            F.floor(F.col("rev_filled") * 10000 + 0.5).cast("long").alias("units"),
+        ),
     )
     med = filled.groupBy("pri").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY units)").alias("med_u")
     )
-    dev = filled.join(med, "pri").withColumn("dev", F.col("units") - F.col("med_u"))
+    dev = _cache_aged(
+        "ops_drift.dev",
+        filled.join(med, "pri").withColumn("dev", F.col("units") - F.col("med_u")),
+    )
     mad = dev.groupBy("pri").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(dev))").alias("mad_u")
     )
@@ -2174,8 +2187,16 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         F.col("o_orderpriority").alias("pri"), F.to_date("o_orderdate").alias("day")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    filled = resample_interpolate(daily, "pri", "day", "rev").select(
-        "pri", "day", F.floor(F.col("rev_filled") * 10000 + 0.5).cast("long").alias("units")
+    from ..operators.dedup import _cache_aged
+
+    # filled self-joins against its own date-shifted copy -- uncached,
+    # the interpolation subtree replays on both sides of the join.
+    filled = _cache_aged(
+        "forecast_backtest.filled",
+        resample_interpolate(daily, "pri", "day", "rev").select(
+            "pri", "day",
+            F.floor(F.col("rev_filled") * 10000 + 0.5).cast("long").alias("units"),
+        ),
     )
     lagged = filled.select(
         "pri", F.date_add("day", 7).alias("day"), F.col("units").alias("yhat")
