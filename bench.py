@@ -244,7 +244,41 @@ BENCH_QUERIES = [
     "hardneg_mining_topk",
     "interval_coalesce_activity",
     "zorder_pruning_audit",
+    # r12 additions
+    "semdedup_scaled",
 ]
+
+
+def consume(df, action: str, name: str = "?", fallbacks: set | None = None) -> None:
+    """Fully execute ``df`` under the named timing action.
+
+    ``materialize`` hashes every output column (xxhash64 over the row
+    struct, bit_xor-folded to one scalar -- bit_xor, not sum: summing
+    uniform 64-bit hashes overflows ANSI long arithmetic on any sizeable
+    output, and the exception would abort AFTER real work ran, double-
+    charging the query).  Nothing trailing can be pruned, no Arrow
+    transfer of the result set.  Outputs whose types xxhash64 cannot
+    hash (MapType columns) raise AnalysisException at PLAN time -- the
+    only sanctioned fallback-to-count path, recorded in ``fallbacks`` so
+    a payload can never silently mix actions (r11 ADVICE: the bare
+    ``except Exception: pass`` here hid real query failures behind a
+    count-mode timing).
+    """
+    if action == "materialize":
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        try:
+            probe = df.select(F.xxhash64(F.struct(*df.columns)).alias("__h"))
+        except AnalysisException:
+            # Unhashable output type (MapType): plan-time failure, no
+            # work was executed yet -- count() is a clean substitute.
+            if fallbacks is not None:
+                fallbacks.add(name)
+        else:
+            probe.agg(F.expr("bit_xor(__h)")).collect()
+            return
+    df.count()
 
 
 def main() -> None:
@@ -286,30 +320,13 @@ def main() -> None:
     # (budgets were seeded under count(), so comparing materialized
     # timings against them would manufacture false breaches).
     action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "count")
-
-    def _consume(df) -> None:
-        if action == "materialize":
-            from pyspark.sql import functions as F
-
-            try:
-                # bit_xor, not sum: summing uniform 64-bit hashes
-                # overflows ANSI long arithmetic on any sizeable output,
-                # and the exception would abort AFTER real work ran --
-                # the count fallback then double-charged the query (the
-                # first materialized collection hit exactly this).
-                df.select(
-                    F.xxhash64(F.struct(*df.columns)).alias("__h")
-                ).agg(F.expr("bit_xor(__h)")).collect()
-                return
-            except Exception:
-                pass  # unhashable output type: fall through to count
-        df.count()
+    fallbacks: set[str] = set()
 
     def _median3(name: str) -> float:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            _consume(queries[name](spark, sf_dir))
+            consume(queries[name](spark, sf_dir), action, name, fallbacks)
             runs.append(time.perf_counter() - t0)
         return round(sorted(runs)[1], 4)
 
@@ -393,6 +410,11 @@ def main() -> None:
         payload["retries"] = retries
     if action != "count":
         payload["action"] = action
+    if fallbacks:
+        # Queries whose output xxhash64 cannot hash were timed under
+        # count() despite action=materialize -- named here so the payload
+        # never silently mixes actions.
+        payload["fallback_to_count"] = sorted(fallbacks)
     print(json.dumps(payload))
 
     # Also persist the COMPLETE per-query map in-repo: the driver's

@@ -932,9 +932,10 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.42,
     scale: int = 1_000_000,
+    target_cluster_pop: int = 250,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication") with the engine-
@@ -945,24 +946,44 @@ def semantic_dedup(
     id is near -- is deterministic and single-pass (no fixed point): a
     chain a~b~c keeps exactly ``a`` because b sees a and c sees b.
 
+    ``n_clusters=None`` (the default) sizes the geometry from the
+    corpus: ``k = max(16, ceil(n / target_cluster_pop))`` -- integer
+    ceiling, mirrored exactly by the SQL oracle's
+    ``GREATEST(16, (COUNT(*) + pop - 1) // pop)`` -- so cluster
+    populations stay ~``target_cluster_pop`` no matter the corpus size
+    and the quadratic stage can never reappear at scale (the r11 fixed
+    k=16 default grew (n/16)^2 with the corpus; its 10x probe measured
+    16->64 clusters cutting wall 3.7x with 0.2% verdict change).  The
+    count that sizes k is one cheap scan returning a single scalar.
+    Pass an explicit ``n_clusters`` to pin a geometry (the k=16 oracle
+    query does, as the validated small-scale shape).
+
     Scale shape: assignment is one broadcast-centroid pass (exact
     BIGINT squared-L2 argmin, centroid-id tie-break); the quadratic
-    stage is confined WITHIN clusters -- per-cluster cost (n/k)^2, the
-    whole point of SemDeDup vs brute-force near-dup.  At 100 TB,
-    ``n_clusters`` grows with the corpus so cluster populations stay
-    bounded; nothing here touches the driver.
+    stage is confined WITHIN clusters -- one Arrow-batched GEMM task
+    per cluster (same float64 kernel as ``cosine_pairs_above``, whose
+    6dp-rounded scores are hash-verified cross-engine), so per-task
+    memory is pop^2 doubles, bounded by ``target_cluster_pop`` under
+    the scaled default.  Nothing here touches the driver beyond the
+    sizing count.
 
     Output: one row per corpus vector --
     ``id_col, cluster, is_kept (0/1), dup_of`` (lowest-id in-cluster
     near-duplicate below it, -1 when kept; -1 not NULL so the verdict
     column hashes identically cross-engine).
     """
+    import numpy as np
+    import pandas as pd
+
     from .dedup import _spread
 
     # Single-file corpora would run the whole assignment pass (and seed
     # the per-cluster pairwise stage) from ONE task; wide inputs pass
     # through _spread untouched.
     df = _spread(df.select(F.col(id_col), F.col(vec_col)))
+    if n_clusters is None:
+        n = df.count()
+        n_clusters = max(16, (n + target_cluster_pop - 1) // target_cluster_pop)
     qc = _quantized(df, id_col, vec_col, scale)
     cents = (
         qc.select(
@@ -987,31 +1008,43 @@ def semantic_dedup(
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     withv = assigned.join(vecs, "id")
-    lo = withv.select(
-        F.col("cluster"), F.col("id").alias("id_lo"), F.col("v").alias("v_lo")
-    )
-    hi = withv.select(
-        F.col("cluster"), F.col("id").alias("id_hi"), F.col("v").alias("v_hi")
-    )
-    near = (
-        lo.join(hi, "cluster")
-        .filter(F.col("id_lo") < F.col("id_hi"))
-        .withColumn("cos_sim", cosine(F.col("v_lo"), F.col("v_hi")))
-        .filter(F.col("cos_sim") >= threshold)
-        .groupBy("id_hi")
-        .agg(F.min("id_lo").cast("long").alias("dup_of"))
-    )
-    return (
-        assigned.join(near, assigned["id"] == near["id_hi"], "left")
-        .select(
-            assigned["id"].alias(id_col),
-            F.col("cluster").cast("long").alias("cluster"),
-            F.when(F.col("dup_of").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("is_kept"),
-            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+
+    # Per-cluster verdicts in ONE float64 GEMM per cluster (r12: replaces
+    # the pair self-join whose per-pair Catalyst cosine re-folded the
+    # arrays (n/k)^2 times -- 6.2s -> sub-second materialized at sf0.1).
+    # np.round-to-6dp before the threshold compare is the same contract
+    # the hash-verified cosine_pairs_above tile kernel uses.
+    def cluster_verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        cluster = np.int64(pdf["cluster"].iloc[0])
+        mat = np.array(list(pdf["v"].iloc[order]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 6)
+        m = len(ids)
+        idx = np.arange(m)
+        tri_near = (sims >= threshold) & (idx[:, None] < idx[None, :])
+        has_dup = tri_near.any(axis=0)
+        # ids ascend with the row index, so argmax (first True) IS min id_lo.
+        first = tri_near.argmax(axis=0)
+        dup_of = np.where(has_dup, ids[first], np.int64(-1))
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster": np.full(m, cluster, dtype=np.int64),
+                "is_kept": np.where(has_dup, np.int64(0), np.int64(1)),
+                "dup_of": dup_of,
+            }
         )
+
+    out = withv.groupBy("cluster").applyInPandas(
+        cluster_verdicts, schema="id long, cluster long, is_kept long, dup_of long"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("cluster"),
+        F.col("is_kept"),
+        F.col("dup_of"),
     )
 
 
@@ -1022,6 +1055,7 @@ def hard_negative_topk(
     vec_col: str,
     label_col: str,
     k: int = 5,
+    max_anchors: int | None = 10_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / retrieval training: for
     each anchor, the top-``k`` most-similar corpus vectors with a
@@ -1031,9 +1065,28 @@ def hard_negative_topk(
     Same cost shape as ``cosine_topk`` (the anchors broadcast; one
     corpus scan; per-anchor top-k window) with the label-inequality
     predicate folded into the broadcast join, so excluded same-label
-    rows never reach the scorer.  Output:
+    rows never reach the scorer.  SCALE NOTE: the ``!=`` predicate
+    makes this a BroadcastNestedLoopJoin costing corpus x anchors
+    cosines -- intended for BOUNDED anchor sets (probe batches,
+    curriculum seeds).  ``max_anchors`` enforces that contract (the
+    same guard pattern as the LSH hot-bucket caps): an unbounded
+    ``queries`` frame would otherwise quietly schedule an
+    all-pairs-shaped job AND overrun the broadcast.  Pass ``None``
+    only when the caller has already bounded the frame.  For
+    anchor sets beyond the guard, mine per-anchor-batch or go through
+    ``ivf_portable_topk`` with a label post-filter instead.  Output:
     ``query_id, neighbor_id, neg_label, cos_sim, rank``.
     """
+    if max_anchors is not None:
+        n_anchors = queries.limit(max_anchors + 1).count()
+        if n_anchors > max_anchors:
+            raise ValueError(
+                f"hard_negative_topk: anchor set exceeds max_anchors="
+                f"{max_anchors}; the anchors broadcast into a nested-loop "
+                "join costing corpus x anchors -- batch the anchors or use "
+                "ivf_portable_topk with a label post-filter (pass "
+                "max_anchors=None only for a frame you have already bounded)"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

@@ -235,30 +235,55 @@ def coalesce_intervals(
     input is unique per (key, start) BY CONSTRUCTION (e.g. posexplode
     positions) pass ``unique_starts=True`` to skip that pre-aggregate
     -- it would be a data no-op costing one extra full shuffle of the
-    interval frame (r11 review finding).
+    interval frame (r11 review finding).  The contract is ENFORCED,
+    not trusted (r11 advice): a ``lag(start)`` probe over the same
+    window spec (collapses into the existing Window node -- no extra
+    shuffle or pass) raises on the first duplicate (key, start) rather
+    than silently producing nondeterministic island numbering.
 
     Output: ``key_col, span_start, span_end, count_col`` (input rows
     merged into the span).
     """
+    w = Window.partitionBy(key_col).orderBy(start_col)
     if unique_starts:
+        prev_start = F.lag(start_col).over(w)
         per_start = df.select(
             key_col,
             start_col,
             F.lit(1).cast("long").alias("__n"),
             F.col(end_col).alias("__e"),
+        ).withColumn(
+            "__uniq",
+            F.when(
+                prev_start.isNotNull() & (prev_start == F.col(start_col)),
+                F.raise_error(
+                    F.lit(
+                        "coalesce_intervals(unique_starts=True): duplicate "
+                        "(key, start) in input -- the caller asserted "
+                        "uniqueness by construction; pre-aggregate instead "
+                        "(unique_starts=False)"
+                    )
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
         )
     else:
         per_start = df.groupBy(key_col, start_col).agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
             F.max(end_col).alias("__e"),
-        )
-    w = Window.partitionBy(key_col).orderBy(start_col)
+        ).withColumn("__uniq", F.lit(0))
     prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = per_start.withColumn(
         "__new",
         F.when(prev_max.isNull() | (F.col(start_col) > prev_max), 1).otherwise(0),
     ).withColumn(
-        "__island", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        # "+ __uniq" (always 0, raises on contract violation) rides in
+        # the summand so the guard is evaluated for EVERY row -- an AND
+        # clause would short-circuit under codegen and skip it on
+        # non-island rows (exactly where duplicates sit).
+        "__island",
+        F.sum(F.col("__new") + F.col("__uniq")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
     return (
         flagged.groupBy(key_col, "__island")

@@ -76,6 +76,7 @@ def _load_all() -> None:
         "retrieval",
         "logistics",
         "coverage6",
+        "coverage7",
         "cohorts",  # must import LAST: digests read the full ORACLE registry
     ):
         try:

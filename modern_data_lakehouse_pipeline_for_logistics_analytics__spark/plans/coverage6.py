@@ -125,7 +125,15 @@ _SEMDEDUP_SCALE = 1_000_000
 # Constants interpolate into the oracle text so retuning _SEMDEDUP_K /
 # _SEMDEDUP_SCALE can never drift the two engines apart (the
 # shared-constants rule every portable oracle in this repo follows).
-_IVF_ASSIGN_CTES = f"""
+
+
+def ivf_assign_ctes(k_expr: str) -> str:
+    """IVF assignment CTE block (DuckDB) shared by the semdedup oracles;
+    ``k_expr`` is the cluster-count SQL -- a literal for the pinned k=16
+    geometry, a COUNT(*)-derived scalar subquery for the corpus-scaled
+    one (coverage7) -- so the two oracles can never drift from each
+    other structurally."""
+    return f"""
     e AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS v
@@ -135,10 +143,13 @@ _IVF_ASSIGN_CTES = f"""
       FROM e),
     nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM e GROUP BY 1),
     cent_ids AS (
-      SELECT vec_id AS cluster FROM embeddings
-      ORDER BY ((CAST(vec_id AS BIGINT) % 2147483648) * 2654435761)
-               % 2147483648, vec_id
-      LIMIT {_SEMDEDUP_K}),
+      SELECT vec_id AS cluster FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ((CAST(vec_id AS BIGINT) % 2147483648)
+                           * 2654435761) % 2147483648, vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= {k_expr}),
     centq AS (
       SELECT c.cluster, q.i, q.qv AS cqv
       FROM cent_ids c JOIN q ON q.vec_id = c.cluster),
@@ -155,10 +166,12 @@ _IVF_ASSIGN_CTES = f"""
       WHERE rn = 1)"""
 
 
-@register(
-    "semdedup_portable",
-    oracle=f"""
-    WITH {_IVF_ASSIGN_CTES},
+def semdedup_verdict_sql(k_expr: str) -> str:
+    """Full semdedup oracle (DuckDB) at the given cluster-count SQL --
+    single-sourced so the pinned-k and corpus-scaled queries share every
+    character except ``k_expr``."""
+    return f"""
+    WITH {ivf_assign_ctes(k_expr)},
     dot AS (
       SELECT a.vec_id AS id_lo, b.vec_id AS id_hi, SUM(ea.v * eb.v) AS d
       FROM assigned a
@@ -177,8 +190,10 @@ _IVF_ASSIGN_CTES = f"""
            CAST(CASE WHEN n.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
              AS is_kept,
            CAST(COALESCE(n.dup_of, -1) AS BIGINT) AS dup_of
-    FROM assigned a LEFT JOIN near n ON n.id_hi = a.vec_id""",
-)
+    FROM assigned a LEFT JOIN near n ON n.id_hi = a.vec_id"""
+
+
+@register("semdedup_portable", oracle=semdedup_verdict_sql(str(_SEMDEDUP_K)))
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: within-cluster semantic near-dup pruning under the
     engine-deterministic IVF quantizer -- per-vector keep/drop verdicts
@@ -312,6 +327,13 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Z_W = 12           # bits per dimension (24-bit z-values)
 _Z_CUST_DIV = 4     # custkey bucket width
+# VALIDITY BOUND (r11 advice): with _Z_W=12 the bucket expressions cap at
+# 4095, so custkey div 4 saturates beyond custkey 16383 -- fine at the
+# fixture scales this audit is registered for (custkey <= 14999 at
+# sf0.1) but at sf>=1 the cap would collapse all higher customers into
+# one bucket and flatten the cust-dimension discrimination.  Parity is
+# unaffected (both engines share the cap); re-derive _Z_W/_Z_CUST_DIV
+# from the scale's custkey range before reusing the audit beyond sf0.1.
 _Z_RPF = 250        # simulated rows per file
 # Probe windows sit inside every fixture's live range (k_day spans
 # 1091-3495 at all scales; custkey reaches 149 at sf0.001).

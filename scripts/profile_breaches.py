@@ -47,6 +47,9 @@ def main() -> None:
     )
     import __spark_entry__ as entrymod
 
+    from bench import consume
+
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "count")
     spark = build_session(app_name="profile_breaches")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -59,7 +62,7 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).count()
+            consume(queries[name](spark, sf_dir), action)
             runs.append(time.perf_counter() - t0)
         return round(sorted(runs)[1], 4)
 
@@ -74,6 +77,7 @@ def main() -> None:
             json.dumps(
                 {
                     "query": name,
+                    "action": action,
                     "medians": meds,
                     "min_median": min(meds),
                     "sentinels": sentinels,

@@ -1,0 +1,121 @@
+"""Hand cases for the r12 batch: corpus-scaled SemDeDup geometry, the
+hard-negative anchor guard, and the coalesce_intervals uniqueness
+enforcement (r11 verdict items 2/4 + advice)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
+    hard_negative_topk,
+    semantic_dedup,
+)
+from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.windows import (
+    coalesce_intervals,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup: corpus-scaled n_clusters default
+# --------------------------------------------------------------------------
+
+
+def test_semantic_dedup_scaled_default_floors_at_16(spark):
+    # 40 vectors / target pop 250 -> ceil = 1, floored to k=16; with
+    # n >= k every centroid seeds a cluster, so exactly 16 distinct
+    # cluster ids can appear and every vector gets a verdict row.
+    rows = [(i, [float(i), 1.0, 0.0, 0.0], 0) for i in range(40)]
+    out = semantic_dedup(_emb(spark, rows), "vec_id", "embedding").collect()
+    assert len(out) == 40
+    assert len({r["cluster"] for r in out}) <= 16
+
+
+def test_semantic_dedup_scaled_matches_explicit_k(spark):
+    # n=60, pop=10 -> k = max(16, ceil(60/10)) = 16: the scaled default
+    # must equal the explicit n_clusters=16 run row for row.
+    rows = [
+        (i, [float(i % 7), float(i % 3), 1.0, 0.0], 0) for i in range(60)
+    ]
+    scaled = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                _emb(spark, rows), "vec_id", "embedding",
+                target_cluster_pop=10,
+            ).collect(),
+        )
+    )
+    pinned = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                _emb(spark, rows), "vec_id", "embedding", n_clusters=16
+            ).collect(),
+        )
+    )
+    assert scaled == pinned
+
+
+def test_semantic_dedup_scaled_ceil_branch(spark):
+    # n=60, pop=3 -> k = max(16, 20) = 20 clusters: the integer-ceiling
+    # branch must actually widen the geometry (more distinct clusters
+    # than the 16-floor would allow is possible; at minimum the run
+    # succeeds and covers every vector exactly once).
+    rows = [
+        (i, [float(i), float(i % 5), 1.0, 0.0], 0) for i in range(60)
+    ]
+    out = semantic_dedup(
+        _emb(spark, rows), "vec_id", "embedding", target_cluster_pop=3
+    ).collect()
+    assert len(out) == 60
+    assert len({r["vec_id"] for r in out}) == 60
+
+
+# --------------------------------------------------------------------------
+# hard_negative_topk: bounded-anchor contract
+# --------------------------------------------------------------------------
+
+
+def test_hard_negative_anchor_guard_raises(spark):
+    rows = [(i, [1.0, float(i)], i % 2) for i in range(8)]
+    emb = _emb(spark, rows)
+    with pytest.raises(ValueError, match="max_anchors"):
+        hard_negative_topk(
+            emb, emb, "vec_id", "embedding", "label", k=2, max_anchors=4
+        )
+
+
+def test_hard_negative_guard_passes_bounded_set(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 1),
+        (2, [0.0, 1.0], 1),
+    ]
+    emb = _emb(spark, rows)
+    anchors = emb.filter(F.col("vec_id") == 0)
+    out = hard_negative_topk(
+        emb, anchors, "vec_id", "embedding", "label", k=1, max_anchors=4
+    ).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in out] == [(0, 1)]
+
+
+# --------------------------------------------------------------------------
+# coalesce_intervals: unique_starts contract is enforced, not trusted
+# --------------------------------------------------------------------------
+
+
+def test_coalesce_intervals_unique_starts_violation_raises(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 4), ("A", 1, 6), ("A", 9, 12)], "k string, s long, e long"
+    )
+    bad = coalesce_intervals(df, "k", "s", "e", unique_starts=True)
+    with pytest.raises(Exception, match="duplicate"):
+        bad.collect()
