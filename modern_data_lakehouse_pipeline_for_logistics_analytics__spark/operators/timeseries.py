@@ -65,6 +65,12 @@ def resample_interpolate(
     x.98125), where Spark's decimal HALF_UP and DuckDB's binary rounding
     split -- observed as ±1e-4 parity failures at sf0.001.
     """
+    # The observed series feeds BOTH the spine bounds and the join probe
+    # -- cache it or the upstream aggregate (often a full fact scan)
+    # replays once per consumer (r11 materialized-action finding class).
+    from .dedup import _cache_aged
+
+    df = _cache_aged("resample_input", df)
     spine = date_spine(df, key_col, date_col)
     joined = spine.join(df, on=[key_col, date_col], how="left")
 

@@ -23,6 +23,12 @@ Digest of one member result (rows in any order):
   US (0x1f) separator; every field is NULL-coalesced to SOH (0x01)
   *before* joining because Spark's ``concat_ws`` skips NULL arguments
   while DuckDB's ``||`` propagates them.
+* str-kind values are ESCAPED first (0x02 -> 0x02 0x02, then
+  0x01 -> 0x02 0x01, then 0x1f -> 0x02 0x1f, same three ``replace``
+  calls on both engines) so a literal SOH can never alias NULL and an
+  embedded US can never shift field boundaries (r11 advice).  Non-str
+  kinds canonicalize to digit/date text that cannot contain control
+  characters, so only str needs it.
 * Summing per-row hashes (rather than hashing an ordered concatenation)
   makes the digest independent of row order, matching the driver's
   order-insensitive value comparison.  Unlike XOR it does not cancel
@@ -78,7 +84,15 @@ def _spark_canon(col: F.Column, kind: str) -> F.Column:
     if kind == "int":
         out = col.cast("string")
     elif kind == "str":
-        out = col
+        out = F.replace(
+            F.replace(
+                F.replace(col, F.lit("\x02"), F.lit("\x02\x02")),
+                F.lit(_NULL),
+                F.lit("\x02" + _NULL),
+            ),
+            F.lit(_SEP),
+            F.lit("\x02" + _SEP),
+        )
     elif kind == "bool":
         out = col.cast("int").cast("string")
     elif kind == "date":
@@ -102,7 +116,10 @@ def _duck_canon(col: str, kind: str) -> str:
     if kind == "int":
         expr = f"CAST({q} AS VARCHAR)"
     elif kind == "str":
-        expr = q
+        expr = (
+            f"replace(replace(replace({q}, chr(2), chr(2) || chr(2)), "
+            "chr(1), chr(2) || chr(1)), chr(31), chr(2) || chr(31))"
+        )
     elif kind == "bool":
         expr = f"CAST(CAST({q} AS INT) AS VARCHAR)"
     elif kind == "date":

@@ -694,8 +694,13 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs for a decade of days -- which is fine BECAUSE it runs on the
     post-aggregate day series, never on raw rows; for multi-decade
     second-granularity series, subsample pairs or use the repeated-
-    median variant.  The day aggregate is the only row-scale stage."""
-    from pyspark.sql import Window
+    median variant.  The day aggregate is the only row-scale stage.
+    Median selection (r12) goes histogram -> distributed prefix sum
+    (``global_cumsum``) -> min-value-at-rank: the previous global
+    ``row_number`` window sorted all ~3M slope rows in ONE task (7.4s
+    materialized at sf0.1 -> 2.5s), exactly the single-task pattern the
+    partitioned primitives exist to avoid."""
+    from ..operators.windows import global_cumsum
 
     daily = (
         _lineitem(spark, sf_dir)
@@ -717,17 +722,31 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (xb - xa) AS BIGINT)"
         ).alias("slope_milli")
     )
-    w = Window.orderBy("slope_milli")
-    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    # Exact order statistics without a global sort: per-value counts,
+    # a distributed prefix sum over the value order, then the k-th
+    # statistic is the least value whose cumulative count reaches k.
+    # The histogram feeds FOUR consumers (the cumsum's split-point
+    # action, its offsets collect, the final plan, and the total) --
+    # cache it or the O(days^2) pair join replays per consumer.
+    from ..operators.dedup import _cache_aged
+
+    hist = _cache_aged(
+        "theilsen_hist",
+        slopes.groupBy("slope_milli").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        ),
     )
-    return ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope_milli"))
+    cum = global_cumsum(
+        hist, [F.asc("slope_milli")], "slope_milli", "cnt", alias="crank"
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(F.col("crank") >= F.expr("(n + 1) div 2"), F.col("slope_milli"))
         ).cast("long").alias("slope_lo_milli"),
-        F.max(
-            F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("slope_milli"))
+        F.min(
+            F.when(F.col("crank") >= F.expr("n div 2 + 1"), F.col("slope_milli"))
         ).cast("long").alias("slope_hi_milli"),
     )
 

@@ -136,6 +136,42 @@ def test_null_vs_sentinel_string_distinct(spark):
     assert da["s"] != db["s"]
 
 
+def test_control_chars_escaped_both_engines(spark):
+    """r12 (r11 advice): a literal SOH string must NOT digest equal to
+    NULL, an embedded US must not shift field boundaries, and the
+    DuckDB twin must agree on the escaped forms."""
+    import duckdb
+
+    spec = [("a", "str"), ("b", "str")]
+    null_row = spark.createDataFrame([(None, "x")], "a string, b string")
+    soh_row = spark.createDataFrame([("\x01", "x")], "a string, b string")
+    dn = spark_digest("x", null_row, spec).collect()[0]
+    ds = spark_digest("x", soh_row, spec).collect()[0]
+    assert dn["s"] != ds["s"]
+
+    # ('y<US>', 'x') vs ('y', '<US>x'): without escaping both rows
+    # canonicalize to 'y<US><US>x'.
+    shift_a = spark.createDataFrame([("y\x1f", "x")], "a string, b string")
+    shift_b = spark.createDataFrame([("y", "\x1fx")], "a string, b string")
+    da = spark_digest("x", shift_a, spec).collect()[0]
+    db = spark_digest("x", shift_b, spec).collect()[0]
+    assert da["s"] != db["s"]
+
+    # Cross-engine: the DuckDB twin digests the same tricky values to
+    # the same (n, s).
+    con = duckdb.connect()
+    for sdf, (va, vb) in [
+        (soh_row, ("chr(1)", "'x'")),
+        (shift_a, ("'y' || chr(31)", "'x'")),
+        (spark.createDataFrame([("\x02", "\x02\x02")], "a string, b string"),
+         ("chr(2)", "chr(2) || chr(2)")),
+    ]:
+        got = spark_digest("x", sdf, spec).collect()[0]
+        member_sql = f"SELECT {va} AS a, {vb} AS b"
+        want = con.execute(duck_digest_sql("x", member_sql, spec)).fetchone()
+        assert (got["q"], got["n"], got["s"]) == tuple(want)
+
+
 @pytest.mark.parametrize("cname", sorted(COHORTS))
 def test_cohort_sizes_bounded(cname):
     assert 1 <= len(COHORTS[cname]) <= 32
