@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "zorder_pruning_audit",
     # r12 additions
     "semdedup_scaled",
+    "stream_state_audit",
 ]
 
 

@@ -1,16 +1,19 @@
 """Round-12 widening: corpus-scaled SemDeDup geometry (the r11 verdict's
-fixed-k remedy, registered rather than left in a probe table).
+fixed-k remedy, registered rather than left in a probe table) and the
+streaming state-store audit (r11 verdict item 8: make the streaming
+state evidence registry-visible, not pytest-only).
 
 Each query follows the portable-oracle recipe (shared constants, BIGINT
 arithmetic, integer-ceiling k both engines compute from COUNT(*)) so the
 driver hash-verifies values, not just shapes.  Reference parity: none of
-these exist in the reference -- they extend the similarity family per
-SURVEY §2.11.
+these exist in the reference -- they extend the similarity and streaming
+families per SURVEY §2.11.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .coverage6 import _SEMDEDUP_SCALE, _SEMDEDUP_THR, semdedup_verdict_sql
 from .registry import register, table_path
@@ -59,3 +62,58 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_SEMDEDUP_SCALE,
         target_cluster_pop=_SEMDEDUP_POP,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming state-store audit: what is ACTUALLY in the checkpoint
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_state_audit",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS uid, MIN(ts) AS first_ts
+    FROM events GROUP BY user_id""",
+)
+def q_stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store audit, end to end: run the checkpointed
+    ``applyInPandasWithState`` first-per-key dedup over the events table
+    (one AvailableNow batch), then read the COMMITTED state back through
+    Spark 4's state data source (``format("statestore")``) and emit one
+    row per state entry.  The oracle is the batch truth the state must
+    equal -- ``MIN(ts)`` per user -- so a hash match proves the stream
+    ran, the state persisted, and the state reader decodes it correctly
+    (`streaming/stateful.py::streaming_first_per_key, read_dedup_state`).
+    The single-batch shape is guaranteed: each fixture table is one
+    parquet file, far under the file source's per-trigger cap.
+
+    Scale posture: state is O(distinct keys) partitioned by key; the
+    audit read is partition-parallel over the store files and never
+    replays the stream.  The checkpoint lives in a fixed scratch dir per
+    scale, recreated per call (the run IS the query)."""
+    import shutil
+
+    from ..streaming.stateful import read_dedup_state, streaming_first_per_key
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/tmp/spark_graft_state_audit_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    sch = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    src = stream.select(
+        F.col("user_id").cast("string").alias("uid"), F.col("ts")
+    )
+    deduped = streaming_first_per_key(src, "uid", "ts", [])
+    (
+        deduped.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .format("parquet")
+        .outputMode("append")
+        .start(f"{root}/out")
+        .awaitTermination()
+    )
+    return read_dedup_state(spark, f"{root}/ckpt", "uid", "first_ts")

@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import col as F_col
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -146,6 +147,28 @@ def run_streaming_totals(
         .outputMode("append")
         .start(out_dir)
         .awaitTermination()
+    )
+
+
+def read_dedup_state(spark, checkpoint_dir: str, key_col: str, ts_col: str) -> DataFrame:
+    """Audit the COMMITTED state store of a :func:`streaming_first_per_key`
+    checkpoint via Spark 4's state data source (``format("statestore")``)
+    -- the production pattern for answering "what is actually in my
+    stream's state right now" (size, skew, stuck keys) without touching
+    the running query.  Output: one row per state entry --
+    ``<key_col> string, <ts_col> timestamp`` (the first-seen timestamp
+    the operator persisted for that key).
+
+    Scale: the state source reads the store files partition-parallel;
+    nothing here replays the stream.
+    """
+    return (
+        spark.read.format("statestore")
+        .load(checkpoint_dir)
+        .select(
+            F_col(f"key.{key_col}").alias(key_col),
+            F_col(f"value.groupState.first_ts").alias(ts_col),
+        )
     )
 
 
