@@ -95,14 +95,27 @@ def run(query: str, sf_dir: str) -> None:
         build_session,
     )
     import __spark_entry__ as entrymod
+    from bench import consume
 
+    # r12: probes honor SPARK_GRAFT_BENCH_ACTION (default materialize)
+    # -- the r8-r11 probe tables timed `.count()`, which inherits the
+    # count()-elimination blind spot for trailing-operator queries; the
+    # action printed is the action that RAN (a MapType output falls back
+    # to count and is labeled as such), and rows= rides the same timed
+    # job (consume returns the cardinality), so the query executes once.
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "materialize")
     spark = build_session(app_name="sfprobe-run")
     spark.sparkContext.setLogLevel("ERROR")
     q = entrymod.queries()[query]
+    fallbacks: set[str] = set()
     t0 = time.perf_counter()
-    n = q(spark, sf_dir).count()
+    n = consume(q(spark, sf_dir), action, query, fallbacks)
     dt = time.perf_counter() - t0
-    print(f"PROBE {query} {sf_dir} cold_sec={dt:.2f} rows={n}", flush=True)
+    ran = "count(fallback)" if query in fallbacks else action
+    print(
+        f"PROBE {query} {sf_dir} action={ran} cold_sec={dt:.2f} rows={n}",
+        flush=True,
+    )
     spark.stop()
 
 

@@ -49,7 +49,10 @@ def main() -> None:
 
     from bench import consume
 
-    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "count")
+    # Default mirrors bench.py's canonical action (r12: materialize) --
+    # a breach re-profile under a different action would measure a
+    # different plan and "not reproduce" spuriously (review finding).
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "materialize")
     spark = build_session(app_name="profile_breaches")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()

@@ -8,9 +8,12 @@ per-pass medians x2 (the r11 headroom rule: a 2x-contended host still
 clears the 1.5x gate), with the source medians embedded so provenance
 never leaves the artifact.
 
-NOT yet read by bench.py: the r12 open flips the default action to
-``materialize`` and swaps this file in as BENCH_BUDGET.json's
-successor after validating a fresh pass against it.
+r12: this is now THE budget pipeline -- bench.py's default action is
+``materialize`` and BENCH_BUDGET.json is the output of this script
+(the r4-r11 count-action budgets are preserved as
+``BENCH_BUDGET_COUNT_LEGACY.json`` for the historical record).  The
+swap happens manually after validating a fresh gating pass against
+the candidate file.
 
 Usage: python scripts/seed_materialized_budgets.py /tmp/mat_battery_*.json
 """
@@ -36,8 +39,18 @@ def main() -> None:
             raise SystemExit(f"{p} is not a materialized-action payload")
         passes.append(d["queries"])
     names = set(passes[0])
+    union = set(passes[0])
     for q in passes[1:]:
         names &= set(q)
+        union |= set(q)
+    if union - names:
+        # A query missing from even one pass would be seeded with NO
+        # budget and the gate would skip it forever (review finding) --
+        # refuse, naming the offenders, instead of silently ungating.
+        raise SystemExit(
+            f"passes disagree on the query set; missing from some pass: "
+            f"{sorted(union - names)} -- collect matched passes"
+        )
     budgets = {}
     medians = {}
     for n in sorted(names):
@@ -45,6 +58,7 @@ def main() -> None:
         budgets[n] = round(min(obs) * 2, 4)
         medians[n] = obs
     out = {
+        "action": "materialize",  # bench.py refuses to gate on a mismatch
         "budgets": budgets,
         "multiplier": 2.0,
         "source": "min of per-pass median-of-3 under SPARK_GRAFT_BENCH_ACTION=materialize",
@@ -52,10 +66,14 @@ def main() -> None:
         "per_pass_medians": medians,
         "policy": (
             "r12 materialized re-baseline: budget = 2x the min of "
-            f"{len(passes)} quiet-host materialized median-of-3 passes "
-            "(collected r11 close, fixes ec62737 in). Gate semantics "
-            "unchanged (breach iff t > budget * 1.5 * contention "
-            "normalizer, confirmation retry)."
+            f"{len(passes)} quiet-host materialized median-of-3 battery "
+            "passes (post weak-query fixes: semdedup GEMM + scaled "
+            "geometry, theilsen distributed median, resample input "
+            "cache). Gate semantics unchanged (breach iff t > budget * "
+            "1.5 * contention normalizer, confirmation retry). Sentinel "
+            "tpch_q6_forecast_revenue quiet floor ~0.16-0.19s under "
+            "count; materialized sentinel readings live in the per-pass "
+            "medians here."
         ),
     }
     dest = os.path.join(REPO_ROOT, "BENCH_BUDGET_MATERIALIZED.json")
