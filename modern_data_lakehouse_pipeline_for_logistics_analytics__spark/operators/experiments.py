@@ -194,3 +194,157 @@ def two_proportion_ztest(
             " ELSE NULL END"
         ).alias("z_micro"),
     )
+
+
+def mann_whitney_auc(
+    df: DataFrame, score_col: str, class_col: str
+) -> DataFrame:
+    """Exact one-vs-rest AUC per class via the Mann-Whitney rank sum --
+    the ranking-quality metric every scoring model (quality classifier,
+    relevance score, fraud signal) is judged by, computed EXACTLY:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with
+    tie-AVERAGED ranks, and every intermediate an integer (twice the
+    average rank of a tied value group is 2*cum - cnt + 1, an odd
+    integer), so the terminal micro-unit rounding is the only division
+    and both engines replay it bit-for-bit.
+
+    Fully distributed -- no global sort: per-value histogram (one
+    groupBy), ``global_cumsum`` for the cumulative rank position
+    (range-partitioned prefix sum), join the per-(class, value) counts
+    back, one aggregate per class.  NULL scores are excluded up front
+    (they have no rank).
+
+    Overflow bound: S2 <= n_pos * 2n and the micro scaling multiplies by
+    1e6, so the statistic stays inside int64 for n up to ~2e9 rows per
+    evaluated frame -- beyond that, evaluate per partition-window or
+    widen to the decimal path.
+
+    Output: ``<class_col>, n_pos, n_neg, auc_micro`` (half-up micro
+    units; -1 when the class is degenerate, i.e. n_neg = 0).
+    """
+    from .dedup import _cache_aged
+    from .windows import global_cumsum
+
+    scored = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("s"), F.col(class_col).alias("cls")
+    )
+    # The histogram feeds the cumsum's two internal actions, the final
+    # plan, and the grand total -- cache it (fan-out replay class).
+    hist = _cache_aged(
+        "auc_hist",
+        scored.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+    )
+    cum = global_cumsum(hist, [F.asc("s")], "s", "cnt", alias="cum")
+    r2 = cum.select(
+        "s", (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1)).alias("r2")
+    )
+    per_class = scored.groupBy("cls", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_c")
+    )
+    agg = (
+        per_class.join(r2, "s")
+        .groupBy("cls")
+        .agg(
+            F.sum(F.col("cnt_c") * F.col("r2")).cast("long").alias("s2"),
+            F.sum("cnt_c").cast("long").alias("n_pos"),
+        )
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cls").alias(class_col),
+            F.col("n_pos"),
+            (F.col("n") - F.col("n_pos")).alias("n_neg"),
+            F.when(
+                F.col("n") > F.col("n_pos"),
+                F.expr(
+                    "((s2 - n_pos * (n_pos + 1)) * 1000000"
+                    " + n_pos * (n - n_pos))"
+                    " div (2 * n_pos * (n - n_pos))"
+                ),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("auc_micro"),
+        )
+    )
+
+
+def kappa_micro_sql(div: str) -> str:
+    """Cohen's kappa in half-up micro units as ONE integer expression
+    over columns ``d`` (diagonal agreement), ``q`` (sum of row*col
+    marginal products), ``n`` (total pairs) -- emitted for either engine
+    (``div`` = 'div' Spark / '//' DuckDB), the single-source rule, so
+    the two engines can never drift.  kappa = (d*n - q) / (n^2 - q); the
+    signed half-up uses the theilsen sign trick (truncation toward zero
+    + sign*den/2 equals half-away-from-zero for either numerator sign;
+    both engines truncate integer division toward zero, probed r8)."""
+    num = "(d * n - q)"
+    den = "(n * n - q)"
+    return (
+        f"CASE WHEN {den} > 0 THEN "
+        f"({num} * 1000000 + (CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
+        f" * ({den} {div} 2)) {div} {den} "
+        f"ELSE -1 END"
+    )
+
+
+def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa: agreement between two categorical columns beyond
+    chance -- the audit metric for "does my heuristic classifier agree
+    with the labels" (language-ID vs labeled lang, rule-based vs model
+    segments).  EXACT: the contingency table is integer counts, observed
+    agreement d/n and expected agreement q/n^2 are integer ratios, and
+    kappa = (d*n - q)/(n^2 - q) rounds once at micro units through the
+    shared ``kappa_micro_sql`` expression text.
+
+    Scale shape: one groupBy over the pair stream (map-side combinable;
+    the contingency is k x k, bounded by the label vocabularies), then
+    everything operates on that bounded table -- marginals, diagonal,
+    and the q fold are k-sized.  Rows with a NULL on either side are
+    excluded (no rating, no agreement claim).
+
+    Output: one row -- ``n, n_agree, agree_micro, expected_micro,
+    kappa_micro`` (kappa_micro = -1 when degenerate: both raters
+    constant and identical leaves no chance-corrected signal).
+    """
+    from .dedup import _cache_aged
+
+    pairs = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(F.col(rater_a).alias("a"), F.col(rater_b).alias("b"))
+    # The contingency feeds four consumers (marginals x2, diagonal,
+    # total) -- cache it or the upstream pair stream (often a full
+    # feature computation) replays per consumer.
+    ct = _cache_aged(
+        "kappa_ct",
+        pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_ab")),
+    )
+    row_m = ct.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    col_m = ct.groupBy("b").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    diag = ct.filter(F.col("a") == F.col("b")).agg(
+        F.coalesce(F.sum("n_ab"), F.lit(0)).cast("long").alias("d")
+    )
+    q = (
+        row_m.join(col_m, row_m["a"] == col_m["b"])
+        .agg(
+            F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0))
+            .cast("long")
+            .alias("q")
+        )
+    )
+    n = ct.agg(F.sum("n_ab").cast("long").alias("n"))
+    return (
+        n.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n",
+            F.col("d").alias("n_agree"),
+            F.expr("(2 * d * 1000000 + n) div (2 * n)").alias("agree_micro"),
+            F.expr("(2 * q * 1000000 + n * n) div (2 * n * n)").alias(
+                "expected_micro"
+            ),
+            F.expr(kappa_micro_sql("div")).alias("kappa_micro"),
+        )
+    )

@@ -117,3 +117,94 @@ def q_stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return read_dedup_state(spark, f"{root}/ckpt", "uid", "first_ts")
+
+
+# --------------------------------------------------------------------------
+# Exact Mann-Whitney AUC: one-vs-rest ranking quality of the value signal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "auc_score_by_event_type",
+    oracle="""
+    WITH src AS (
+      SELECT value AS s, event_type AS cls FROM events
+      WHERE value IS NOT NULL),
+    h AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM src GROUP BY 1),
+    c AS (SELECT s, cnt,
+                 CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS cum
+          FROM h),
+    r AS (SELECT s, 2 * cum - cnt + 1 AS r2 FROM c),
+    pc AS (SELECT cls, s, CAST(COUNT(*) AS BIGINT) AS cnt_c
+           FROM src GROUP BY 1, 2),
+    agg AS (SELECT cls, CAST(SUM(cnt_c * r2) AS BIGINT) AS s2,
+                   CAST(SUM(cnt_c) AS BIGINT) AS n_pos
+            FROM pc JOIN r USING (s) GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src)
+    SELECT cls AS event_type, n_pos, n - n_pos AS n_neg,
+           CASE WHEN n > n_pos THEN
+             ((s2 - n_pos * (n_pos + 1)) * 1000000 + n_pos * (n - n_pos))
+             // (2 * n_pos * (n - n_pos))
+           ELSE -1 END AS auc_micro
+    FROM agg CROSS JOIN tot""",
+)
+def q_auc_score_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the event ``value`` rank each event type above the rest?
+    Exact tie-averaged Mann-Whitney AUC per class, every intermediate an
+    integer, selection fully distributed (histogram + range-partitioned
+    prefix sum -- no global sort)
+    (`operators/experiments.py::mann_whitney_auc`)."""
+    from ..operators.experiments import mann_whitney_auc
+
+    return mann_whitney_auc(
+        _t(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa: does the lang-ID heuristic agree with the labels?
+# --------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    from ..operators.experiments import kappa_micro_sql
+    from .textstats import LANGID_PRED_EXPR, LANGID_VOTE_CTES
+
+    return f"""
+    WITH {LANGID_VOTE_CTES},
+    pred AS (SELECT doc_id, {LANGID_PRED_EXPR} AS lang_pred FROM s3),
+    pairs AS (
+      SELECT d.lang AS a, p.lang_pred AS b
+      FROM documents d JOIN pred p USING (doc_id)
+      WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL),
+    ct AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM pairs GROUP BY 1, 2),
+    ra AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM ct GROUP BY 1),
+    cb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM ct GROUP BY 1),
+    dg AS (SELECT CAST(COALESCE(SUM(n_ab), 0) AS BIGINT) AS d
+           FROM ct WHERE a = b),
+    qq AS (SELECT CAST(COALESCE(SUM(n_a * n_b), 0) AS BIGINT) AS q
+           FROM ra JOIN cb ON ra.a = cb.b),
+    nn AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM ct)
+    SELECT n, d AS n_agree,
+           (2 * d * 1000000 + n) // (2 * n) AS agree_micro,
+           (2 * q * 1000000 + n * n) // (2 * n * n) AS expected_micro,
+           {kappa_micro_sql('//')} AS kappa_micro
+    FROM nn CROSS JOIN dg CROSS JOIN qq"""
+
+
+@register("kappa_langid_vs_label", oracle=_kappa_oracle())
+def q_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the marker-word lang-ID prediction and the
+    labeled ``lang`` column -- chance-corrected classifier agreement,
+    exact integer contingency arithmetic, the kappa expression text
+    shared verbatim between engines
+    (`operators/experiments.py::cohen_kappa`, the predictor is
+    `operators/textstats.py::language_votes`)."""
+    from ..operators.experiments import cohen_kappa
+    from ..operators.textstats import language_votes
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_votes(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return cohen_kappa(joined, "lang", "lang_pred")

@@ -56,10 +56,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(_docs(spark, sf_dir), "doc_id", "text")
 
 
-@register(
-    "text_langid_votes",
-    oracle="""
-    WITH v AS (
+# Shared language-ID CTE block: `s3` carries the vote columns and the
+# (l3, m3) running argmax; the final `CASE WHEN votes_fr > m3 ...` IS
+# lang_pred.  Single-sourced (r12) because two oracles now replay the
+# predictor -- the votes query below and the kappa agreement audit
+# (`plans/coverage7.py`) -- and a drifted copy would silently verify
+# different predictions.
+LANGID_VOTE_CTES = """v AS (
       SELECT doc_id,
              len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
                  ['der','die','und','das','ist'])) AS votes_de,
@@ -73,9 +76,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 AS (SELECT *, CASE WHEN votes_en > votes_de THEN 'en' ELSE 'de' END AS l2,
                   GREATEST(votes_de, votes_en) AS m2 FROM v),
     s3 AS (SELECT *, CASE WHEN votes_es > m2 THEN 'es' ELSE l2 END AS l3,
-                  GREATEST(m2, votes_es) AS m3 FROM s2)
+                  GREATEST(m2, votes_es) AS m3 FROM s2)"""
+
+LANGID_PRED_EXPR = "CASE WHEN votes_fr > m3 THEN 'fr' ELSE l3 END"
+
+
+@register(
+    "text_langid_votes",
+    oracle=f"""
+    WITH {LANGID_VOTE_CTES}
     SELECT doc_id, votes_de, votes_en, votes_es, votes_fr,
-           CASE WHEN votes_fr > m3 THEN 'fr' ELSE l3 END AS lang_pred
+           {LANGID_PRED_EXPR} AS lang_pred
     FROM s3
     """,
 )

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.utils import PythonException
 
 from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.similarity import (
     hard_negative_topk,
@@ -119,3 +118,106 @@ def test_coalesce_intervals_unique_starts_violation_raises(spark):
     bad = coalesce_intervals(df, "k", "s", "e", unique_starts=True)
     with pytest.raises(Exception, match="duplicate"):
         bad.collect()
+
+
+# --------------------------------------------------------------------------
+# mann_whitney_auc: exact tie-averaged rank-sum AUC
+# --------------------------------------------------------------------------
+
+
+def test_auc_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        mann_whitney_auc,
+    )
+
+    # pos scores [3,1] vs neg [2,0]: 3 of 4 pairs rank pos above neg.
+    df = spark.createDataFrame(
+        [(3.0, "pos"), (1.0, "pos"), (2.0, "neg"), (0.0, "neg")],
+        "v double, c string",
+    )
+    out = {r["c"]: r for r in mann_whitney_auc(df, "v", "c").collect()}
+    assert out["pos"]["auc_micro"] == 750_000
+    assert out["neg"]["auc_micro"] == 250_000  # complement
+    assert out["pos"]["n_pos"] == 2 and out["pos"]["n_neg"] == 2
+
+
+def test_auc_ties_average(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        mann_whitney_auc,
+    )
+
+    # All scores equal: every pair is a tie -> AUC exactly 0.5.
+    df = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "a"), (1.0, "b"), (1.0, "b"), (1.0, "b")],
+        "v double, c string",
+    )
+    out = {r["c"]: r for r in mann_whitney_auc(df, "v", "c").collect()}
+    assert out["a"]["auc_micro"] == 500_000
+    assert out["b"]["auc_micro"] == 500_000
+
+
+def test_auc_perfect_separation_and_nulls(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        mann_whitney_auc,
+    )
+
+    df = spark.createDataFrame(
+        [(9.0, "hi"), (8.0, "hi"), (1.0, "lo"), (None, "lo"), (2.0, "lo")],
+        "v double, c string",
+    )
+    out = {r["c"]: r for r in mann_whitney_auc(df, "v", "c").collect()}
+    # NULL score dropped: hi = {9,8} beats lo = {1,2} on all 4 pairs.
+    assert out["hi"]["auc_micro"] == 1_000_000
+    assert out["lo"]["auc_micro"] == 0
+    assert out["lo"]["n_pos"] == 2  # the NULL row is excluded
+
+
+# --------------------------------------------------------------------------
+# cohen_kappa: chance-corrected agreement, exact integer arithmetic
+# --------------------------------------------------------------------------
+
+
+def _kdf(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_kappa_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        cohen_kappa,
+    )
+
+    # n=6, diag=4, marginals 3/3 each side -> q=18:
+    # kappa = (4*6 - 18) / (36 - 18) = 1/3.
+    rows = [("x", "x"), ("x", "x"), ("y", "y"), ("x", "y"), ("y", "x"), ("y", "y")]
+    out = cohen_kappa(_kdf(spark, rows), "a", "b").collect()[0]
+    assert out["n"] == 6 and out["n_agree"] == 4
+    assert out["agree_micro"] == 666_667      # 4/6 half-up
+    assert out["expected_micro"] == 500_000   # 18/36
+    assert out["kappa_micro"] == 333_333      # 1/3 floor(x+.5)
+
+
+def test_kappa_negative_and_degenerate(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        cohen_kappa,
+    )
+
+    # Perfect DISagreement on a balanced 2x2: kappa = -1 exactly.
+    neg = cohen_kappa(
+        _kdf(spark, [("x", "y"), ("y", "x")]), "a", "b"
+    ).collect()[0]
+    assert neg["kappa_micro"] == -1_000_000
+
+    # Both raters constant and identical: n^2 == q, no chance-corrected
+    # signal -> sentinel -1 (and observed agreement still reads 1.0).
+    dg = cohen_kappa(_kdf(spark, [("x", "x"), ("x", "x")]), "a", "b").collect()[0]
+    assert dg["kappa_micro"] == -1 and dg["agree_micro"] == 1_000_000
+
+
+def test_kappa_null_rows_excluded(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        cohen_kappa,
+    )
+
+    rows = [("x", "x"), (None, "x"), ("y", None), ("y", "y")]
+    out = cohen_kappa(_kdf(spark, rows), "a", "b").collect()[0]
+    assert out["n"] == 2 and out["n_agree"] == 2
