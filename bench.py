@@ -255,6 +255,8 @@ BENCH_QUERIES = [
     # r12 additions
     "semdedup_scaled",
     "stream_state_audit",
+    "auc_score_by_event_type",
+    "kappa_langid_vs_label",
 ]
 
 
