@@ -90,6 +90,42 @@ def build() -> None:
     spark.stop()
 
 
+def build_events() -> None:
+    """r12: /tmp/sfprobe4 -- events replicated 10x (event_id/user_id
+    shifted per replica, so 10x users each with an intact per-user
+    journey; channel mix and per-user path shapes are preserved) for
+    probing the event-stream heavies (shapley/attribution/funnel);
+    every other table copied through unchanged."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.session import (
+        build_session,
+    )
+
+    dst = "/tmp/sfprobe4"
+    spark = build_session(app_name="make-sfprobe4")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(dst, exist_ok=True)
+    df = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = [
+        df.withColumn("event_id", F.col("event_id") + F.lit(k * SHIFT))
+          .withColumn("user_id", F.col("user_id") + F.lit(k * SHIFT))
+        for k in range(R)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    print(f"events: {out.count()} rows", flush=True)
+    for t in ["region", "nation", "customer", "part", "supplier", "orders",
+              "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+        print(f"{t}: copied", flush=True)
+    spark.stop()
+
+
 def run(query: str, sf_dir: str) -> None:
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.session import (
         build_session,
@@ -122,5 +158,7 @@ def run(query: str, sf_dir: str) -> None:
 if __name__ == "__main__":
     if sys.argv[1] == "build":
         build()
+    elif sys.argv[1] == "build-events":
+        build_events()
     else:
         run(sys.argv[2], sys.argv[3])
