@@ -393,23 +393,32 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     breaches: dict[str, tuple[float, float]] = {}
     retries: dict[str, dict[str, float]] = {}
+    gate_broken = None  # non-None: canonical run could not be gated at all
+    ungated: list[str] = []
     if sf == "0.1" and action == "materialize" and os.path.exists(budget_path):
         with open(budget_path) as fh:
             budget_doc = json.load(fh)
         # Provenance check (review finding): refuse to gate against a
         # budget file seeded under a DIFFERENT action -- comparing
         # materialized timings to count-era budgets manufactures false
-        # breaches (and vice versa would hide real ones).
+        # breaches (and vice versa would hide real ones).  FAIL CLOSED:
+        # a canonical run that could not be gated must not read as
+        # gate-green (exit 2, round record withheld) -- "a regression
+        # cannot ship silently" includes shipping ungated.
         if budget_doc.get("action") != action:
-            print(
-                f"bench: BENCH_BUDGET.json action={budget_doc.get('action')!r}"
-                f" != run action={action!r}; gate SKIPPED (re-seed via"
-                " scripts/seed_materialized_budgets.py)",
-                file=sys.stderr,
+            gate_broken = (
+                f"BENCH_BUDGET.json action={budget_doc.get('action')!r}"
+                f" != run action={action!r}; re-seed via"
+                " scripts/seed_materialized_budgets.py"
             )
             budgets = {}
         else:
             budgets = budget_doc["budgets"]
+            # A timed query with no budget entry is silently ungated
+            # forever (review finding) -- surface the coverage gap in
+            # the payload and on stderr; the round-close checklist
+            # treats a non-empty list as work to do, not a pass.
+            ungated = sorted(n for n in timings if n not in budgets)
 
         def _confirmed_breaches() -> dict[str, tuple[float, float]]:
             ratios = sorted(timings[n] / budgets[n] for n in timings if n in budgets)
@@ -445,6 +454,14 @@ def main() -> None:
         # count() despite action=materialize -- named here so the payload
         # never silently mixes actions.
         payload["fallback_to_count"] = sorted(fallbacks)
+    if ungated:
+        payload["ungated"] = ungated
+        print(
+            f"bench: {len(ungated)} timed queries have NO budget entry "
+            f"(never gated): {', '.join(ungated)} -- seed via "
+            "scripts/profile_breaches.py + BENCH_BUDGET.json added_r12 flow",
+            file=sys.stderr,
+        )
     print(json.dumps(payload))
 
     # Also persist the COMPLETE per-query map in-repo: the driver's
@@ -455,7 +472,9 @@ def main() -> None:
     # action ONLY: a smoke run at another sf -- or an opt-in legacy
     # count run -- must not clobber the committed round record (a
     # non-canonical run did exactly that in r11 before this guard).
-    if sf == "0.1" and action == "materialize":
+    # A gate-broken run (budget provenance mismatch) is withheld too:
+    # an UNGATED record must never become round history.
+    if sf == "0.1" and action == "materialize" and gate_broken is None:
         try:
             import re
 
@@ -473,6 +492,9 @@ def main() -> None:
 
     spark.stop()
 
+    if gate_broken is not None:
+        print(f"bench: GATE BROKEN (exit 2): {gate_broken}", file=sys.stderr)
+        sys.exit(2)
     if breaches:
         for n, (t, cap) in sorted(breaches.items(), key=lambda kv: -kv[1][0] / kv[1][1]):
             print(f"BENCH BUDGET BREACH: {n} {t:.3f}s > {cap:.3f}s", file=sys.stderr)

@@ -196,6 +196,32 @@ def two_proportion_ztest(
     )
 
 
+def micro_ratio_sql(num: str, den: str, div: str, signed: bool = False) -> str:
+    """Half-up micro-unit ratio ``round(num * 1e6 / den)`` as ONE integer
+    expression emitted for either engine (``div`` = 'div' Spark / '//'
+    DuckDB) with the x1e6 multiply SPLIT as x1000 quotient/remainder
+    steps -- the playbook's divide-before-multiply rule -- so the bound
+    is max(|num|, den) <= ~4.6e15 instead of <= ~9.2e12 (a single x1e6
+    multiply overflows int64 ~500x earlier; r12 review finding).
+    ``den`` must be > 0.  ``signed=True`` routes |num| through the
+    unsigned path and re-applies the sign, so no negative ever meets an
+    integer division (trunc-toward-zero vs floor is then moot).
+
+    Derivation (num, den >= 0): with q1 = (num*1000) div den and
+    r1 = (num*1000) % den,  num*1e6/den = q1*1000 + r1*1000/den, and
+    half-up of the fractional part is (2*r1*1000 + den) div (2*den) --
+    exact because q1*1000 is an integer.
+    """
+    if signed:
+        mag = micro_ratio_sql(f"abs({num})", den, div)
+        return (
+            f"(CASE WHEN ({num}) >= 0 THEN 1 ELSE -1 END) * ({mag})"
+        )
+    q1 = f"((({num}) * 1000) {div} ({den}))"
+    r1 = f"((({num}) * 1000) % ({den}))"
+    return f"({q1} * 1000 + (2 * {r1} * 1000 + ({den})) {div} (2 * ({den})))"
+
+
 def mann_whitney_auc(
     df: DataFrame, score_col: str, class_col: str
 ) -> DataFrame:
@@ -214,10 +240,12 @@ def mann_whitney_auc(
     back, one aggregate per class.  NULL scores are excluded up front
     (they have no rank).
 
-    Overflow bound: S2 <= n_pos * 2n and the micro scaling multiplies by
-    1e6, so the statistic stays inside int64 for n up to ~2e9 rows per
-    evaluated frame -- beyond that, evaluate per partition-window or
-    widen to the decimal path.
+    Overflow bound (corrected r12 review): the governing products are
+    2U * 1000 and 2 * n_pos * n_neg * 2000 inside the split micro ratio
+    (``micro_ratio_sql``), so the statistic stays inside int64 while
+    n_pos * n_neg <= ~2.3e15 -- ~96M rows per side balanced.  Beyond
+    that, evaluate per stratum (the metric decomposes over disjoint
+    strata as a weighted mean) or widen to the decimal path.
 
     Output: ``<class_col>, n_pos, n_neg, auc_micro`` (half-up micro
     units; -1 when the class is degenerate, i.e. n_neg = 0).
@@ -259,9 +287,11 @@ def mann_whitney_auc(
             F.when(
                 F.col("n") > F.col("n_pos"),
                 F.expr(
-                    "((s2 - n_pos * (n_pos + 1)) * 1000000"
-                    " + n_pos * (n - n_pos))"
-                    " div (2 * n_pos * (n - n_pos))"
+                    micro_ratio_sql(
+                        "s2 - n_pos * (n_pos + 1)",
+                        "2 * n_pos * (n - n_pos)",
+                        "div",
+                    )
                 ),
             )
             .otherwise(F.lit(-1))
@@ -276,17 +306,13 @@ def kappa_micro_sql(div: str) -> str:
     over columns ``d`` (diagonal agreement), ``q`` (sum of row*col
     marginal products), ``n`` (total pairs) -- emitted for either engine
     (``div`` = 'div' Spark / '//' DuckDB), the single-source rule, so
-    the two engines can never drift.  kappa = (d*n - q) / (n^2 - q); the
-    signed half-up uses the theilsen sign trick (truncation toward zero
-    + sign*den/2 equals half-away-from-zero for either numerator sign;
-    both engines truncate integer division toward zero, probed r8)."""
-    num = "(d * n - q)"
-    den = "(n * n - q)"
+    the two engines can never drift.  kappa = (d*n - q) / (n^2 - q),
+    routed through the overflow-split signed ``micro_ratio_sql`` (the
+    sign is extracted first, so no negative meets an integer division)."""
     return (
-        f"CASE WHEN {den} > 0 THEN "
-        f"({num} * 1000000 + (CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
-        f" * ({den} {div} 2)) {div} {den} "
-        f"ELSE -1 END"
+        "CASE WHEN (n * n - q) > 0 THEN "
+        + micro_ratio_sql("d * n - q", "n * n - q", div, signed=True)
+        + " ELSE -1 END"
     )
 
 
@@ -304,6 +330,13 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
     everything operates on that bounded table -- marginals, diagonal,
     and the q fold are k-sized.  Rows with a NULL on either side are
     excluded (no rating, no agreement claim).
+
+    Overflow bound (r12 review): q <= n^2 and the split micro ratio
+    multiplies by 1000 twice, so the governing product n^2 * 2000 keeps
+    the statistic inside int64 while n <= ~4.8e7 pairs -- beyond that,
+    evaluate per stratum (kappa does not decompose exactly, but the
+    per-stratum contingency tables SUM exactly: aggregate the k x k
+    tables first, then run this on the merged counts).
 
     Output: one row -- ``n, n_agree, agree_micro, expected_micro,
     kappa_micro`` (kappa_micro = -1 when degenerate: both raters
@@ -341,8 +374,8 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
         .select(
             "n",
             F.col("d").alias("n_agree"),
-            F.expr("(2 * d * 1000000 + n) div (2 * n)").alias("agree_micro"),
-            F.expr("(2 * q * 1000000 + n * n) div (2 * n * n)").alias(
+            F.expr(micro_ratio_sql("d", "n", "div")).alias("agree_micro"),
+            F.expr(micro_ratio_sql("q", "n * n", "div")).alias(
                 "expected_micro"
             ),
             F.expr(kappa_micro_sql("div")).alias("kappa_micro"),

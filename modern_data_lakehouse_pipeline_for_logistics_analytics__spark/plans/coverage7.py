@@ -124,9 +124,13 @@ def q_stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "auc_score_by_event_type",
-    oracle="""
+def _auc_oracle() -> str:
+    from ..operators.experiments import micro_ratio_sql
+
+    auc = micro_ratio_sql(
+        "s2 - n_pos * (n_pos + 1)", "2 * n_pos * (n - n_pos)", "//"
+    )
+    return f"""
     WITH src AS (
       SELECT value AS s, event_type AS cls FROM events
       WHERE value IS NOT NULL),
@@ -142,12 +146,12 @@ def q_stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pc JOIN r USING (s) GROUP BY 1),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src)
     SELECT cls AS event_type, n_pos, n - n_pos AS n_neg,
-           CASE WHEN n > n_pos THEN
-             ((s2 - n_pos * (n_pos + 1)) * 1000000 + n_pos * (n - n_pos))
-             // (2 * n_pos * (n - n_pos))
+           CASE WHEN n > n_pos THEN {auc}
            ELSE -1 END AS auc_micro
-    FROM agg CROSS JOIN tot""",
-)
+    FROM agg CROSS JOIN tot"""
+
+
+@register("auc_score_by_event_type", oracle=_auc_oracle())
 def q_auc_score_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does the event ``value`` rank each event type above the rest?
     Exact tie-averaged Mann-Whitney AUC per class, every intermediate an
@@ -167,7 +171,7 @@ def q_auc_score_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kappa_oracle() -> str:
-    from ..operators.experiments import kappa_micro_sql
+    from ..operators.experiments import kappa_micro_sql, micro_ratio_sql
     from .textstats import LANGID_PRED_EXPR, LANGID_VOTE_CTES
 
     return f"""
@@ -187,8 +191,8 @@ def _kappa_oracle() -> str:
            FROM ra JOIN cb ON ra.a = cb.b),
     nn AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM ct)
     SELECT n, d AS n_agree,
-           (2 * d * 1000000 + n) // (2 * n) AS agree_micro,
-           (2 * q * 1000000 + n * n) // (2 * n * n) AS expected_micro,
+           {micro_ratio_sql('d', 'n', '//')} AS agree_micro,
+           {micro_ratio_sql('q', 'n * n', '//')} AS expected_micro,
            {kappa_micro_sql('//')} AS kappa_micro
     FROM nn CROSS JOIN dg CROSS JOIN qq"""
 

@@ -40,9 +40,37 @@ R = 10
 SHIFT = 10_000_000
 
 
-def build() -> None:
+def _replicate(spark, table: str, shifts: dict[str, int], dst: str, extra=None):
+    """Shift-replicate a fixture table R times into ``dst`` (shared by
+    every probe-corpus builder -- r12 review: build_events had inlined a
+    diverging copy of this loop)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SRC}/{table}.parquet")
+    parts = []
+    for k in range(R):
+        p = df
+        for col, base in shifts.items():
+            p = p.withColumn(col, F.col(col) + F.lit(k * base))
+        if extra is not None:
+            p = extra(p, k)
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+    print(f"{table}: {out.count()} rows", flush=True)
+
+
+def _copy_through(tables: list[str], dst: str) -> None:
     import shutil
 
+    for t in tables:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+        print(f"{t}: copied", flush=True)
+
+
+def build() -> None:
     from pyspark.sql import functions as F
 
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.session import (
@@ -53,22 +81,6 @@ def build() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(DST, exist_ok=True)
 
-    def replicate(table: str, shifts: dict[str, int], extra=None):
-        df = spark.read.parquet(f"{SRC}/{table}.parquet")
-        parts = []
-        for k in range(R):
-            p = df
-            for col, base in shifts.items():
-                p = p.withColumn(col, F.col(col) + F.lit(k * base))
-            if extra is not None:
-                p = extra(p, k)
-            parts.append(p)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
-        print(f"{table}: {out.count()} rows", flush=True)
-
     def caesar_name(p, k):
         if k == 0:
             return p
@@ -78,15 +90,16 @@ def build() -> None:
         dst_s = az[k:] + az[:k] + (az[k:] + az[:k]).upper()
         return p.withColumn("s_name", F.translate(F.col("s_name"), src_s, dst_s))
 
-    replicate("documents", {"doc_id": SHIFT})
-    replicate("orders", {"o_orderkey": SHIFT, "o_custkey": SHIFT})
-    replicate(
-        "lineitem", {"l_orderkey": SHIFT, "l_partkey": SHIFT, "l_suppkey": SHIFT}
+    _replicate(spark, "documents", {"doc_id": SHIFT}, DST)
+    _replicate(spark, "orders", {"o_orderkey": SHIFT, "o_custkey": SHIFT}, DST)
+    _replicate(
+        spark,
+        "lineitem",
+        {"l_orderkey": SHIFT, "l_partkey": SHIFT, "l_suppkey": SHIFT},
+        DST,
     )
-    replicate("supplier", {"s_suppkey": SHIFT}, extra=caesar_name)
-    for t in ["region", "nation", "customer", "part", "events", "embeddings"]:
-        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
-        print(f"{t}: copied", flush=True)
+    _replicate(spark, "supplier", {"s_suppkey": SHIFT}, DST, extra=caesar_name)
+    _copy_through(["region", "nation", "customer", "part", "events", "embeddings"], DST)
     spark.stop()
 
 
@@ -96,10 +109,6 @@ def build_events() -> None:
     journey; channel mix and per-user path shapes are preserved) for
     probing the event-stream heavies (shapley/attribution/funnel);
     every other table copied through unchanged."""
-    import shutil
-
-    from pyspark.sql import functions as F
-
     from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.session import (
         build_session,
     )
@@ -108,21 +117,12 @@ def build_events() -> None:
     spark = build_session(app_name="make-sfprobe4")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
-    df = spark.read.parquet(f"{SRC}/events.parquet")
-    parts = [
-        df.withColumn("event_id", F.col("event_id") + F.lit(k * SHIFT))
-          .withColumn("user_id", F.col("user_id") + F.lit(k * SHIFT))
-        for k in range(R)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
-    print(f"events: {out.count()} rows", flush=True)
-    for t in ["region", "nation", "customer", "part", "supplier", "orders",
-              "lineitem", "documents", "embeddings"]:
-        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
-        print(f"{t}: copied", flush=True)
+    _replicate(spark, "events", {"event_id": SHIFT, "user_id": SHIFT}, dst)
+    _copy_through(
+        ["region", "nation", "customer", "part", "supplier", "orders",
+         "lineitem", "documents", "embeddings"],
+        dst,
+    )
     spark.stop()
 
 

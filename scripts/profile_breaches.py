@@ -57,9 +57,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # Warmup (same as bench.py) + sentinel warm.
-    queries["courier_metrics"](spark, sf_dir).count()
-    queries[SENTINEL](spark, sf_dir).count()
+    # Warmup (same as bench.py: UNDER the timed action, so the
+    # hash-fold codegen is absorbed here and the first sentinel reading
+    # is not mis-tagged as contention) + sentinel warm.
+    consume(queries["courier_metrics"](spark, sf_dir), action)
+    consume(queries[SENTINEL](spark, sf_dir), action)
 
     def median3(name: str) -> float:
         runs = []

@@ -221,3 +221,24 @@ def test_kappa_null_rows_excluded(spark):
     rows = [("x", "x"), (None, "x"), ("y", None), ("y", "y")]
     out = cohen_kappa(_kdf(spark, rows), "a", "b").collect()[0]
     assert out["n"] == 2 and out["n_agree"] == 2
+
+
+def test_micro_ratio_survives_big_inputs(spark):
+    """The split x1000/x1000 micro ratio must survive magnitudes where a
+    single x1e6 multiply overflows int64 (~9.2e12 numerator), and match
+    the exact half-up value."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        micro_ratio_sql,
+    )
+
+    num, den = 3_000_000_000_000_000, 4_000_000_000_000_000  # 3e15 / 4e15
+    expr = micro_ratio_sql(f"CAST({num} AS BIGINT)", f"CAST({den} AS BIGINT)", "div")
+    got = spark.sql(f"SELECT {expr} AS m").collect()[0]["m"]
+    assert got == 750_000
+    # signed path: -1/3 in micro units, half-away-from-zero
+    sexpr = micro_ratio_sql("CAST(-1 AS BIGINT)", "CAST(3 AS BIGINT)", "div", signed=True)
+    assert spark.sql(f"SELECT {sexpr} AS m").collect()[0]["m"] == -333_333
+    import duckdb
+    con = duckdb.connect()
+    dexpr = micro_ratio_sql(f"CAST({num} AS BIGINT)", f"CAST({den} AS BIGINT)", "//")
+    assert con.execute(f"SELECT {dexpr}").fetchone()[0] == 750_000
