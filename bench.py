@@ -257,6 +257,13 @@ BENCH_QUERIES = [
     "stream_state_audit",
     "auc_score_by_event_type",
     "kappa_langid_vs_label",
+    # r12 batch 2: drift / eval / featurization
+    "ks_price_drift_halves",
+    "chisq_type_weekday_independence",
+    "jsd_source_drift",
+    "runs_test_daily_revenue",
+    "mrr_precision_recall_eval",
+    "feature_hash_collision_audit",
 ]
 
 

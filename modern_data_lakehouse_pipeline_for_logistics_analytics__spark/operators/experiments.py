@@ -381,3 +381,277 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
             F.expr(kappa_micro_sql("div")).alias("kappa_micro"),
         )
     )
+
+
+def ks_two_sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the rows
+    where ``flag_col`` is true (sample A) and where it is false (sample
+    B) -- the distribution-shift audit a data pipeline runs between two
+    ingest windows / sources before concluding "same distribution".
+    EXACT and order-free: D = max_v |F_A(v) - F_B(v)| is evaluated as
+    the integer max of |cum_a * n_b - cum_b * n_a| over the distinct
+    values, so no float CDF ever exists; the single terminal division
+    rounds half-up at micro units through ``micro_ratio_sql``.
+
+    Fully distributed -- no global sort: one per-value histogram
+    carrying both samples' counts (one groupBy, map-side combinable),
+    two ``global_cumsum`` passes over the value order (range-partitioned
+    prefix sums; the histogram is cached -- it feeds both cumsums'
+    internal actions plus the final plan), then a TakeOrdered of the
+    argmax row (ties on the statistic break to the smallest value, so
+    the reported location is deterministic).
+
+    Overflow bound: the governing product is cum * n_other * 1000
+    inside the split micro ratio, so the statistic stays inside int64
+    while n_a * n_b <= ~4.6e15 -- ~68M rows per side balanced.  Beyond
+    that, pre-bucket the value axis (KS over a quantized grid bounds
+    the exact D within one grid cell's mass) or widen to decimals.
+
+    Output: one row -- ``n_a, n_b, ks_at, ks_micro`` (``ks_at`` = the
+    smallest value attaining the supremum; NULL rows in ``value_col``
+    are excluded up front -- they have no place on the value axis).
+    """
+    from .dedup import _cache_aged
+    from .windows import global_cumsum
+
+    scored = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("s"),
+        F.col(flag_col).cast("boolean").alias("in_a"),
+    )
+    hist = _cache_aged(
+        "ks_hist",
+        scored.groupBy("s").agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+            .cast("long")
+            .alias("cnt_b"),
+        ),
+    )
+    cum = global_cumsum(hist, [F.asc("s")], "s", "cnt_a", alias="cum_a")
+    cum = global_cumsum(cum, [F.asc("s")], "s", "cnt_b", alias="cum_b")
+    tot = hist.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    gap = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .orderBy(F.desc("d"), F.asc("s"))
+        .limit(1)
+    )
+    return gap.select(
+        "n_a",
+        "n_b",
+        F.col("s").alias("ks_at"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(micro_ratio_sql("d", "n_a * n_b", "div")),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("ks_micro"),
+    )
+
+
+def chisq_cell_sql() -> str:
+    """Per-cell term of the chi-square identity ``chi2 = sum O^2/E - n``
+    in half-up MICRO units, as ONE expression over integer columns
+    ``n_ab`` (cell count), ``n_a``/``n_b`` (marginals), ``n`` (total) --
+    emitted verbatim for both engines (every function in it --
+    CAST/FLOOR/arithmetic -- is spelled identically in Spark SQL and
+    DuckDB), the single-source rule.
+
+    The identity matters: a groupBy materializes only OBSERVED cells,
+    yet an empty cell contributes (0-E)^2/E = E to the direct form.
+    sum (O-E)^2/E = sum O^2/E - n moves every empty cell's contribution
+    into the constant ``- n`` (its O^2/E term is 0), so the statistic is
+    exact over the full observed-vocabulary cross without ever
+    materializing empty cells.  O^2/E = n*O^2/(n_a*n_b); the numerator
+    overflows int64 at trivial sizes, so the cell is computed in DOUBLE
+    (counts are exact doubles below 2^53 and both engines replay the
+    identical IEEE expression) and quantized half-up to micro units
+    BEFORE the sum, so float addition order can never change the
+    statistic.  The caller subtracts n * 1e6 from the summed cells."""
+    return (
+        "CAST(FLOOR("
+        " (CAST(n AS DOUBLE) * CAST(n_ab AS DOUBLE) * CAST(n_ab AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns -- the drift/QA companion to ``mutual_information``: is the
+    event mix independent of the weekday, the label independent of the
+    source?  Computed through the ``sum O^2/E - n`` identity (see
+    ``chisq_cell_sql``: empty cells contribute exactly via the constant,
+    so only observed cells ever materialize), per-cell terms quantized
+    to micro units through the shared expression text before the sum
+    (the KL/nDCG fixed-point discipline), so both engines report the
+    identical statistic; the degrees of freedom come out as exact
+    integer counts of the observed category vocabularies.
+
+    Scale shape: one groupBy over the pair stream (map-side combinable;
+    the contingency is k_a x k_b, bounded by the vocabularies), then
+    marginals as window sums over that bounded table and one scalar
+    fold.  NULL on either side is excluded (no category, no cell).
+
+    Output: one row -- ``n, n_cells, dof, chi2_micro`` where dof =
+    (k_a - 1) * (k_b - 1) over the OBSERVED vocabularies.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import _cache_aged
+
+    pairs = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    ct = _cache_aged(
+        "chisq_ct",
+        pairs.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ab")
+        ),
+    )
+    wide = (
+        ct.withColumn(
+            "n_a", F.sum("n_ab").over(W.partitionBy("a")).cast("long")
+        )
+        .withColumn(
+            "n_b", F.sum("n_ab").over(W.partitionBy("b")).cast("long")
+        )
+        .crossJoin(
+            F.broadcast(ct.agg(F.sum("n_ab").cast("long").alias("n")))
+        )
+    )
+    cells = wide.select(
+        "n",
+        "a",
+        "b",
+        F.expr(chisq_cell_sql()).alias("cell_fp"),
+    )
+    return cells.groupBy().agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("a") - F.lit(1))
+            * (F.countDistinct("b") - F.lit(1))
+        )
+        .cast("long")
+        .alias("dof"),
+        (F.sum("cell_fp") - F.max("n") * F.lit(1_000_000))
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test over an ordered integer series: is the
+    sequence of above/below-median signs random, or does it trend /
+    oscillate?  The nonparametric randomness check a pipeline runs on a
+    daily KPI before trusting "no drift".  EXACT: the split point is
+    the LOWER MEDIAN (the least value whose cumulative count reaches
+    ceil(n/2)) selected distributed -- per-value histogram +
+    ``global_cumsum``, no global sort -- and a row is positive iff
+    value > median (ties side with "below", deterministically).  The
+    expected-runs and variance formulas are integer ratios rounded
+    half-up once at micro units (no sqrt -- callers needing the z-score
+    divide the micro numbers themselves).
+
+    Scale shape: the median selection is fully distributed; the runs
+    count itself is ONE window pass over the ordered series, which is
+    acceptable because the series this operator targets is
+    calendar-bounded (daily/hourly aggregates: thousands of rows
+    regardless of raw data scale), never raw-row-scale -- documented
+    contract, matching ``coalesce_intervals``'s bounded-series posture.
+
+    Overflow bound: var_runs' numerator 2ab(2ab - n) * 1000 governs;
+    inside int64 while the series length n <= ~1.2e6 rows -- far above
+    any calendar series.
+
+    Output: one row -- ``n, n_pos, n_neg, median_val, n_runs,
+    expected_runs_micro, var_runs_micro`` (-1 variance when n < 2).
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import _cache_aged
+    from .windows import global_cumsum
+
+    series = df.select(
+        F.col(order_col).alias("t"), F.col(value_col).cast("long").alias("x")
+    )
+    series = _cache_aged("runs_series", series)
+    hist = series.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    hist = _cache_aged("runs_hist", hist)
+    cum = global_cumsum(hist, [F.asc("x")], "x", "cnt", alias="crank")
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    med = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("crank") >= F.expr("(n + 1) div 2"), F.col("x"))
+        )
+        .cast("long")
+        .alias("med")
+    )
+    signed = series.crossJoin(F.broadcast(med)).select(
+        "t", "x", (F.col("x") > F.col("med")).alias("pos"), "med"
+    )
+    w = W.orderBy("t")
+    runs = signed.select(
+        "pos",
+        "med",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.lag("pos").over(w) != F.col("pos")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("b"),
+        F.max("med").cast("long").alias("median_val"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    return agg.select(
+        "n",
+        F.col("a").alias("n_pos"),
+        F.col("b").alias("n_neg"),
+        "median_val",
+        "n_runs",
+        (
+            F.lit(1_000_000)
+            + F.expr(micro_ratio_sql("2 * a * b", "n", "div"))
+        )
+        .cast("long")
+        .alias("expected_runs_micro"),
+        F.when(
+            F.col("n") > 1,
+            F.expr(
+                micro_ratio_sql(
+                    "2 * a * b * (2 * a * b - n)",
+                    "n * n * (n - 1)",
+                    "div",
+                    signed=True,
+                )
+            ),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("var_runs_micro"),
+    )

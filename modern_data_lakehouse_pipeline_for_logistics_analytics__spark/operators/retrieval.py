@@ -326,3 +326,88 @@ def ndcg_table(
         )
         .orderBy("rank")
     )
+
+
+def rank_eval_table(
+    ranked: DataFrame, relevance: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Binary ranking evaluation: the per-rank precision@r / recall@r
+    table plus the reciprocal rank for a top-``k`` ranking -- the set of
+    numbers nDCG does not give (nDCG grades positional gain; P/R/RR
+    grade set retrieval and first-hit latency).  A document is RELEVANT
+    iff its graded ``rel`` >= 1; ranked docs absent from ``relevance``
+    count rel = 0, and recall's denominator is the relevant count over
+    the WHOLE relevance frame (the ranking is judged against everything
+    it could have retrieved, not just what it did).
+
+    EXACT: hits@r is an integer cumulative count; precision, recall and
+    RR are single half-up micro divisions (``micro_ratio_sql``) of
+    integers -- no floats anywhere.
+
+    Scale shape: the ranking is bounded (k rows; the cumulative windows
+    run over those k only); the corpus-scale work is one aggregate over
+    the relevance frame (total relevant) broadcast as a scalar.
+
+    Output one row per rank 1..k: ``rank, <id_col>, rel_bin, hits,
+    prec_micro, recall_micro, rr_micro`` (``rr_micro`` is the constant
+    1e6/first-relevant-rank; 0 when the top-k has no relevant doc;
+    ``recall_micro`` is -1 when the corpus has no relevant docs at all).
+    """
+    from .experiments import micro_ratio_sql
+
+    if k < 1:
+        raise ValueError("rank_eval_table needs k >= 1")
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    n_rel = relevance.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_rel_total")
+    )
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(relevance.select(F.col(id_col), F.col("rel")), id_col, "left")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col(id_col),
+            F.when(F.coalesce(F.col("rel"), F.lit(0)) >= 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rel_bin"),
+        )
+        .withColumn("hits", F.sum("rel_bin").over(cum).cast("long"))
+        .crossJoin(F.broadcast(n_rel))
+    )
+    first_rel = hits.agg(
+        F.min(F.when(F.col("rel_bin") == 1, F.col("rank")))
+        .cast("long")
+        .alias("first_rel_rank")
+    )
+    return (
+        hits.crossJoin(F.broadcast(first_rel))
+        .select(
+            "rank",
+            id_col,
+            "rel_bin",
+            "hits",
+            F.expr(micro_ratio_sql("hits", "rank", "div"))
+            .cast("long")
+            .alias("prec_micro"),
+            F.when(
+                F.col("n_rel_total") > 0,
+                F.expr(micro_ratio_sql("hits", "n_rel_total", "div")),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("recall_micro"),
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.expr(micro_ratio_sql("1", "first_rel_rank", "div")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_micro"),
+        )
+        .orderBy("rank")
+    )

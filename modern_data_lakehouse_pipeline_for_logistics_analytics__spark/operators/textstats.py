@@ -744,3 +744,86 @@ def rake_keywords(
         .orderBy(F.desc("score_micro"), F.asc("phrase"))
         .limit(topn)
     )
+
+
+def jsd_source_drift(df: DataFrame, source_col: str, text_col: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the whole-corpus distribution -- the symmetric, bounded
+    ([0, ln 2]) sibling of ``kl_source_drift``, the number to alarm on
+    when a source must be compared against others on one scale (KL is
+    unbounded and asymmetric, so per-source KLs are not comparable).
+
+    JSD(P_s || C) = 0.5*KL(P_s || M) + 0.5*KL(C || M), M = (P_s + C)/2.
+    Terms ABSENT from the source still contribute -- there p = 0 and the
+    term reduces to 0.5 * c * ln 2 -- so instead of materializing the
+    full source x vocabulary cross (a blowup the KL shape never pays),
+    the absent-term mass is folded CLOSED-FORM: it sums to
+    0.5 * ln 2 * (1 - sum_{t in s} c_t / N), computable from the same
+    in-source rows.  The in-source contributions are quantized half-up
+    to NANO units per term before the per-source sum and the closed-form
+    tail is quantized once -- the same order-stable fixed-point
+    discipline as ``kl_source_drift``, so float addition order can never
+    change the reported divergence.
+
+    Scale shape: identical to ``kl_source_drift`` -- one token explode,
+    one (source, term) aggregate (cached: the corpus total and the
+    scored branch both read it), corpus/term/source totals as window
+    sums on those same rows, corpus total broadcast as one scalar.
+
+    Output one row per source: ``source, n_tokens, n_terms, jsd_nano``.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _cache_aged, tokenize
+
+    st = (
+        df.select(F.col(source_col), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(source_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+    )
+    st = _cache_aged("jsd_st", st)
+    st = st.withColumn(
+        "c_t", F.sum("c_st").over(Window.partitionBy("term")).cast("long")
+    ).withColumn(
+        "n_s", F.sum("c_st").over(Window.partitionBy(source_col)).cast("long")
+    )
+    tot = st.agg(F.sum("c_st").cast("long").alias("__N"))
+    scored = st.crossJoin(F.broadcast(tot)).withColumn(
+        "__term_fp",
+        F.expr(
+            "CAST(FLOOR(("
+            " 0.5D * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+            "   * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+            "        / ((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)"
+            "            + CAST(c_t AS DOUBLE) / CAST(__N AS DOUBLE))"
+            "           / 2.0D))"
+            " + 0.5D * (CAST(c_t AS DOUBLE) / CAST(__N AS DOUBLE))"
+            "   * ln((CAST(c_t AS DOUBLE) / CAST(__N AS DOUBLE))"
+            "        / ((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)"
+            "            + CAST(c_t AS DOUBLE) / CAST(__N AS DOUBLE))"
+            "           / 2.0D))"
+            ") * 1000000000.0D + 0.5D) AS BIGINT)"
+        ),
+    )
+    agg = scored.groupBy(source_col).agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("__term_fp").cast("long").alias("__in_fp"),
+        F.sum("c_t").cast("long").alias("__cov"),
+        F.max("__N").cast("long").alias("__N"),
+    )
+    return agg.select(
+        source_col,
+        "n_tokens",
+        "n_terms",
+        (
+            F.col("__in_fp")
+            + F.expr(
+                "CAST(FLOOR(0.5D * ln(2.0D)"
+                " * (CAST(__N - __cov AS DOUBLE) / CAST(__N AS DOUBLE))"
+                " * 1000000000.0D + 0.5D) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("jsd_nano"),
+    )

@@ -725,3 +725,61 @@ def mutual_information(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def feature_hash_audit(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Hashing-trick featurization audit: map every token to one of
+    ``n_buckets`` signed buckets (the Weinberger et al. feature-hashing
+    scheme every wide-vocabulary trainer uses to bound its feature
+    space) and report, per bucket, how much vocabulary collides there
+    and how much of the signed mass survives cancellation -- the table
+    that decides whether ``n_buckets`` is large enough before a model
+    ever trains.
+
+    bucket(t) = h(t) mod n_buckets and sign(t) = +-1 from the NEXT bit
+    of the same hash ((h div n_buckets) mod 2), with h the repo-standard
+    portable 60-bit md5 hash -- every step reproducible in plain SQL, so
+    the whole audit is an exact cross-engine oracle.  net_weight is the
+    signed sum of token occurrences; |net_weight| << n_postings means
+    collisions cancel (the hashing-trick bias bound at work), while a
+    bucket with large n_terms and |net| ~ n_postings is a hot collision.
+
+    Scale shape: one token explode -> one per-TERM aggregate (map-side
+    combinable; the shuffle carries distinct terms, not occurrences),
+    then bucket/sign are per-term expressions and the final groupBy is
+    ``n_buckets``-sized.  Nothing here is corpus-cardinality after the
+    first aggregate.
+
+    Output one row per non-empty bucket: ``bucket, n_terms, n_postings,
+    net_weight``.
+    """
+    if n_buckets < 1:
+        raise ValueError("feature_hash_audit needs n_buckets >= 1")
+    terms = (
+        df.select(F.explode(tokenize(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    hashed = terms.select(
+        "term",
+        "tf",
+        portable_base_hash(F.col("term")).alias("h"),
+    ).select(
+        "term",
+        "tf",
+        (F.col("h") % n_buckets).cast("long").alias("bucket"),
+        # Integer div, not `/`: float division of a 60-bit hash loses
+        # bits above 2^53 and the sign bit would depend on rounding.
+        F.when(F.expr(f"(h div {n_buckets}) % 2") == 0, 1)
+        .otherwise(-1)
+        .cast("long")
+        .alias("sign"),
+    )
+    return hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("tf").cast("long").alias("n_postings"),
+        F.sum(F.col("sign") * F.col("tf")).cast("long").alias("net_weight"),
+    )

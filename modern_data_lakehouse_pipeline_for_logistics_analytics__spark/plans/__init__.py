@@ -77,6 +77,7 @@ def _load_all() -> None:
         "logistics",
         "coverage6",
         "coverage7",
+        "coverage8",
         "cohorts",  # must import LAST: digests read the full ORACLE registry
     ):
         try:
