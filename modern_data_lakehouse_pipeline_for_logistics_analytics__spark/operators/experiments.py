@@ -395,11 +395,14 @@ def ks_two_sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
 
     Fully distributed -- no global sort: one per-value histogram
     carrying both samples' counts (one groupBy, map-side combinable),
-    two ``global_cumsum`` passes over the value order (range-partitioned
-    prefix sums; the histogram is cached -- it feeds both cumsums'
-    internal actions plus the final plan), then a TakeOrdered of the
-    argmax row (ties on the statistic break to the smallest value, so
-    the reported location is deterministic).
+    then ONE ``global_cumsum`` pass over the value order (the scaled
+    CDF gap telescopes: cum_a*n_b - cum_b*n_a = prefix-sum of the
+    per-value signed term cnt_a*n_b - cnt_b*n_a, so a single
+    range-partitioned prefix sum of that integer replaces two), then a
+    TakeOrdered of the argmax row (ties on the statistic break to the
+    smallest value, so the reported location is deterministic).  The
+    histogram is cached -- it feeds the totals, the cumsum's internal
+    actions, and the final plan.
 
     Overflow bound: the governing product is cum * n_other * 1000
     inside the split micro ratio, so the statistic stays inside int64
@@ -429,23 +432,22 @@ def ks_two_sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
             .alias("cnt_b"),
         ),
     )
-    cum = global_cumsum(hist, [F.asc("s")], "s", "cnt_a", alias="cum_a")
-    cum = global_cumsum(cum, [F.asc("s")], "s", "cnt_b", alias="cum_b")
     tot = hist.agg(
         F.sum("cnt_a").cast("long").alias("n_a"),
         F.sum("cnt_b").cast("long").alias("n_b"),
     )
+    signed = hist.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "n_a",
+        "n_b",
+        (F.col("cnt_a") * F.col("n_b") - F.col("cnt_b") * F.col("n_a"))
+        .cast("long")
+        .alias("g"),
+    )
+    cum = global_cumsum(signed, [F.asc("s")], "s", "g", alias="gap_cum")
     gap = (
-        cum.crossJoin(F.broadcast(tot))
-        .select(
-            "s",
-            "n_a",
-            "n_b",
-            F.abs(
-                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
-            )
-            .cast("long")
-            .alias("d"),
+        cum.select(
+            "s", "n_a", "n_b", F.abs(F.col("gap_cum")).cast("long").alias("d")
         )
         .orderBy(F.desc("d"), F.asc("s"))
         .limit(1)
