@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "runs_test_daily_revenue",
     "mrr_precision_recall_eval",
     "feature_hash_collision_audit",
+    "psi_price_drift_deciles",
+    "calibration_value_deciles",
 ]
 
 

@@ -657,3 +657,182 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
         .cast("long")
         .alias("var_runs_micro"),
     )
+
+
+def psi_two_sample(
+    df: DataFrame, value_col: str, flag_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Population Stability Index between the rows where ``flag_col``
+    is true (sample A, the "expected" population whose quantiles define
+    the bins) and false (sample B, the "actual") -- the drift index
+    model-risk teams alarm on (<0.1 stable / 0.1-0.25 shifting / >0.25
+    shifted), complementing KS (sup-norm) and JSD (distribution-level)
+    with a binned, contribution-per-bin view.
+
+    Bin edges are sample A's exact lower quantiles (the least value
+    whose cumulative A-count reaches ceil(k*n_a/n_bins)), selected
+    DISTRIBUTED -- per-value histogram + one ``global_cumsum`` + one
+    conditional-min aggregate for all edges at once (the theilsen
+    order-statistic pattern; no global sort).  All ``n_bins`` bins are
+    enumerated explicitly (a bin empty in both samples still exists),
+    and shares are add-half smoothed -- p = (2a+1)/(2n_a + n_bins) in
+    half-units -- so the log is always defined with zero counts; the
+    per-bin contribution (p-q)*ln(p/q) is quantized half-up to NANO
+    units (the KL discipline) so both engines report identical values.
+
+    Scale shape: the histogram is the only data-scale aggregate
+    (map-side combinable, cached -- it feeds the cumsum's actions, the
+    totals, and the bin fold); edges ride one broadcast row; the bin
+    assignment is a projection over distinct values; the final groupBy
+    is ``n_bins``-sized.
+
+    Output one row per bin 1..n_bins: ``bin, n_a_bin, n_b_bin,
+    psi_nano`` (sum psi_nano over bins for the index).
+    """
+    from .dedup import _cache_aged
+    from .windows import global_cumsum
+
+    if n_bins < 2:
+        raise ValueError("psi_two_sample needs n_bins >= 2")
+    scored = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("s"),
+        F.col(flag_col).cast("boolean").alias("in_a"),
+    )
+    hist = _cache_aged(
+        "psi_hist",
+        scored.groupBy("s").agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+            .cast("long")
+            .alias("cnt_b"),
+        ),
+    )
+    cum = global_cumsum(hist, [F.asc("s")], "s", "cnt_a", alias="cum_a")
+    tot = hist.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    # One aggregate selects every edge: e_k = min s with
+    # cum_a >= ceil(k*n_a/n_bins) -- k*n_a stays in int64 to n_a ~ 1e18/k.
+    edge_aggs = [
+        F.min(
+            F.when(
+                F.col("cum_a")
+                >= F.expr(f"({k} * n_a + {n_bins - 1}) div {n_bins}"),
+                F.col("s"),
+            )
+        ).alias(f"e{k}")
+        for k in range(1, n_bins)
+    ]
+    edges = cum.crossJoin(F.broadcast(tot)).agg(*edge_aggs)
+    bin_expr = " + ".join(
+        f"(CASE WHEN s > e{k} THEN 1 ELSE 0 END)" for k in range(1, n_bins)
+    )
+    binned = (
+        hist.crossJoin(F.broadcast(edges))
+        .select(
+            F.expr(f"CAST(1 + {bin_expr} AS BIGINT)").alias("bin"),
+            "cnt_a",
+            "cnt_b",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("cnt_a").cast("long").alias("n_a_bin"),
+            F.sum("cnt_b").cast("long").alias("n_b_bin"),
+        )
+    )
+    spark = df.sparkSession
+    all_bins = spark.range(1, n_bins + 1).select(
+        F.col("id").cast("long").alias("bin")
+    )
+    full = (
+        all_bins.join(binned, "bin", "left")
+        .na.fill({"n_a_bin": 0, "n_b_bin": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    # D-suffixed literals: bare `2.0` parses as DECIMAL(2,1) on Spark;
+    # every constant here is exactly double-representable, so the
+    # oracle's plain literals promote to the identical values.
+    psi = (
+        "CAST(FLOOR(("
+        " ((2.0D * CAST(n_a_bin AS DOUBLE) + 1.0D)"
+        f"  / (2.0D * CAST(n_a AS DOUBLE) + {float(n_bins)}D))"
+        " - ((2.0D * CAST(n_b_bin AS DOUBLE) + 1.0D)"
+        f"  / (2.0D * CAST(n_b AS DOUBLE) + {float(n_bins)}D))"
+        ") * ln("
+        " ((2.0D * CAST(n_a_bin AS DOUBLE) + 1.0D)"
+        f"  / (2.0D * CAST(n_a AS DOUBLE) + {float(n_bins)}D))"
+        " / ((2.0D * CAST(n_b_bin AS DOUBLE) + 1.0D)"
+        f"  / (2.0D * CAST(n_b AS DOUBLE) + {float(n_bins)}D))"
+        ") * 1000000000.0D + 0.5D) AS BIGINT)"
+    )
+    return full.select(
+        "bin",
+        "n_a_bin",
+        "n_b_bin",
+        F.expr(psi).alias("psi_nano"),
+    ).orderBy("bin")
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    order_col: str,
+    event_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table for a rank-based score: rows are split
+    into ``n_bins`` equal-population score bins (global NTILE over the
+    total order (score, order_col) -- distributed, no single-task sort),
+    each bin's PREDICTED probability is its rank midpoint (2d-1)/(2k),
+    and the table reports observed event rate and the exact Brier
+    contribution per bin -- the "is my score calibrated" audit run
+    before a score is used as a probability.
+
+    EXACT: the midpoint is a rational constant per bin, the event rate
+    a single half-up micro division, and the Brier sum over a bin
+    telescopes to integers -- sum (p - y)^2 = n*p^2 - 2*p*ev + ev with
+    p in micro units gives e12 fixed-point BIGINTs (documented ceiling:
+    n per bin <= ~9.2e6 rows at e12; widen units beyond).
+
+    Output one row per bin 1..n_bins: ``bin, n, n_events, pred_micro,
+    event_rate_micro, brier_e12``.
+    """
+    from .windows import global_ntile
+
+    if n_bins < 2:
+        raise ValueError("reliability_bins needs n_bins >= 2")
+    scored = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("s"),
+        F.col(order_col).alias("o"),
+        F.when(F.col(event_col), 1).otherwise(0).cast("long").alias("y"),
+    )
+    tiled = global_ntile(
+        scored,
+        [F.asc("s"), F.asc("o")],
+        n_bins,
+        "s",
+        alias="bin",
+        range_desc=False,
+    )
+    agg = tiled.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_events"),
+    )
+    pred = f"CAST((2 * bin - 1) * 1000000 div (2 * {n_bins}) AS BIGINT)"
+    return agg.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        "n_events",
+        F.expr(pred).alias("pred_micro"),
+        F.expr(micro_ratio_sql("n_events", "n", "div"))
+        .cast("long")
+        .alias("event_rate_micro"),
+        F.expr(
+            f"CAST(n * ({pred}) * ({pred})"
+            f" - 2 * ({pred}) * n_events * 1000000"
+            " + n_events * CAST(1000000000000 AS BIGINT) AS BIGINT)"
+        ).alias("brier_e12"),
+    ).orderBy("bin")

@@ -364,3 +364,122 @@ def q_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash_audit(
         _t(spark, sf_dir, "documents"), "doc_id", "text", _FH_BUCKETS
     )
+
+
+# --------------------------------------------------------------------------
+# PSI: the binned drift index (completes the KS / JSD / PSI drift triad)
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def _psi_oracle() -> str:
+    edges = ",\n      ".join(
+        f"MIN(CASE WHEN cum_a >= ({k} * n_a + {_PSI_BINS - 1}) // {_PSI_BINS}"
+        f" THEN s END) AS e{k}"
+        for k in range(1, _PSI_BINS)
+    )
+    bin_expr = " + ".join(
+        f"(CASE WHEN s > e{k} THEN 1 ELSE 0 END)" for k in range(1, _PSI_BINS)
+    )
+    share_a = f"((2.0 * CAST(n_a_bin AS DOUBLE) + 1.0) / (2.0 * CAST(n_a AS DOUBLE) + {float(_PSI_BINS)}))"
+    share_b = f"((2.0 * CAST(n_b_bin AS DOUBLE) + 1.0) / (2.0 * CAST(n_b AS DOUBLE) + {float(_PSI_BINS)}))"
+    return f"""
+    WITH src AS (
+      SELECT o_totalprice AS s,
+             CASE WHEN o_orderdate < {_KS_SPLIT} THEN 1 ELSE 0 END AS in_a
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    h AS (SELECT s, CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+                 CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
+          FROM src GROUP BY 1),
+    c AS (SELECT s, CAST(SUM(cnt_a) OVER (ORDER BY s) AS BIGINT) AS cum_a
+          FROM h),
+    tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                   CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM h),
+    edges AS (SELECT
+      {edges}
+      FROM c CROSS JOIN tot),
+    binned AS (
+      SELECT CAST(1 + {bin_expr} AS BIGINT) AS bin, cnt_a, cnt_b
+      FROM h CROSS JOIN edges),
+    agg AS (SELECT bin, CAST(SUM(cnt_a) AS BIGINT) AS n_a_bin,
+                   CAST(SUM(cnt_b) AS BIGINT) AS n_b_bin
+            FROM binned GROUP BY 1),
+    bins AS (SELECT CAST(generate_series AS BIGINT) AS bin
+             FROM generate_series(1, {_PSI_BINS})),
+    filled AS (SELECT b.bin,
+                    CAST(COALESCE(a.n_a_bin, 0) AS BIGINT) AS n_a_bin,
+                    CAST(COALESCE(a.n_b_bin, 0) AS BIGINT) AS n_b_bin,
+                    n_a, n_b
+             FROM bins b LEFT JOIN agg a USING (bin) CROSS JOIN tot)
+    SELECT bin, n_a_bin, n_b_bin,
+           CAST(FLOOR(({share_a} - {share_b}) * ln({share_a} / {share_b})
+                * 1000000000.0 + 0.5) AS BIGINT) AS psi_nano
+    FROM filled ORDER BY bin"""
+
+
+@register("psi_price_drift_deciles", oracle=_psi_oracle())
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of H2 order prices against H1's exact
+    decile bins (edges selected distributed: histogram + prefix sum +
+    one conditional-min aggregate for all 9 edges), add-half smoothed so
+    empty bins stay defined, per-bin contributions nano-quantized -- the
+    binned drift index completing the KS / JSD / PSI triad
+    (`operators/experiments.py::psi_two_sample`)."""
+    from ..operators.experiments import psi_two_sample
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.expr(f"o_orderdate < {_KS_SPLIT}").alias("in_a"),
+    )
+    return psi_two_sample(orders, "o_totalprice", "in_a", n_bins=_PSI_BINS)
+
+
+# --------------------------------------------------------------------------
+# Reliability / Brier table: is a rank-based score calibrated?
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def _cal_oracle() -> str:
+    pred = f"((2 * bin - 1) * 1000000 // (2 * {_CAL_BINS}))"
+    return f"""
+    WITH src AS (
+      SELECT value AS s, event_id AS o,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL),
+    t AS (SELECT CAST(NTILE({_CAL_BINS}) OVER (ORDER BY s, o) AS BIGINT)
+                 AS bin, y
+          FROM src),
+    agg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_events
+            FROM t GROUP BY 1)
+    SELECT bin, n, n_events,
+           CAST({pred} AS BIGINT) AS pred_micro,
+           {micro_ratio_sql('n_events', 'n', '//')} AS event_rate_micro,
+           CAST(n * {pred} * {pred}
+                - 2 * {pred} * n_events * 1000000
+                + n_events * CAST(1000000000000 AS BIGINT)
+                AS BIGINT) AS brier_e12
+    FROM agg ORDER BY bin"""
+
+
+@register("calibration_value_deciles", oracle=_cal_oracle())
+def q_calibration_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table: events split into 10 equal-population
+    value-score bins via the distributed global NTILE (total order
+    (value, event_id) -- no single-task sort), predicted probability =
+    the bin's rank midpoint, observed purchase rate and exact integer
+    Brier contribution per bin
+    (`operators/experiments.py::reliability_bins`)."""
+    from ..operators.experiments import reliability_bins
+
+    ev = _t(spark, sf_dir, "events").select(
+        "value",
+        "event_id",
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    return reliability_bins(
+        ev, "value", "event_id", "is_purchase", n_bins=_CAL_BINS
+    )

@@ -277,3 +277,102 @@ def test_feature_hash_mass_conservation(spark):
     assert sum(r["n_postings"] for r in rows) == 60  # 3 tokens x 20 docs
     assert all(0 <= r["bucket"] < 16 for r in rows)
     assert all(abs(r["net_weight"]) <= r["n_postings"] for r in rows)
+
+
+# --------------------------------------------------------------------------
+# psi_two_sample
+# --------------------------------------------------------------------------
+
+
+def test_psi_identical_samples_zero(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        psi_two_sample,
+    )
+
+    rows = [(float(v), f) for v in range(1, 11) for f in (True, False)]
+    df = spark.createDataFrame(rows, "v double, in_a boolean")
+    out = psi_two_sample(df, "v", "in_a", n_bins=10).collect()
+    assert len(out) == 10
+    assert all(r["psi_nano"] == 0 for r in out)  # p == q in every bin
+    assert [r["bin"] for r in out] == list(range(1, 11))
+
+
+def test_psi_disjoint_shift_hand_value(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        psi_two_sample,
+    )
+
+    # A = ten 1.0s, B = ten 2.0s: every A-decile edge is 1.0 (cum_a hits
+    # every rank at the single value), so A lands in bin 1 and B --
+    # above ALL nine edges -- in bin 10; add-half smoothing keeps all 10
+    # bins defined.  Expected values replayed with the same op order.
+    rows = [(1.0, True)] * 10 + [(2.0, False)] * 10
+    df = spark.createDataFrame(rows, "v double, in_a boolean")
+    out = {r["bin"]: r for r in psi_two_sample(df, "v", "in_a").collect()}
+    assert (out[1]["n_a_bin"], out[1]["n_b_bin"]) == (10, 0)
+    assert (out[10]["n_a_bin"], out[10]["n_b_bin"]) == (0, 10)
+
+    def share(cnt, n):
+        return (2.0 * cnt + 1.0) / (2.0 * n + 10.0)
+
+    def contrib(a, b):
+        p, q = share(a, 10), share(b, 10)
+        return math.floor((p - q) * math.log(p / q) * 1e9 + 0.5)
+
+    for b, r in out.items():
+        expected = contrib(r["n_a_bin"], r["n_b_bin"])
+        assert abs(r["psi_nano"] - expected) <= 1  # ulp slack on ln
+    # Empty-both bins contribute 0 exactly (p == q under smoothing).
+    assert out[5]["psi_nano"] == 0
+
+
+def test_psi_nonneg_total(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        psi_two_sample,
+    )
+
+    rows = [(float(v % 7) + (0.5 if f else 0.0), f)
+            for v in range(60) for f in (True, False)]
+    df = spark.createDataFrame(rows, "v double, in_a boolean")
+    out = psi_two_sample(df, "v", "in_a").collect()
+    # PSI is a sum of (p-q)ln(p/q) terms, each >= 0.
+    assert all(r["psi_nano"] >= 0 for r in out)
+
+
+# --------------------------------------------------------------------------
+# reliability_bins
+# --------------------------------------------------------------------------
+
+
+def test_reliability_hand_case(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        reliability_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1, False), (2.0, 2, False), (3.0, 3, True), (4.0, 4, True)],
+        "v double, o long, y boolean",
+    )
+    out = {r["bin"]: r for r in
+           reliability_bins(df, "v", "o", "y", n_bins=2).collect()}
+    assert (out[1]["n"], out[1]["n_events"]) == (2, 0)
+    assert (out[2]["n"], out[2]["n_events"]) == (2, 2)
+    assert out[1]["pred_micro"] == 250_000 and out[2]["pred_micro"] == 750_000
+    assert out[1]["event_rate_micro"] == 0
+    assert out[2]["event_rate_micro"] == 1_000_000
+    # sum (p-y)^2 in e12: bin1 = 2*0.25^2 = 0.125; bin2 = 2*(0.75-1)^2.
+    assert out[1]["brier_e12"] == 125_000_000_000
+    assert out[2]["brier_e12"] == 125_000_000_000
+
+
+def test_reliability_null_scores_excluded(spark):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        reliability_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1, True), (None, 2, True), (2.0, 3, False)],
+        "v double, o long, y boolean",
+    )
+    out = reliability_bins(df, "v", "o", "y", n_bins=2).collect()
+    assert sum(r["n"] for r in out) == 2
