@@ -558,6 +558,29 @@ def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
 
 
+def runs_var_micro_sql() -> str:
+    """Wald-Wolfowitz runs variance 2ab(2ab - n) / (n^2 (n - 1)) in
+    half-up MICRO units as ONE expression over integer columns ``a``,
+    ``b``, ``n`` -- emitted verbatim for both engines (the
+    ``chisq_cell_sql`` pattern).  Computed in DOUBLE: the exact-integer
+    split ratio overflows int64 at n ~ 1.4e4 balanced (2ab(2ab-n)*1000
+    exceeds 2^63 -- r12 review finding, empirically a crash under ANSI
+    mode at n = 20,000, squarely inside the hourly-series range the
+    operator invites).  Counts below 2^53 are exact doubles, products
+    beyond that round deterministically per IEEE-754 identically on
+    both engines, and the statistic is micro-rounded anyway -- so the
+    double path trades ~1e-16 relative error for no ceiling at all.
+    The numerator is 0 when a or b is 0 and positive otherwise (for
+    a, b >= 1: 2ab >= a + b), so floor(x + 0.5) is plain half-up."""
+    ab2 = "(2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE))"
+    return (
+        f"CAST(FLOOR({ab2} * ({ab2} - CAST(n AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        "    * (CAST(n AS DOUBLE) - 1.0))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
 def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
     """Wald-Wolfowitz runs test over an ordered integer series: is the
     sequence of above/below-median signs random, or does it trend /
@@ -567,9 +590,10 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
     ceil(n/2)) selected distributed -- per-value histogram +
     ``global_cumsum``, no global sort -- and a row is positive iff
     value > median (ties side with "below", deterministically).  The
-    expected-runs and variance formulas are integer ratios rounded
-    half-up once at micro units (no sqrt -- callers needing the z-score
-    divide the micro numbers themselves).
+    expected-runs formula is an exact integer ratio rounded half-up
+    once at micro units; the variance goes through the shared DOUBLE
+    expression ``runs_var_micro_sql`` (no sqrt -- callers needing the
+    z-score divide the micro numbers themselves).
 
     Scale shape: the median selection is fully distributed; the runs
     count itself is ONE window pass over the ordered series, which is
@@ -578,9 +602,10 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
     regardless of raw data scale), never raw-row-scale -- documented
     contract, matching ``coalesce_intervals``'s bounded-series posture.
 
-    Overflow bound: var_runs' numerator 2ab(2ab - n) * 1000 governs;
-    inside int64 while the series length n <= ~1.2e6 rows -- far above
-    any calendar series.
+    Overflow bound: expected_runs' numerator 2ab * 1000 governs the
+    remaining integer path -- inside int64 to n ~ 1.3e8 balanced; the
+    variance has NO integer ceiling (double path, see
+    ``runs_var_micro_sql`` -- the first integer cut crashed at n=2e4).
 
     Output: one row -- ``n, n_pos, n_neg, median_val, n_runs,
     expected_runs_micro, var_runs_micro`` (-1 variance when n < 2).
@@ -642,17 +667,7 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
         )
         .cast("long")
         .alias("expected_runs_micro"),
-        F.when(
-            F.col("n") > 1,
-            F.expr(
-                micro_ratio_sql(
-                    "2 * a * b * (2 * a * b - n)",
-                    "n * n * (n - 1)",
-                    "div",
-                    signed=True,
-                )
-            ),
-        )
+        F.when(F.col("n") > 1, F.expr(runs_var_micro_sql()))
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("var_runs_micro"),
@@ -794,8 +809,10 @@ def reliability_bins(
     EXACT: the midpoint is a rational constant per bin, the event rate
     a single half-up micro division, and the Brier sum over a bin
     telescopes to integers -- sum (p - y)^2 = n*p^2 - 2*p*ev + ev with
-    p in micro units gives e12 fixed-point BIGINTs (documented ceiling:
-    n per bin <= ~9.2e6 rows at e12; widen units beyond).
+    p in micro units gives e12 fixed-point BIGINTs.  Ceiling: the CROSS
+    term 2*p*ev*1e6 governs (r12 review -- the first doc bound counted
+    only the square terms), so events per bin <= ~4.8e6 at the top-bin
+    midpoint; beyond that widen to decimal or split strata.
 
     Output one row per bin 1..n_bins: ``bin, n, n_events, pred_micro,
     event_rate_micro, brier_e12``.

@@ -345,7 +345,11 @@ def rank_eval_table(
     integers -- no floats anywhere.
 
     Scale shape: the ranking is bounded (k rows; the cumulative windows
-    run over those k only); the corpus-scale work is one aggregate over
+    AND the first-relevant-rank run over those k only -- the latter as
+    one more window over the same k-row frame, NOT a separate aggregate
+    consumer, which would re-execute the ranked-join subtree per
+    consumer (r12 review finding: the relevance frame is often a full
+    corpus token explode); the corpus-scale work is one aggregate over
     the relevance frame (total relevant) broadcast as a scalar.
 
     Output one row per rank 1..k: ``rank, <id_col>, rel_bin, hits,
@@ -365,6 +369,9 @@ def rank_eval_table(
         .cast("long")
         .alias("n_rel_total")
     )
+    whole = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     hits = (
         ranked.filter(F.col("rank") <= k)
         .join(relevance.select(F.col(id_col), F.col("rel")), id_col, "left")
@@ -377,16 +384,16 @@ def rank_eval_table(
             .alias("rel_bin"),
         )
         .withColumn("hits", F.sum("rel_bin").over(cum).cast("long"))
+        .withColumn(
+            "first_rel_rank",
+            F.min(F.when(F.col("rel_bin") == 1, F.col("rank")))
+            .over(whole)
+            .cast("long"),
+        )
         .crossJoin(F.broadcast(n_rel))
     )
-    first_rel = hits.agg(
-        F.min(F.when(F.col("rel_bin") == 1, F.col("rank")))
-        .cast("long")
-        .alias("first_rel_rank")
-    )
     return (
-        hits.crossJoin(F.broadcast(first_rel))
-        .select(
+        hits.select(
             "rank",
             id_col,
             "rel_bin",

@@ -728,7 +728,7 @@ def mutual_information(
 
 
 def feature_hash_audit(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64
+    df: DataFrame, text_col: str, n_buckets: int = 64
 ) -> DataFrame:
     """Hashing-trick featurization audit: map every token to one of
     ``n_buckets`` signed buckets (the Weinberger et al. feature-hashing

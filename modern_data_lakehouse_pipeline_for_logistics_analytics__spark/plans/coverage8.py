@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.experiments import chisq_cell_sql, micro_ratio_sql
+from ..operators.experiments import (
+    chisq_cell_sql,
+    micro_ratio_sql,
+    runs_var_micro_sql,
+)
 from .registry import register, table_path
 
 
@@ -220,9 +224,7 @@ _REV_C = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
     SELECT n, a AS n_pos, b AS n_neg, median_val, n_runs,
            CAST(1000000 + {micro_ratio_sql('2 * a * b', 'n', '//')}
                 AS BIGINT) AS expected_runs_micro,
-           CASE WHEN n > 1 THEN {micro_ratio_sql(
-               '2 * a * b * (2 * a * b - n)',
-               'n * n * (n - 1)', '//', signed=True)}
+           CASE WHEN n > 1 THEN {runs_var_micro_sql()}
            ELSE -1 END AS var_runs_micro
     FROM agg""",
 )
@@ -362,7 +364,7 @@ def q_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.trainprep import feature_hash_audit
 
     return feature_hash_audit(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", _FH_BUCKETS
+        _t(spark, sf_dir, "documents"), "text", _FH_BUCKETS
     )
 
 

@@ -250,7 +250,7 @@ def test_feature_hash_hand_case(spark):
     )
     out = {
         r["bucket"]: r
-        for r in feature_hash_audit(docs, "doc_id", "text", 64).collect()
+        for r in feature_hash_audit(docs, "text", 64).collect()
     }
     expected: dict[int, list[tuple[int, int]]] = {}
     for term, tf in (("apple", 2), ("banana", 2), ("cherry", 1)):
@@ -273,7 +273,7 @@ def test_feature_hash_mass_conservation(spark):
         [(i, f"tok{i} tok{i % 3} shared") for i in range(20)],
         "doc_id long, text string",
     )
-    rows = feature_hash_audit(docs, "doc_id", "text", 16).collect()
+    rows = feature_hash_audit(docs, "text", 16).collect()
     assert sum(r["n_postings"] for r in rows) == 60  # 3 tokens x 20 docs
     assert all(0 <= r["bucket"] < 16 for r in rows)
     assert all(abs(r["net_weight"]) <= r["n_postings"] for r in rows)
