@@ -174,3 +174,53 @@ def test_psi_matches_bruteforce(spark, a, b):
         q = (2.0 * bb + 1.0) / (2.0 * nb + float(n_bins))
         expected = math.floor((p - q) * math.log(p / q) * 1e9 + 0.5)
         assert abs(r["psi_nano"] - expected) <= 1  # ln ulp slack
+
+
+# --------------------------------------------------------------------------
+# reliability_bins vs a brute-force NTILE replica
+# --------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()),
+        min_size=2,
+        max_size=24,
+        unique_by=lambda r: r,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_reliability_matches_ntile_replica(spark, rows):
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.experiments import (
+        reliability_bins,
+    )
+
+    k = 3
+    data = [(float(s), i, y) for i, (s, y) in enumerate(rows)]
+    out = {
+        r["bin"]: r
+        for r in reliability_bins(
+            spark.createDataFrame(data, "v double, o long, y boolean"),
+            "v",
+            "o",
+            "y",
+            n_bins=k,
+        ).collect()
+    }
+    # SQL-standard NTILE over the total order (v, o): first n%k buckets
+    # take one extra row.
+    ordered = sorted(data, key=lambda r: (r[0], r[1]))
+    n = len(ordered)
+    q, rem = divmod(n, k)
+    sizes = [q + 1 if i < rem else q for i in range(k)]
+    pos = 0
+    for bin_no in range(1, k + 1):
+        chunk = ordered[pos : pos + sizes[bin_no - 1]]
+        pos += sizes[bin_no - 1]
+        if not chunk:
+            assert bin_no not in out
+            continue
+        r = out[bin_no]
+        assert r["n"] == len(chunk)
+        assert r["n_events"] == sum(1 for c in chunk if c[2])
+        assert r["event_rate_micro"] == _micro(r["n_events"], r["n"])
