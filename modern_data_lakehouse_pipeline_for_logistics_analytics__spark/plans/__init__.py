@@ -22,8 +22,12 @@ replaced the hand-edited ``_PRIORITY`` list):
    localizes a failure only to a cohort; the individual run pinpoints
    it).
 3. Rows-only queries (registered in ``QUERIES`` but not ``ORACLE``)
-   NEVER occupy window slots -- a rows-only query burns a slot on a
-   permanent ``no_oracle`` row; pytest recall/property tests cover them.
+   normally NEVER occupy window slots -- a rows-only query burns a slot
+   on a permanent ``no_oracle`` row; pytest recall/property tests cover
+   them.  ONE exception (r13): a rows-only query with zero driver
+   evidence in ANY round gets a one-time slot right after the digests,
+   so every registered query has at least an executed ``spark_rows``
+   row; after that first row it drops back to the tail forever.
 4. Last-verified rounds are read from the ``CORRECTNESS_r*.json`` files
    the driver writes at the repo root (a query counts as verified in
    round N iff its row has ``hash_match: true``).  No hand-maintained
@@ -86,16 +90,22 @@ def _load_all() -> None:
             raise ImportError(f"query module {__name__}.{mod} failed to import: {exc}") from exc
 
 
-def _last_verified_rounds() -> dict[str, int]:
-    """name -> latest round with a ``hash_match: true`` driver row.
+def _last_verified_rounds() -> tuple[dict[str, int], set[str]]:
+    """(name -> latest round with a ``hash_match: true`` driver row,
+    set of every name with ANY driver row at all).
 
     Read from the ``CORRECTNESS_r*.json`` files the driver commits at the
     repo root.  Absent name (or no files at all, e.g. an installed
     package without the driver artifacts) means never verified -> 0,
-    which front-loads the query.  Malformed files are skipped: a corrupt
+    which front-loads the query.  The "any row" set distinguishes
+    rows-only queries that have at least a recorded ``no_oracle`` +
+    spark_rows row from ones the driver has never executed (r12 verdict:
+    ``dedup_clusters_lsh`` was the one registered query with zero driver
+    evidence in any round).  Malformed files are skipped: a corrupt
     artifact must not break ``queries()`` imports.
     """
     last: dict[str, int] = {}
+    ever_seen: set[str] = set()
     repo_root = Path(__file__).resolve().parents[2]
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path.name)
@@ -107,24 +117,36 @@ def _last_verified_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if not isinstance(row, dict):
+                continue
+            ever_seen.add(name)
+            if row.get("hash_match") is True:
                 last[name] = max(last.get(name, 0), rnd)
-    return last
+    return last, ever_seen
 
 
 def _reorder() -> None:
     """Apply the standing rotation policy (module docstring): cohort
     digests pinned first (full-registry evidence every round), then
-    oracle-backed stalest-first (never-verified -> round 0, name
-    tie-break), then rows-only queries in registration order."""
-    last = _last_verified_rounds()
+    rows-only queries with ZERO driver evidence in any round (one-time
+    slots: once the driver records even a ``no_oracle`` row they drop
+    back to the tail forever -- a standing rows-only slot would burn a
+    window place every round), then oracle-backed stalest-first
+    (never-verified -> round 0, name tie-break), then the remaining
+    rows-only queries in registration order."""
+    last, ever_seen = _last_verified_rounds()
     digests = sorted(n for n in QUERIES if n.startswith("cohort_digest_"))
+    rows_only = [n for n in QUERIES if n not in ORACLE and n not in digests]
+    # Only front-load when driver artifacts exist at all: in an installed
+    # package without CORRECTNESS files, ever_seen is empty and EVERY
+    # rows-only query would jump the queue, displacing oracle evidence.
+    rows_only_new = sorted(n for n in rows_only if n not in ever_seen) if ever_seen else []
+    rows_only_tail = [n for n in rows_only if n not in rows_only_new]
     oracle_backed = sorted(
         (n for n in QUERIES if n in ORACLE and n not in digests),
         key=lambda n: (last.get(n, 0), n),
     )
-    rows_only = [n for n in QUERIES if n not in ORACLE and n not in digests]
-    ordered = digests + oracle_backed + rows_only
+    ordered = digests + rows_only_new + oracle_backed + rows_only_tail
     for registry in (QUERIES, ORACLE):
         snapshot = dict(registry)
         registry.clear()
