@@ -412,6 +412,7 @@ def main() -> None:
     budget_path = os.path.join(REPO_ROOT, "BENCH_BUDGET.json")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     breaches: dict[str, tuple[float, float]] = {}
+    grace_used: dict[str, dict[str, float]] = {}
     retries: dict[str, dict[str, float]] = {}
     gate_broken = None  # non-None: canonical run could not be gated at all
     ungated: list[str] = []
@@ -466,6 +467,20 @@ def main() -> None:
             return out
 
         breaches = _confirmed_breaches()
+        # Grace audit (r13, judge item): a query can exceed its RAW
+        # budget yet pass under the contention-relative bar (1.5x *
+        # median-ratio).  Those silent passes are exactly where a slow
+        # regression hides across rounds -- name them in the payload so
+        # round-over-round history shows who is living on grace.
+        grace_used = {
+            n: {
+                "t": timings[n],
+                "budget": budgets[n],
+                "ratio": round(timings[n] / budgets[n], 3),
+            }
+            for n in sorted(timings)
+            if n in budgets and timings[n] > budgets[n] and n not in breaches
+        }
 
     payload = {
         "metric": "headline_queries_total",
@@ -476,6 +491,14 @@ def main() -> None:
     }
     if retries:
         payload["retries"] = retries
+    if grace_used:
+        payload["grace_used"] = grace_used
+        print(
+            f"bench: {len(grace_used)} queries over raw budget but under the "
+            "contention-relative bar (grace): "
+            + ", ".join(f"{n} {v['ratio']}x" for n, v in grace_used.items()),
+            file=sys.stderr,
+        )
     payload["action"] = action
     if fallbacks:
         # Queries whose output xxhash64 cannot hash were timed under

@@ -617,7 +617,14 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
 
     series = df.select(
         F.col(order_col).alias("t"), F.col(value_col).cast("long").alias("x")
-    )
+    # NULL x rows are dropped (r13 advisor note): a NULL violates
+    # global_cumsum's non-null range_col contract, and Spark (NULLS
+    # FIRST asc) vs DuckDB (NULLS LAST) would order them differently,
+    # skewing the median and the sign sequence.  Matches the NULL
+    # posture of ks_two_sample / psi_two_sample / reliability_bins;
+    # any oracle replaying this operator must carry the same
+    # `WHERE value IS NOT NULL`.
+    ).filter(F.col("x").isNotNull())
     series = _cache_aged("runs_series", series)
     hist = series.groupBy("x").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")

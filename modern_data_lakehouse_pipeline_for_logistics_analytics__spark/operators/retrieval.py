@@ -340,6 +340,16 @@ def rank_eval_table(
     the WHOLE relevance frame (the ranking is judged against everything
     it could have retrieved, not just what it did).
 
+    CONTRACT (r13 advisor note): ``relevance`` must be UNIQUE per
+    ``id_col`` -- the same contract as ``ndcg_table``.  The top-k join
+    is a plain left join, so duplicate relevance rows would fan out the
+    k ranked rows and silently inflate hits/precision/recall (and
+    desync from any SQL oracle).  Callers with multi-row judgments must
+    pre-aggregate, e.g. ``relevance.groupBy(id_col).agg(F.max("rel")
+    .alias("rel"))``; this operator does not do it defensively because
+    the extra corpus-scale shuffle would be charged to every caller
+    that already satisfies the contract.
+
     EXACT: hits@r is an integer cumulative count; precision, recall and
     RR are single half-up micro divisions (``micro_ratio_sql``) of
     integers -- no floats anywhere.

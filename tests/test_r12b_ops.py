@@ -127,6 +127,18 @@ def test_runs_constant_series(spark):
     assert out["expected_runs_micro"] == 1_000_000  # 1 + 0
 
 
+def test_runs_null_values_dropped(spark):
+    # NULL x rows must be excluded before the median/sign pass (r13):
+    # a NULL would violate global_cumsum's non-null contract and order
+    # differently across engines.  Same result as the alternating
+    # series with the NULLs absent.
+    rows = [(0, 1), (1, None), (2, 5), (3, 1), (4, None), (5, 5), (6, 1)]
+    df = spark.createDataFrame(rows, "t long, x long")
+    out = runs_test(df, "t", "x").collect()[0]
+    ref = runs_test(_rdf(spark, [1, 5, 1, 5, 1]), "t", "x").collect()[0]
+    assert out == ref
+
+
 # --------------------------------------------------------------------------
 # jsd_source_drift
 # --------------------------------------------------------------------------
