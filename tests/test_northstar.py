@@ -423,9 +423,11 @@ def test_multimodal_decode_contract(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     media = attach_binary_payload(docs, "doc_id", "text")
     # Mix in an unknown mime and a real-codec mime (fed fake bytes).
+    # (r13: video/mp4 gained a real soft-imported decoder, so the
+    # unknown-mime case needs a mime no decoder claims.)
     media = media.withColumn(
         "mime",
-        F.when(F.col("doc_id") % 10 == 0, "video/mp4")
+        F.when(F.col("doc_id") % 10 == 0, "application/x-unknown")
         .when(F.col("doc_id") % 10 == 1, "image/png")
         .otherwise(F.col("mime")),
     )
