@@ -82,6 +82,7 @@ def _load_all() -> None:
         "coverage6",
         "coverage7",
         "coverage8",
+        "approx_cohort",  # digests the rows-only members vs pinned baselines
         "cohorts",  # must import LAST: digests read the full ORACLE registry
     ):
         try:

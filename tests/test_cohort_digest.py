@@ -52,7 +52,9 @@ def test_cohorts_are_window_pinned():
     50-query window every round."""
     names = list(QUERIES)
     n_digests = sum(1 for n in names if n.startswith("cohort_digest_"))
-    assert n_digests == len(COHORTS)
+    # COHORTS digests + cohort_digest_approx (rows-only pins, r13 --
+    # registered in plans/approx_cohort.py, outside COHORTS).
+    assert n_digests == len(COHORTS) + 1
     assert all(n.startswith("cohort_digest_") for n in names[:n_digests])
 
 
