@@ -783,3 +783,141 @@ def feature_hash_audit(
         F.sum("tf").cast("long").alias("n_postings"),
         F.sum(F.col("sign") * F.col("tf")).cast("long").alias("net_weight"),
     )
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: F.Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score each
+    document by ``sum over tokens of ln(p_target(b) / p_raw(b))`` where
+    ``b`` is the token's hashed feature bucket, ``p_target`` is the
+    add-one-smoothed unigram bucket model of the TARGET domain (rows
+    matching ``target_pred``) and ``p_raw`` of the whole corpus.  High
+    weight = looks like the target domain; importance RESAMPLING then
+    keeps docs with probability proportional to the weight -- the
+    selection step is the deterministic top-k / threshold the caller
+    applies (``weight_nano`` is totally ordered and exact).
+
+    Exactness: the per-BUCKET log-ratio is ONE double ``ln`` of a ratio
+    of exact integers, fixed-pointed to nano (floor(x*1e9 + 0.5)) --
+    engine-identical on bit-equal inputs -- and the per-document score is
+    an INTEGER sum of those nanos, so summation order cannot move the
+    result (the same trick as ``textstats``' surprisal fixed point).
+    Hash buckets use the portable 60-bit md5 family, replayable in SQL.
+
+    Scale shape: two bucket-count aggregates (map-side combinable, at
+    most ``n_buckets`` rows each, broadcast back), one hash join of the
+    token stream against the 64-row bucket table, one groupBy(doc).  No
+    Python, no driver data; at 100 TB the only corpus-scale shuffle is
+    the final per-doc aggregation.  Output: ``doc_id, n_tokens,
+    weight_nano`` (long).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("long").alias("is_target"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    ).withColumn("bucket", portable_base_hash(F.col("tok")) % n_buckets)
+    counts = toks.groupBy("bucket").agg(
+        F.sum("is_target").cast("long").alias("c_t"),
+        F.count(F.lit(1)).cast("long").alias("c_r"),
+    )
+    tot = counts.agg(
+        F.sum("c_t").cast("long").alias("tot_t"),
+        F.sum("c_r").cast("long").alias("tot_r"),
+    )
+    # ln of a single ratio of exact int64s: numerator/denominator each
+    # fit double exactly at any realistic corpus size (< 2^53 tokens).
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + 1) * (F.col("tot_r") + n_buckets)).cast("double")
+                / ((F.col("c_r") + 1) * (F.col("tot_t") + n_buckets)).cast("double")
+            )
+            * 1_000_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_nano"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_nano").cast("long").alias("weight_nano"),
+        )
+    )
+
+
+def source_temperature_quota(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+    budget_docs: int = 10_000,
+) -> DataFrame:
+    """Temperature-smoothed source-mixing quotas (the mT5/multilingual
+    sampling rule): a source with token share ``p_i`` is sampled
+    proportionally to ``p_i ** alpha`` -- alpha < 1 upweights small
+    sources so the head domain cannot drown the tail -- and the budget is
+    apportioned to INTEGER document quotas by largest remainder, so the
+    quotas sum to exactly ``budget_docs``.
+
+    Exactness: ``n_i ** alpha`` (proportional to ``p_i ** alpha``; the
+    common denominator cancels) is one double ``pow`` per SOURCE,
+    fixed-pointed to nano as the integer weight ``w_fp``; the largest-
+    remainder step is then pure int64 div/mod on ``w_fp`` (the float
+    version misallocates and never sums exactly -- same argument as
+    ``allocate_fleet_largest_remainder``).  Overflow: w_fp <= pow(2^53,
+    0.3)*1e9 ~ 6e13 and w_fp * budget stays under 2^63 for budgets up to
+    ~1e5 at 100 TB token counts.
+
+    Scale shape: one groupBy(source) token-count aggregate (map-side
+    combinable), then dim-sized arithmetic and ONE window over the
+    source table (tiny by definition of "source").  Output: ``group,
+    n_docs, n_tokens, w_fp, share_micro, quota``.
+    """
+    w = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokenize(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = w.withColumn(
+        "w_fp",
+        F.floor(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * 1_000_000_000 + F.lit(0.5))
+        .cast("long"),
+    )
+    tot = w.agg(F.sum("w_fp").cast("long").alias("tw"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "group",
+        "n_docs",
+        "n_tokens",
+        "w_fp",
+        F.expr(f"(w_fp * 1000000) div tw").alias("share_micro"),
+        F.expr(f"(w_fp * {budget_docs}) div tw").alias("base"),
+        ((F.col("w_fp") * budget_docs) % F.col("tw")).alias("rem"),
+    )
+    base_sum = q.agg(F.sum("base").cast("long").alias("bs"))
+    win = Window.orderBy(F.desc("rem"), F.asc("group"))
+    ranked = q.crossJoin(F.broadcast(base_sum)).withColumn(
+        "rk", F.row_number().over(win)
+    )
+    return ranked.select(
+        "group",
+        "n_docs",
+        "n_tokens",
+        "w_fp",
+        F.col("share_micro").cast("long").alias("share_micro"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= (F.lit(budget_docs) - F.col("bs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )

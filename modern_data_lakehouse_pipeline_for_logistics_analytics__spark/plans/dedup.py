@@ -594,3 +594,67 @@ def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     holdout = docs.filter(shard.isin("0", "1"))
     train = docs.filter(~shard.isin("0", "1"))
     return containment_pairs(holdout, train, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "dedup_keep_longest_survivor",
+    oracle=f"""
+    WITH RECURSIVE {_portable_minhash_sql()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+    cc AS (SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(cc.canonical, d.doc_id) AS canonical, d.n_chars
+      FROM documents d LEFT JOIN cc ON cc.doc = d.doc_id),
+    ranked AS (
+      SELECT canonical, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY canonical
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY canonical) AS n_members
+      FROM labeled)
+    SELECT canonical, doc_id AS kept_doc, CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS kept_chars
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_dedup_keep_longest_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME a training pipeline actually ships: LSH
+    candidates -> exact-Jaccard verify -> connected components -> keep
+    ONE survivor per cluster by the keep-longest policy (max n_chars,
+    ties to the lower doc_id) -- unpaired docs are their own singleton
+    clusters, so the output IS the full training keep-list.  Differs
+    from ``dedup_clusters_portable`` (which reports membership, min-id
+    canonical) in the survivorship policy: real pipelines keep the
+    longest/most-complete copy, not the smallest id.  DuckDB replays
+    banding, verify, the transitive closure AND the survivorship window
+    end-to-end.  Scale: the window partitions by cluster (bounded
+    groups); the left join is doc-keyed."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    pairs = minhash_portable_lsh(_docs(spark, sf_dir), "doc_id", "text", threshold=0.7)
+    cc = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    labeled = docs.join(cc, docs["doc_id"] == cc["doc"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical"), F.col("doc_id")).alias("canonical"),
+        "n_chars",
+    )
+    w = W.partitionBy("canonical").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = W.partitionBy("canonical")
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "canonical",
+            F.col("doc_id").alias("kept_doc"),
+            "n_members",
+            F.col("n_chars").cast("long").alias("kept_chars"),
+        )
+    )

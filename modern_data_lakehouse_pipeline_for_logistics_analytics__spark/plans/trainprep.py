@@ -317,3 +317,102 @@ def q_mi_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") > 150000).cast("int").alias("high_value"),
     )
     return mutual_information(orders, _MI_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights + temperature source mixing (r13)
+# --------------------------------------------------------------------------
+
+#: The "curated target domain" stand-in for DSIR: four fixture sources.
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(source IN {str(tuple(_DSIR_TARGET))} AS BIGINT) AS is_target,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, is_target,
+             CAST(CONCAT('0x', substring(md5(tok), 2, 15)) AS BIGINT) % 64 AS bucket
+      FROM tok),
+    counts AS (
+      SELECT bucket, CAST(SUM(is_target) AS BIGINT) AS c_t,
+             CAST(COUNT(*) AS BIGINT) AS c_r
+      FROM b GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS tot_t,
+             CAST(SUM(c_r) AS BIGINT) AS tot_r
+      FROM counts),
+    lr AS (
+      SELECT bucket,
+             CAST(FLOOR(ln(CAST((c_t + 1) * (tot_r + 64) AS DOUBLE)
+                           / CAST((c_r + 1) * (tot_t + 64) AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS lr_nano
+      FROM counts CROSS JOIN tot)
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lr_nano) AS BIGINT) AS weight_nano
+    FROM b JOIN lr USING (bucket)
+    GROUP BY 1
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023): hashed-unigram
+    bucket LMs for a curated target domain (sources src0-src3) vs the
+    raw corpus; per-doc weight = integer sum of per-bucket nano
+    fixed-point log ratios, so summation order can't move the value and
+    DuckDB replays the whole pipeline including the 60-bit portable
+    bucket hash (`operators/trainprep.py::dsir_logratio_weights`)."""
+    from ..operators.trainprep import dsir_logratio_weights
+
+    return dsir_logratio_weights(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        target_pred=F.col("source").isin(*_DSIR_TARGET),
+    )
+
+
+@register(
+    "source_mix_temperature",
+    oracle="""
+    WITH w AS (
+      SELECT source AS "group", CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1),
+    wf AS (
+      SELECT *, CAST(FLOOR(POWER(CAST(n_tokens AS DOUBLE), 0.3)
+                           * 1000000000 + 0.5) AS BIGINT) AS w_fp
+      FROM w),
+    tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS tw FROM wf),
+    q AS (
+      SELECT wf.*, (w_fp * 1000000) // tw AS share_micro,
+             (w_fp * 10000) // tw AS base, (w_fp * 10000) % tw AS rem
+      FROM wf CROSS JOIN tot),
+    ranked AS (
+      SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, "group") AS rk,
+             CAST(10000 - (SELECT SUM(base) FROM q) AS BIGINT) AS leftover
+      FROM q)
+    SELECT "group", n_docs, n_tokens, w_fp,
+           CAST(share_micro AS BIGINT) AS share_micro,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM ranked
+    """,
+)
+def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha=0.3, the mT5 rule) source-mix quotas
+    over a 10k-doc budget: token share ** alpha upweights tail sources,
+    largest-remainder apportionment makes the integer quotas sum to
+    exactly 10000 (`operators/trainprep.py::source_temperature_quota`).
+    The only float is one pow per source, nano-fixed before the pure
+    int64 apportionment."""
+    from ..operators.trainprep import source_temperature_quota
+
+    return source_temperature_quota(
+        _docs(spark, sf_dir), "doc_id", "text", "source", alpha=0.3, budget_docs=10_000
+    )
