@@ -266,6 +266,10 @@ BENCH_QUERIES = [
     "feature_hash_collision_audit",
     "psi_price_drift_deciles",
     "calibration_value_deciles",
+    # r13 additions: training-data selection / survivorship
+    "dsir_importance_weights",
+    "source_mix_temperature",
+    "dedup_keep_longest_survivor",
 ]
 
 
