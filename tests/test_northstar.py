@@ -521,7 +521,9 @@ def test_multimodal_decode_error_branch_and_batching(spark, sf_dir):
     media = multimodal.attach_binary_payload(docs, "doc_id", "text").withColumn(
         "mime",
         F.when(F.col("doc_id") % 4 == 0, "image/corrupt")
-        .when(F.col("doc_id") % 4 == 1, "video/mp4")
+        # r13: video/mp4 gained a real decoder; unknown-mime needs a
+        # mime no registry entry claims.
+        .when(F.col("doc_id") % 4 == 1, "application/x-unknown")
         .when(F.col("doc_id") % 4 == 2, "image/uninstalled")
         .otherwise(F.col("mime")),
     )
