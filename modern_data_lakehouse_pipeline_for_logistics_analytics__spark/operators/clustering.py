@@ -253,9 +253,11 @@ def kcenter_greedy_fixedpoint(
     center_vec = list(first["__vf"])
     dist_to = _kcenter_dist_expr
 
+    # Lazy checkpoints (r13, CC precedent): each round's farthest-point
+    # collect is the only job and materializes the superseding frame.
     md = base.select(
         "__id", "__vf", dist_to(center_vec).alias("__md")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev = None
     for rank in range(2, k + 1):
         far = (
@@ -269,7 +271,7 @@ def kcenter_greedy_fixedpoint(
             "__id",
             "__vf",
             F.least(F.col("__md"), dist_to(list(row["__vf"]))).alias("__md"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         if prev is not None:
             _unpersist_checkpoint(prev)
         prev, md = md, nxt
@@ -332,9 +334,10 @@ def kcenter_batched_fixedpoint(
     def d2(a: list[int], b: list[int]) -> int:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
+    # Lazy (r13): the per-batch candidate collect materializes md.
     md = base.select(
         "__id", "__vf", dist_term(list(first["__vf"])).alias("__md")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev = None
     exhausted = False
     while len(selected) < k and not exhausted:
@@ -376,7 +379,7 @@ def kcenter_batched_fixedpoint(
                 F.least(F.col("__md"), *[dist_term(v) for v in accepted_vecs]).alias(
                     "__md"
                 ),
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             if prev is not None:
                 _unpersist_checkpoint(prev)
             prev, md = md, nxt

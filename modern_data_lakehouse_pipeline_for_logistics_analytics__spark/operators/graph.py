@@ -207,7 +207,9 @@ def hierarchy_flatten(
                 .cast("long")
                 .alias("__moved"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy (r13, CC precedent): the convergence agg below is the
+            # round's ONLY job and materializes the checkpoint itself.
+            .localCheckpoint(eager=False)
         )
         moved = stepped.agg(F.sum("__moved")).first()[0] or 0
         _unpersist_checkpoint(prev)
@@ -327,7 +329,9 @@ def bfs_distances(
                     ).alias("dist"),
                     (F.col("dist").isNull()).cast("long").alias("__new"),
                 )
-                .localCheckpoint(eager=True)
+                # Lazy (r13, CC precedent): the frontier-count agg below
+                # is the round's ONLY job, materializing the checkpoint.
+                .localCheckpoint(eager=False)
             )
             n_new = stepped_ckpt.agg(F.sum("__new")).first()[0] or 0
             if prev_ckpt is not None:
@@ -488,7 +492,9 @@ def shortest_paths_bounded(
                         | (F.col("nd") < F.col("dist"))
                     ).cast("long").alias("__chg"),
                 )
-                .localCheckpoint(eager=True)
+                # Lazy (r13, CC precedent): the improvement-count agg
+                # below is the round's ONLY job and materializes it.
+                .localCheckpoint(eager=False)
             )
             n_chg = stepped_ckpt.agg(F.sum("__chg")).first()[0] or 0
             if prev_ckpt is not None:
@@ -580,7 +586,9 @@ def kcore_bounded(
                 .groupBy(F.col("s").alias("node"))
                 .agg(F.count(F.lit(1)).cast("long").alias("deg"))
                 .filter(F.col("deg") >= k)
-                .localCheckpoint(eager=True)
+                # Lazy (r13, CC precedent): the survivor count below is
+                # the round's ONLY job and materializes the checkpoint.
+                .localCheckpoint(eager=False)
             )
             n_new = deg.count()
             if prev is not None:
@@ -645,7 +653,11 @@ def hits_fixedpoint(
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum("r").cast("long").alias("s"))
         )
-        raw = raw.localCheckpoint(eager=True)
+        # Lazy checkpoints (r13, CC precedent): the per-half max agg is
+        # the half-step's ONLY job -- it materializes `raw` (and, via
+        # lineage, the previous half's `out`); each half-step thus costs
+        # one job instead of three.
+        raw = raw.localCheckpoint(eager=False)
         supers.append(raw)
         mx = raw.agg(F.max("s")).first()[0]
         if mx is None:
@@ -653,7 +665,7 @@ def hits_fixedpoint(
         out = raw.select(
             "node",
             F.expr(f"(s * {int(scale)}) div {int(mx)}").cast("long").alias("r"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         supers.append(out)
         return out
 
@@ -661,6 +673,15 @@ def hits_fixedpoint(
         for _ in range(iterations):
             auths = _half(hubs, "s", "d")
             hubs = _half(auths, "d", "s")
+        # MATERIALIZE the lazy finals before the finally releases their
+        # ancestors: an unmaterialized lazy checkpoint still reaches its
+        # parents through lineage, and those parents are materialized
+        # lineage-CUT checkpoints -- unpersisting them first would make
+        # the returned frames unrecomputable.  Two bounded jobs over
+        # cached parents.
+        for final in (auths, hubs):
+            if final is not None:
+                final.count()  # JVM-only action; persists the checkpoint
     finally:
         e.unpersist()
         # Release every superseded intermediate except the two finals.

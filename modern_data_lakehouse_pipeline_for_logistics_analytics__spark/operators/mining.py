@@ -50,7 +50,9 @@ def frequent_pairs(
     items = (
         df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy (r13): the basket count right below is the first action
+        # and materializes the checkpoint -- one job, not two.
+        .localCheckpoint(eager=False)
     )
     hold_pinned("mining.frequent_pairs", items)
     n_baskets = items.select("basket").distinct().count()

@@ -497,7 +497,10 @@ def bpe_learn_merges(
     ).select("wid", "n", F.col("pos").cast("long").alias("pos"), "sym")
 
     wseq = Window.partitionBy("wid").orderBy("pos")
-    t = base.localCheckpoint(eager=True)
+    # Lazy checkpoints (r13, CC precedent): each round's top-pair collect
+    # is the only job per round -- it materializes the PREVIOUS round's
+    # stepped frame (and round 1 materializes this base).
+    t = base.localCheckpoint(eager=False)
     prev = None
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
@@ -555,12 +558,19 @@ def bpe_learn_merges(
                 ).cast("long"),
             )
             .select("wid", "n", "pos", "sym")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # Unpersisting the GRANDPARENT is safe here: this round's collect
+        # already materialized (and lineage-cut) `t`, so nothing reaches
+        # `prev` anymore; the new lazy `stepped` depends only on `t`.
         if prev is not None:
             _unpersist_checkpoint(prev)
         prev, t = t, stepped
     if prev is not None:
+        # The final round's `t` is a lazy checkpoint nobody has computed
+        # yet and its parent `prev` is a materialized lineage-CUT frame:
+        # materialize t BEFORE releasing prev or t becomes unrecomputable.
+        t.count()
         _unpersist_checkpoint(prev)
     if return_symbols:
         from .dedup import hold_pinned
