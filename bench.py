@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "source_mix_temperature",
     "dedup_keep_longest_survivor",
+    "corpus_retention_funnel",
+    "zipf_vocabulary_audit",
 ]
 
 

@@ -416,3 +416,258 @@ def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_temperature_quota(
         _docs(spark, sf_dir), "doc_id", "text", "source", alpha=0.3, budget_docs=10_000
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus retention funnel (r13): the whole prep pipeline, one scoreboard
+# --------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from .dedup import _portable_minhash_sql
+
+    corpus = "(SELECT * FROM documents WHERE doc_id % 23 <> 0)"
+    return f"""
+    WITH RECURSIVE {_portable_minhash_sql(source=corpus)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+    cc AS (SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc),
+    labeled AS (
+      SELECT d.doc_id, d.source, d.n_chars, COALESCE(cc.canonical, d.doc_id) AS canonical
+      FROM documents d LEFT JOIN cc ON cc.doc = d.doc_id
+      WHERE d.doc_id % 23 <> 0),
+    surv AS (
+      SELECT doc_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY canonical
+                                          ORDER BY n_chars DESC, doc_id) = 1
+                  THEN 1 ELSE 0 END AS is_survivor
+      FROM labeled),
+    qfeats AS (
+      SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(((length(d.text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE))
+                        * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
+               AS mean_tok_len,
+             CASE WHEN length(d.text) > 0 THEN
+               CAST(FLOOR(((length(d.text)
+                            - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                           / CAST(length(d.text) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+                 / CAST(10000.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio,
+             CAST(len(list_intersect(list_distinct(ts),
+                  ['the', 'a', 'of', 'to', 'and', 'in', 'is'])) AS BIGINT)
+               AS n_stop_hits
+      FROM tok t JOIN documents d ON d.doc_id = t.doc_id),
+    qg AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens BETWEEN 40 AND 100000
+                   AND mean_tok_len BETWEEN 2.0 AND 12.0
+                   AND symbol_ratio <= 0.1
+                   AND n_stop_hits >= 1 THEN 1 ELSE 0 END AS passes
+      FROM qfeats),
+    csh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(ts[i:i+4], ' ')
+                                   for i in range(1, len(ts) - 3)])) AS s
+      FROM tok WHERE len(ts) >= 5),
+    bsh AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5(unnest(list_distinct(
+               [array_to_string(bts[i:i+4], ' ') for i in range(1, len(bts) - 3)]
+             ))), 2, 15) AS BIGINT) AS h
+      FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS bts
+            FROM documents WHERE doc_id % 23 = 0)
+      WHERE len(bts) >= 5),
+    cont AS (
+      SELECT doc_id, 1 AS contaminated
+      FROM (SELECT doc_id,
+                   CAST('0x' || substring(md5(s), 2, 15) AS BIGINT) AS h
+            FROM csh)
+      WHERE h IN (SELECT h FROM bsh)
+      GROUP BY 1)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(qg.passes) AS BIGINT) AS n_quality,
+           CAST(SUM(surv.is_survivor) AS BIGINT) AS n_unique,
+           CAST(SUM(1 - COALESCE(cont.contaminated, 0)) AS BIGINT) AS n_clean,
+           CAST(SUM(qg.passes * surv.is_survivor
+                    * (1 - COALESCE(cont.contaminated, 0))) AS BIGINT) AS n_final,
+           CAST(SUM(qg.n_tokens * qg.passes * surv.is_survivor
+                    * (1 - COALESCE(cont.contaminated, 0))) AS BIGINT) AS tokens_final
+    FROM documents d
+    JOIN qg ON qg.doc_id = d.doc_id
+    JOIN surv ON surv.doc_id = d.doc_id
+    LEFT JOIN cont ON cont.doc_id = d.doc_id
+    WHERE d.doc_id % 23 <> 0
+    GROUP BY d.source
+    """
+
+
+@register("corpus_retention_funnel", oracle=_funnel_oracle())
+def q_corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prep pipeline's SCOREBOARD, per source: how many documents
+    enter, pass the Gopher quality gates, survive keep-longest near-dup
+    collapse (portable LSH -> verify -> CC -> survivorship), are free of
+    benchmark 5-gram contamination, and clear ALL THREE -- plus the final
+    token yield.  This is the one-row-per-source answer to "what did the
+    pipeline keep and why"; DuckDB replays every stage including the
+    transitive closure, so the whole composition is hash-verified
+    end-to-end.  Scale: each stage is the already-audited plan (gates
+    pipeline into the scan, LSH never goes all-pairs, the benchmark hash
+    set broadcasts); the funnel adds only doc-keyed joins and one
+    groupBy(source)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import connected_components, minhash_portable_lsh
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 23 == 0)
+
+    qg = quality_gates(corpus, "doc_id", "text").select(
+        "doc_id", "n_tokens", F.col("passes").cast("long").alias("passes")
+    )
+    pairs = minhash_portable_lsh(corpus, "doc_id", "text", threshold=0.7)
+    cc = connected_components(pairs)
+    labeled = corpus.select("doc_id", "n_chars").join(
+        cc, F.col("doc_id") == cc["doc"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("canonical"), F.col("doc_id")).alias("canonical"),
+        "n_chars",
+    )
+    surv = labeled.select(
+        "doc_id",
+        (
+            F.row_number().over(
+                W.partitionBy("canonical").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            )
+            == 1
+        )
+        .cast("long")
+        .alias("is_survivor"),
+    )
+    cont = decontaminate_ngrams(corpus, benchmark, "doc_id", "text", n=5).select(
+        "doc_id", F.col("contaminated").cast("long").alias("contaminated")
+    )
+    joined = (
+        corpus.select("doc_id", "source")
+        .join(qg, "doc_id")
+        .join(surv, "doc_id")
+        .join(cont, "doc_id", "left")
+        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(0)))
+    )
+    keep = (
+        F.col("passes") * F.col("is_survivor") * (F.lit(1) - F.col("contaminated"))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("passes").cast("long").alias("n_quality"),
+        F.sum("is_survivor").cast("long").alias("n_unique"),
+        F.sum(F.lit(1) - F.col("contaminated")).cast("long").alias("n_clean"),
+        F.sum(keep).cast("long").alias("n_final"),
+        F.sum(F.col("n_tokens") * keep).cast("long").alias("tokens_final"),
+    )
+
+
+@register(
+    "zipf_vocabulary_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types
+      FROM freq),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
+      FROM freq QUALIFY rk <= 100),
+    pts AS (
+      SELECT CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM ranked),
+    reg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts)
+    SELECT s.n_tokens, s.n_types, s.hapax_types,
+           (s.n_types * 1000000) // s.n_tokens AS ttr_micro,
+           (s.hapax_types * 1000000) // s.n_types AS hapax_share_micro,
+           CAST(FLOOR((CAST(r.k * r.sxy - r.sx * r.sy AS DOUBLE)
+                       / CAST(r.k * r.sxx - r.sx * r.sx AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS zipf_slope_micro
+    FROM stats s CROSS JOIN reg r
+    """,
+)
+def q_zipf_vocabulary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary diagnostics for LM-data curation, one row:
+    token/type counts, type-token ratio, hapax share (both micro
+    fixed-point), and the ZIPF SLOPE -- the OLS slope of ln(freq) on
+    ln(rank) over the top-100 tokens (natural text sits near -1;
+    boilerplate-heavy or templated corpora flatten it).  Exactness: each
+    ln is one double op on an exact integer, micro-fixed per point;
+    the regression sums are then pure int64 (headroom: ln(1e12)*1e6 ~
+    2.8e7 per coordinate, k * sum(x*y) ~ 4e18 < 2^63 even at 100 TB
+    token counts), and the final slope is one division of exact
+    integers.  Scale: one groupBy(token) + one TakeOrdered(100) -- the
+    100-row regression window is constant-size by construction."""
+    from ..operators.dedup import tokenize
+
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stats = freq.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("hapax_types"),
+    )
+    from pyspark.sql import Window as W
+
+    order = [F.desc("cnt"), F.asc("tok")]
+    # TakeOrderedAndProject keeps the top-100 selection distributed; the
+    # row_number window then runs over exactly 100 rows.
+    topk = freq.orderBy(*order).limit(100)
+    ranked = topk.withColumn("rk", F.row_number().over(W.orderBy(*order)))
+    pts = ranked.select(
+        F.floor(F.log(F.col("rk").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    reg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return stats.crossJoin(F.broadcast(reg)).select(
+        "n_tokens",
+        "n_types",
+        "hapax_types",
+        F.expr("(n_types * 1000000) div n_tokens").alias("ttr_micro"),
+        F.expr("(hapax_types * 1000000) div n_types").alias("hapax_share_micro"),
+        F.floor(
+            (
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("zipf_slope_micro"),
+    )

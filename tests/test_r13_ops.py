@@ -122,3 +122,65 @@ def test_keep_longest_survivor_policy(spark, sf_dir):
         assert r.n_members == len(members)
         best = max(members, key=lambda d: (chars[d], -d))
         assert r.kept_doc == best and r.kept_chars == chars[best]
+
+
+def test_retention_funnel_invariants(spark, sf_dir):
+    """Funnel monotonicity and cross-query consistency: each stage count
+    is bounded by n_docs, n_final is bounded by every single gate, and
+    the per-source totals reconcile with the standalone queries."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.plans.trainprep import (
+        q_corpus_retention_funnel,
+        q_decontaminate,
+        q_quality_gates,
+    )
+
+    rows = q_corpus_retention_funnel(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_docs
+        for stage in (r.n_quality, r.n_unique, r.n_clean):
+            assert 0 <= stage <= r.n_docs
+        assert r.n_final <= min(r.n_quality, r.n_unique, r.n_clean)
+        assert (r.tokens_final == 0) == (r.n_final == 0) or r.tokens_final >= r.n_final
+
+    # Totals reconcile with the standalone stage queries (corpus split).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_ids = {r.doc_id for r in docs.filter("doc_id % 23 <> 0").select("doc_id").collect()}
+    assert sum(r.n_docs for r in rows) == len(corpus_ids)
+    qg = {r.doc_id: r.passes for r in q_quality_gates(spark, sf_dir).collect()}
+    assert sum(r.n_quality for r in rows) == sum(qg[d] for d in corpus_ids)
+    cont = {r.doc_id: r.contaminated for r in q_decontaminate(spark, sf_dir).collect()}
+    assert sum(r.n_clean for r in rows) == sum(1 - cont[d] for d in corpus_ids)
+
+
+def test_zipf_audit_values(spark):
+    """Hand-checkable corpus: 'a' x 8, 'b' x 4, 'c' x 2, 'd' x 1 -> exact
+    counts/ratios, hapax = 1 type ('d'), and the slope equals the same
+    micro fixed-point OLS computed independently in Python (geometric
+    freqs over ln-rank x: steeper than -1)."""
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.plans.trainprep import (
+        q_zipf_vocabulary_audit,
+    )
+    import math
+
+    rows = [(1, "a a a a a a a a"), (2, "b b b b c c"), (3, "d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = q_zipf_vocabulary_audit(spark, d).collect()[0]
+    assert (out.n_tokens, out.n_types, out.hapax_types) == (15, 4, 1)
+    assert out.ttr_micro == (4 * 1_000_000) // 15
+    assert out.hapax_share_micro == 250_000
+    # freq = 8,4,2,1 at ranks 1..4: ln(freq) = ln8 - (rk-1)ln2, and
+    # x = ln(rk) is NOT linear in rk, so compute the exact micro OLS
+    # the operator defines and compare.
+    pts = [(int(math.log(rk) * 1e6 + 0.5), int(math.log(f) * 1e6 + 0.5))
+           for rk, f in [(1, 8), (2, 4), (3, 2), (4, 1)]]
+    k = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    expect = math.floor((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1e6 + 0.5)
+    assert out.zipf_slope_micro == expect
+    assert -2_000_000 < out.zipf_slope_micro < -1_000_000  # steeper than -1: geometric freqs
