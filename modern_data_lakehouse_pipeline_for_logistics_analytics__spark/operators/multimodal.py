@@ -145,7 +145,11 @@ def _decode_video_real(payload: bytes) -> dict:
         raise NotImplementedError(
             "real video decode requires pyav or imageio; neither installed"
         ) from None
-    meta = iio.immeta(payload, extension=".mp4")
+    # No extension hint (r13 review): this decoder serves both mp4 and
+    # webm mimes, and a hardcoded ".mp4" hint misroutes valid webm
+    # payloads to the wrong plugin -- let imageio sniff the container
+    # from the bytes themselves.
+    meta = iio.immeta(payload)
     size = meta.get("size") or (None, None)
     dur_s = meta.get("duration")
     return {

@@ -827,11 +827,19 @@ def dsir_logratio_weights(
     the final per-doc aggregation.  Output: ``doc_id, n_tokens,
     weight_nano`` (long).
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        target_pred.cast("long").alias("is_target"),
-        F.explode(tokenize(text_col)).alias("tok"),
-    ).withColumn("bucket", portable_base_hash(F.col("tok")) % n_buckets)
+    # Cached (r13 review): the token stream feeds BOTH the bucket counts
+    # and the final per-doc join; uncached, the corpus would tokenize +
+    # md5-hash twice per action (exchange reuse collapses duplicated
+    # aggregate subtrees, not two independent scans).  Same discipline
+    # as runs_test's "runs_series" cache; released by release_caches().
+    toks = _cache_aged(
+        "dsir_toks",
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            target_pred.cast("long").alias("is_target"),
+            F.explode(tokenize(text_col)).alias("tok"),
+        ).withColumn("bucket", portable_base_hash(F.col("tok")) % n_buckets),
+    )
     counts = toks.groupBy("bucket").agg(
         F.sum("is_target").cast("long").alias("c_t"),
         F.count(F.lit(1)).cast("long").alias("c_r"),
@@ -840,14 +848,25 @@ def dsir_logratio_weights(
         F.sum("c_t").cast("long").alias("tot_t"),
         F.sum("c_r").cast("long").alias("tot_r"),
     )
-    # ln of a single ratio of exact int64s: numerator/denominator each
-    # fit double exactly at any realistic corpus size (< 2^53 tokens).
+    # ln of a ratio of exact counts.  Each FACTOR is cast to double
+    # BEFORE multiplying (r13 review): the int64 product
+    # (c_t+1)*(tot_r+B) overflows around 2.4e10 tokens with uniform
+    # buckets -- silently wrapping negative in Spark (NULL ln, skipped
+    # sum) while DuckDB raises.  Counts themselves stay < 2^53 at any
+    # realistic scale, so the double conversion is exact and the
+    # double*double product rounds identically on both engines.
     lr = counts.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.floor(
             F.log(
-                ((F.col("c_t") + 1) * (F.col("tot_r") + n_buckets)).cast("double")
-                / ((F.col("c_r") + 1) * (F.col("tot_t") + n_buckets)).cast("double")
+                (
+                    (F.col("c_t") + 1).cast("double")
+                    * (F.col("tot_r") + n_buckets).cast("double")
+                )
+                / (
+                    (F.col("c_r") + 1).cast("double")
+                    * (F.col("tot_t") + n_buckets).cast("double")
+                )
             )
             * 1_000_000_000
             + F.lit(0.5)
@@ -882,25 +901,34 @@ def source_temperature_quota(
 
     Exactness: ``n_i ** alpha`` (proportional to ``p_i ** alpha``; the
     common denominator cancels) is one double ``pow`` per SOURCE,
-    fixed-pointed to nano as the integer weight ``w_fp``; the largest-
+    fixed-pointed to MICRO as the integer weight ``w_fp``; the largest-
     remainder step is then pure int64 div/mod on ``w_fp`` (the float
     version misallocates and never sums exactly -- same argument as
-    ``allocate_fleet_largest_remainder``).  Overflow: w_fp <= pow(2^53,
-    0.3)*1e9 ~ 6e13 and w_fp * budget stays under 2^63 for budgets up to
-    ~1e5 at 100 TB token counts.
+    ``allocate_fleet_largest_remainder``).  Overflow (r13 review --
+    micro not nano precisely for this bound, and the binding term is
+    the SHARE multiplier, not the budget): a single source holding the
+    entire 2.5e13-token 100 TB corpus gives w_fp = pow(2.5e13, 0.3)*1e6
+    ~ 1e10, so w_fp * 1e6 (share_micro) ~ 1e16 and w_fp * budget stays
+    under 2^63 for budgets up to ~1e8.  At nano scale the share term
+    alone overflowed around 1.7e13 tokens per source.
 
     Scale shape: one groupBy(source) token-count aggregate (map-side
     combinable), then dim-sized arithmetic and ONE window over the
     source table (tiny by definition of "source").  Output: ``group,
     n_docs, n_tokens, w_fp, share_micro, quota``.
     """
-    w = df.groupBy(F.col(group_col).alias("group")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(tokenize(text_col))).cast("long").alias("n_tokens"),
+    # Cached (r13 review): `w` feeds both the total and the quota
+    # projection; uncached, the corpus token-count scan runs twice.
+    w = _cache_aged(
+        "temperature_mix_w",
+        df.groupBy(F.col(group_col).alias("group")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokenize(text_col))).cast("long").alias("n_tokens"),
+        ),
     )
     w = w.withColumn(
         "w_fp",
-        F.floor(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * 1_000_000_000 + F.lit(0.5))
+        F.floor(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * 1_000_000 + F.lit(0.5))
         .cast("long"),
     )
     tot = w.agg(F.sum("w_fp").cast("long").alias("tw"))

@@ -35,6 +35,58 @@ _TOK = """
 """
 
 
+
+#: Shared quality-gate SQL pieces (r13 review: these constants appeared
+#: verbatim in both the train_quality_gates oracle and the funnel oracle;
+#: one source of truth so a threshold tune cannot silently desync them).
+_GATE_PASSES_SQL = (
+    "n_tokens BETWEEN 40 AND 100000 AND mean_tok_len BETWEEN 2.0 AND 12.0 "
+    "AND symbol_ratio <= 0.1 AND n_stop_hits >= 1"
+)
+
+#: feats CTE body over a `tok` CTE (doc_id, ts) joined back to documents.
+_QUALITY_FEATS_CTE = """feats AS (
+      SELECT t.doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(((length(d.text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE))
+                        * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
+               AS mean_tok_len,
+             CASE WHEN length(d.text) > 0 THEN
+               CAST(FLOOR(((length(d.text)
+                            - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                           / CAST(length(d.text) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+                 / CAST(10000.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio,
+             CAST(len(list_intersect(list_distinct(ts),
+                  ['the', 'a', 'of', 'to', 'and', 'in', 'is'])) AS BIGINT)
+               AS n_stop_hits
+      FROM tok t JOIN documents d ON d.doc_id = t.doc_id)"""
+
+
+def _csh_cte(extra_where: str = "") -> str:
+    """Corpus word-5-gram CTE over a `tok` CTE; `extra_where` restricts
+    tok rows when tok spans the full table (the standalone
+    decontamination oracle), and is empty when tok is already
+    corpus-limited (the funnel oracle)."""
+    return f"""csh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(ts[i:i+4], ' ')
+                                   for i in range(1, len(ts) - 3)])) AS s
+      FROM tok WHERE {extra_where}len(ts) >= 5)"""
+
+
+#: Benchmark-side 5-gram hash set, built from documents directly so it is
+#: independent of how the surrounding query scoped its `tok` CTE.
+_BSH_CTE = """bsh AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5(unnest(list_distinct(
+               [array_to_string(bts[i:i+4], ' ') for i in range(1, len(bts) - 3)]
+             ))), 2, 15) AS BIGINT) AS h
+      FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS bts
+            FROM documents WHERE doc_id % 23 = 0)
+      WHERE len(bts) >= 5)"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, "documents"))
 
@@ -43,17 +95,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_decontaminate_ngrams",
     oracle=f"""
     WITH {_TOK},
-    csh AS (
-      SELECT doc_id,
-             unnest(list_distinct([array_to_string(ts[i:i+4], ' ')
-                                   for i in range(1, len(ts) - 3)])) AS s
-      FROM tok WHERE doc_id % 23 <> 0 AND len(ts) >= 5),
-    bsh AS (
-      SELECT DISTINCT
-             CAST('0x' || substring(md5(unnest(list_distinct(
-               [array_to_string(ts[i:i+4], ' ') for i in range(1, len(ts) - 3)]
-             ))), 2, 15) AS BIGINT) AS h
-      FROM tok WHERE doc_id % 23 = 0 AND len(ts) >= 5),
+    {_csh_cte("doc_id % 23 <> 0 AND ")},
+    {_BSH_CTE},
     hits AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
       FROM (SELECT doc_id,
@@ -88,31 +131,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_quality_gates",
     oracle=f"""
     WITH {_TOK},
-    feats AS (
-      SELECT t.doc_id,
-             CAST(len(ts) AS BIGINT) AS n_tokens,
-             CAST(FLOOR(((length(d.text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE))
-                        * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
-               AS mean_tok_len,
-             CASE WHEN length(d.text) > 0 THEN
-               CAST(FLOOR(((length(d.text)
-                            - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
-                           / CAST(length(d.text) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
-                 / CAST(10000.0 AS DOUBLE)
-             ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio,
-             CAST(len(list_intersect(list_distinct(ts),
-                  ['the', 'a', 'of', 'to', 'and', 'in', 'is'])) AS BIGINT)
-               AS n_stop_hits
-      FROM tok t JOIN documents d ON d.doc_id = t.doc_id)
+    {_QUALITY_FEATS_CTE}
     SELECT doc_id, n_tokens, mean_tok_len, symbol_ratio, n_stop_hits,
            CAST(CASE WHEN n_tokens BETWEEN 40 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS gate_len,
            CAST(CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS BIGINT) AS gate_tok_len,
            CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS gate_symbols,
            CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS gate_stops,
-           CAST(CASE WHEN n_tokens BETWEEN 40 AND 100000
-                      AND mean_tok_len BETWEEN 2.0 AND 12.0
-                      AND symbol_ratio <= 0.1
-                      AND n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS passes
+           CAST(CASE WHEN {_GATE_PASSES_SQL} THEN 1 ELSE 0 END AS BIGINT) AS passes
     FROM feats
     """,
 )
@@ -349,8 +374,8 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3")
       FROM counts),
     lr AS (
       SELECT bucket,
-             CAST(FLOOR(ln(CAST((c_t + 1) * (tot_r + 64) AS DOUBLE)
-                           / CAST((c_r + 1) * (tot_t + 64) AS DOUBLE))
+             CAST(FLOOR(ln((CAST(c_t + 1 AS DOUBLE) * CAST(tot_r + 64 AS DOUBLE))
+                           / (CAST(c_r + 1 AS DOUBLE) * CAST(tot_t + 64 AS DOUBLE)))
                         * 1000000000 + 0.5) AS BIGINT) AS lr_nano
       FROM counts CROSS JOIN tot)
     SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -386,7 +411,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY 1),
     wf AS (
       SELECT *, CAST(FLOOR(POWER(CAST(n_tokens AS DOUBLE), 0.3)
-                           * 1000000000 + 0.5) AS BIGINT) AS w_fp
+                           * 1000000 + 0.5) AS BIGINT) AS w_fp
       FROM w),
     tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS tw FROM wf),
     q AS (
@@ -409,7 +434,7 @@ def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a 10k-doc budget: token share ** alpha upweights tail sources,
     largest-remainder apportionment makes the integer quotas sum to
     exactly 10000 (`operators/trainprep.py::source_temperature_quota`).
-    The only float is one pow per source, nano-fixed before the pure
+    The only float is one pow per source, micro-fixed before the pure
     int64 apportionment."""
     from ..operators.trainprep import source_temperature_quota
 
@@ -447,41 +472,13 @@ def _funnel_oracle() -> str:
                                           ORDER BY n_chars DESC, doc_id) = 1
                   THEN 1 ELSE 0 END AS is_survivor
       FROM labeled),
-    qfeats AS (
-      SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-             CAST(FLOOR(((length(d.text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE))
-                        * 10000 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
-               AS mean_tok_len,
-             CASE WHEN length(d.text) > 0 THEN
-               CAST(FLOOR(((length(d.text)
-                            - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
-                           / CAST(length(d.text) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
-                 / CAST(10000.0 AS DOUBLE)
-             ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio,
-             CAST(len(list_intersect(list_distinct(ts),
-                  ['the', 'a', 'of', 'to', 'and', 'in', 'is'])) AS BIGINT)
-               AS n_stop_hits
-      FROM tok t JOIN documents d ON d.doc_id = t.doc_id),
+    {_QUALITY_FEATS_CTE},
     qg AS (
       SELECT doc_id, n_tokens,
-             CASE WHEN n_tokens BETWEEN 40 AND 100000
-                   AND mean_tok_len BETWEEN 2.0 AND 12.0
-                   AND symbol_ratio <= 0.1
-                   AND n_stop_hits >= 1 THEN 1 ELSE 0 END AS passes
-      FROM qfeats),
-    csh AS (
-      SELECT doc_id,
-             unnest(list_distinct([array_to_string(ts[i:i+4], ' ')
-                                   for i in range(1, len(ts) - 3)])) AS s
-      FROM tok WHERE len(ts) >= 5),
-    bsh AS (
-      SELECT DISTINCT
-             CAST('0x' || substring(md5(unnest(list_distinct(
-               [array_to_string(bts[i:i+4], ' ') for i in range(1, len(bts) - 3)]
-             ))), 2, 15) AS BIGINT) AS h
-      FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS bts
-            FROM documents WHERE doc_id % 23 = 0)
-      WHERE len(bts) >= 5),
+             CASE WHEN {_GATE_PASSES_SQL} THEN 1 ELSE 0 END AS passes
+      FROM feats),
+    {_csh_cte()},
+    {_BSH_CTE},
     cont AS (
       SELECT doc_id, 1 AS contaminated
       FROM (SELECT doc_id,
