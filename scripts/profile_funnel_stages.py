@@ -1,0 +1,139 @@
+"""Stage-attribute corpus_retention_funnel's 10x scale-probe ratio
+(r13 judge item 4): time each of the funnel's component stages
+separately, cold-process, at sf0.1 and at the 10x probe corpus
+(/tmp/sfprobe_r13, caesar-shifted replicas -- the near-dup-realistic
+probe), so the 2.52x full-composition reading decomposes into
+per-stage ratios.
+
+Stages (each consumed under the materialized bench action):
+
+  gates   quality_gates over the corpus split
+  lsh     minhash_portable_lsh candidate pairs (threshold 0.7)
+  cc      connected_components over those pairs
+  surv    survivorship flags (CC labels + per-cluster row_number)
+  decon   decontaminate_ngrams vs the benchmark split (5-grams)
+  full    the registered corpus_retention_funnel query
+
+Usage:
+  python scripts/profile_funnel_stages.py run <stage> <sf_dir>  # one cold timing
+  python scripts/profile_funnel_stages.py all                   # full matrix
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+PROBE = "/tmp/sfprobe_r13"
+SF01 = "/root/testdata/sf0.1"
+STAGES = ["gates", "lsh", "cc", "surv", "decon", "full"]
+
+
+def _stage_df(spark, stage: str, sf_dir: str):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.dedup import (
+        connected_components,
+        minhash_portable_lsh,
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.operators.trainprep import (
+        decontaminate_ngrams,
+        quality_gates,
+    )
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.plans import (
+        QUERIES,
+    )
+
+    if stage == "full":
+        return QUERIES["corpus_retention_funnel"](spark, sf_dir)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 23 == 0)
+    if stage == "gates":
+        return quality_gates(corpus, "doc_id", "text")
+    if stage == "decon":
+        return decontaminate_ngrams(corpus, benchmark, "doc_id", "text", n=5)
+    pairs = minhash_portable_lsh(corpus, "doc_id", "text", threshold=0.7)
+    if stage == "lsh":
+        return pairs
+    cc = connected_components(pairs)
+    if stage == "cc":
+        return cc
+    labeled = (
+        corpus.select("doc_id", "n_chars")
+        .join(cc, F.col("doc_id") == cc["doc"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical"), F.col("doc_id")).alias("canonical"),
+            "n_chars",
+        )
+    )
+    if stage == "surv":
+        return labeled.select(
+            "doc_id",
+            (
+                F.row_number().over(
+                    W.partitionBy("canonical").orderBy(
+                        F.desc("n_chars"), F.asc("doc_id")
+                    )
+                )
+                == 1
+            )
+            .cast("long")
+            .alias("is_survivor"),
+        )
+    raise SystemExit(f"unknown stage {stage!r}")
+
+
+def run(stage: str, sf_dir: str) -> None:
+    from bench import consume
+
+    from modern_data_lakehouse_pipeline_for_logistics_analytics__spark.session import (
+        build_session,
+    )
+
+    spark = build_session(app_name=f"funnel-stage-{stage}")
+    spark.sparkContext.setLogLevel("ERROR")
+    times = []
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        consume(_stage_df(spark, stage, sf_dir), "materialize")
+        times.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "stage": stage,
+                "sf_dir": sf_dir,
+                "cold": times[0],
+                "runs": times,
+                "warm_median": sorted(times)[1],
+            }
+        )
+    )
+    spark.stop()
+
+
+def all_matrix() -> None:
+    for stage in STAGES:
+        for sf_dir in (SF01, PROBE):
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "run", stage, sf_dir],
+                check=False,
+            )
+
+
+if __name__ == "__main__":
+    if sys.argv[1:2] == ["run"]:
+        run(sys.argv[2], sys.argv[3])
+    else:
+        all_matrix()

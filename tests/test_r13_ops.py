@@ -141,7 +141,13 @@ def test_retention_funnel_invariants(spark, sf_dir):
         for stage in (r.n_quality, r.n_unique, r.n_clean):
             assert 0 <= stage <= r.n_docs
         assert r.n_final <= min(r.n_quality, r.n_unique, r.n_clean)
-        assert (r.tokens_final == 0) == (r.n_final == 0) or r.tokens_final >= r.n_final
+        # Two separate invariants (r13 advice: `==` binds before `or`,
+        # so the old one-liner was vacuously true whenever both counts
+        # were nonzero): tokens vanish iff docs vanish, and every
+        # surviving doc carries at least one token.
+        assert (r.tokens_final == 0) == (r.n_final == 0)
+        if r.n_final:
+            assert r.tokens_final >= r.n_final
 
     # Totals reconcile with the standalone stage queries (corpus split).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
