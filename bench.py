@@ -272,6 +272,9 @@ BENCH_QUERIES = [
     "dedup_keep_longest_survivor",
     "corpus_retention_funnel",
     "zipf_vocabulary_audit",
+    # r14 additions
+    "star_orders_four_dims",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -18,6 +18,7 @@ in executor memory.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -152,6 +153,12 @@ def _decode_video_real(payload: bytes) -> dict:
     meta = iio.immeta(payload)
     size = meta.get("size") or (None, None)
     dur_s = meta.get("duration")
+    # imageio reports duration=inf for streaming containers without a
+    # duration header (r13 advice): int(inf * 1000) raises OverflowError
+    # and a valid video row would be misclassified as decode_error --
+    # NULL duration with real dims is the honest output.
+    if dur_s is not None and not math.isfinite(dur_s):
+        dur_s = None
     return {
         "width": int(size[0]) if size[0] else None,
         "height": int(size[1]) if size[1] else None,

@@ -24,10 +24,18 @@ replaced the hand-edited ``_PRIORITY`` list):
 3. Rows-only queries (registered in ``QUERIES`` but not ``ORACLE``)
    normally NEVER occupy window slots -- a rows-only query burns a slot
    on a permanent ``no_oracle`` row; pytest recall/property tests cover
-   them.  ONE exception (r13): a rows-only query with zero driver
-   evidence in ANY round gets a one-time slot right after the digests,
-   so every registered query has at least an executed ``spark_rows``
-   row; after that first row it drops back to the tail forever.
+   them.  TWO exceptions:
+   (a) r13: a rows-only query with zero driver evidence in ANY round
+       gets a one-time slot right after the digests, so every
+       registered query has at least an executed ``spark_rows`` row;
+   (b) r14 (judge item 2): a rows-only query whose NEWEST driver row
+       (of any kind) is >= ``_ROWS_ONLY_STALE_ROUNDS`` rounds old gets
+       a refresh slot, stalest-first, capped at
+       ``_ROWS_ONLY_REFRESH_CAP`` per round -- the r13 rule alone let
+       evidence from rounds 1-5 (pre-dating several reimplementations
+       of the same operators) stand forever.  With 8 rows-only
+       queries total the cap bounds the burn at 8 slots in the
+       catch-up round and ~1 per round steady-state.
 4. Last-verified rounds are read from the ``CORRECTNESS_r*.json`` files
    the driver writes at the repo root (a query counts as verified in
    round N iff its row has ``hash_match: true``).  No hand-maintained
@@ -82,6 +90,7 @@ def _load_all() -> None:
         "coverage6",
         "coverage7",
         "coverage8",
+        "star",
         "approx_cohort",  # digests the rows-only members vs pinned baselines
         "cohorts",  # must import LAST: digests read the full ORACLE registry
     ):
@@ -91,22 +100,34 @@ def _load_all() -> None:
             raise ImportError(f"query module {__name__}.{mod} failed to import: {exc}") from exc
 
 
-def _last_verified_rounds() -> tuple[dict[str, int], set[str]]:
+#: Rows-only refresh policy (r14): a rows-only query's newest driver row
+#: older than this many rounds (relative to the next round, i.e. newest
+#: CORRECTNESS round + 1) is considered stale and re-queues for a window
+#: slot.  8 rounds ~ the individual-evidence cycle length of the
+#: oracle-backed population, so rows-only queries refresh no less often
+#: than everyone else.
+_ROWS_ONLY_STALE_ROUNDS = 8
+_ROWS_ONLY_REFRESH_CAP = 8
+
+
+def _last_verified_rounds() -> tuple[dict[str, int], dict[str, int]]:
     """(name -> latest round with a ``hash_match: true`` driver row,
-    set of every name with ANY driver row at all).
+    name -> latest round with ANY driver row at all).
 
     Read from the ``CORRECTNESS_r*.json`` files the driver commits at the
     repo root.  Absent name (or no files at all, e.g. an installed
     package without the driver artifacts) means never verified -> 0,
-    which front-loads the query.  The "any row" set distinguishes
+    which front-loads the query.  The "any row" map distinguishes
     rows-only queries that have at least a recorded ``no_oracle`` +
     spark_rows row from ones the driver has never executed (r12 verdict:
     ``dedup_clusters_lsh`` was the one registered query with zero driver
-    evidence in any round).  Malformed files are skipped: a corrupt
-    artifact must not break ``queries()`` imports.
+    evidence in any round), and carries the ROUND of the newest such row
+    so the r14 staleness refresh can re-queue rows-only queries whose
+    only evidence pre-dates reimplementation.  Malformed files are
+    skipped: a corrupt artifact must not break ``queries()`` imports.
     """
     last: dict[str, int] = {}
-    ever_seen: set[str] = set()
+    last_any: dict[str, int] = {}
     repo_root = Path(__file__).resolve().parents[2]
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path.name)
@@ -120,28 +141,40 @@ def _last_verified_rounds() -> tuple[dict[str, int], set[str]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            ever_seen.add(name)
+            last_any[name] = max(last_any.get(name, 0), rnd)
             if row.get("hash_match") is True:
                 last[name] = max(last.get(name, 0), rnd)
-    return last, ever_seen
+    return last, last_any
 
 
 def _reorder() -> None:
     """Apply the standing rotation policy (module docstring): cohort
     digests pinned first (full-registry evidence every round), then
-    rows-only queries with ZERO driver evidence in any round (one-time
-    slots: once the driver records even a ``no_oracle`` row they drop
-    back to the tail forever -- a standing rows-only slot would burn a
-    window place every round), then oracle-backed stalest-first
+    rows-only queries with ZERO driver evidence in any round plus
+    rows-only queries whose newest driver row is stale (r14 refresh,
+    stalest-first, capped), then oracle-backed stalest-first
     (never-verified -> round 0, name tie-break), then the remaining
     rows-only queries in registration order."""
-    last, ever_seen = _last_verified_rounds()
+    last, last_any = _last_verified_rounds()
     digests = sorted(n for n in QUERIES if n.startswith("cohort_digest_"))
     rows_only = [n for n in QUERIES if n not in ORACLE and n not in digests]
     # Only front-load when driver artifacts exist at all: in an installed
-    # package without CORRECTNESS files, ever_seen is empty and EVERY
+    # package without CORRECTNESS files, last_any is empty and EVERY
     # rows-only query would jump the queue, displacing oracle evidence.
-    rows_only_new = sorted(n for n in rows_only if n not in ever_seen) if ever_seen else []
+    rows_only_new: list[str] = []
+    if last_any:
+        next_round = max(last_any.values()) + 1
+        never_seen = sorted(n for n in rows_only if n not in last_any)
+        stale = sorted(
+            (
+                n
+                for n in rows_only
+                if n in last_any
+                and next_round - last_any[n] >= _ROWS_ONLY_STALE_ROUNDS
+            ),
+            key=lambda n: (last_any[n], n),
+        )[:_ROWS_ONLY_REFRESH_CAP]
+        rows_only_new = never_seen + stale
     rows_only_tail = [n for n in rows_only if n not in rows_only_new]
     oracle_backed = sorted(
         (n for n in QUERIES if n in ORACLE and n not in digests),

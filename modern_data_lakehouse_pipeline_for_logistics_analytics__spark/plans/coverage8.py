@@ -198,10 +198,11 @@ _REV_C = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
 @register(
     "runs_test_daily_revenue",
     oracle=f"""
-    WITH daily AS (
+    WITH daily0 AS (
       SELECT CAST(o_orderdate AS DATE) AS t,
              CAST(SUM({_REV_C}) AS BIGINT) AS x
       FROM orders GROUP BY 1),
+    daily AS (SELECT t, x FROM daily0 WHERE x IS NOT NULL),
     h AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY 1),
     c AS (SELECT x, CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT) AS crank
           FROM h),

@@ -658,3 +658,96 @@ def q_dedup_keep_longest_survivor(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_chars").cast("long").alias("kept_chars"),
         )
     )
+
+
+_SWEEP_BPS = [5000, 7000, 9000, 9500, 9800]
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1)])) AS s
+      FROM tok),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             (n_common * 20000 + (sa.n_sh + sb.n_sh - n_common))
+               // (2 * (sa.n_sh + sb.n_sh - n_common)) AS jac_bp
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b),
+    thr AS (SELECT unnest({_SWEEP_BPS}) AS threshold_bp),
+    hits AS (
+      SELECT t.threshold_bp, j.doc_a, j.doc_b
+      FROM jac j JOIN thr t ON j.jac_bp >= t.threshold_bp)
+    SELECT t.threshold_bp,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs
+    FROM thr t
+    LEFT JOIN (SELECT threshold_bp, COUNT(*) AS n_pairs
+               FROM hits GROUP BY 1) p USING (threshold_bp)
+    LEFT JOIN (SELECT threshold_bp, COUNT(DISTINCT doc) AS n_docs
+               FROM (SELECT threshold_bp, doc_a AS doc FROM hits
+                     UNION ALL
+                     SELECT threshold_bp, doc_b AS doc FROM hits)
+               GROUP BY 1) d USING (threshold_bp)
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD TUNING TABLE (r14): for each candidate Jaccard
+    cutoff (0.50-0.90 in basis points), how many verified pairs and how
+    many distinct documents would be implicated.  This is the one-query
+    answer to "where should I set the dedup threshold" -- the verify
+    stage computes exact trigram Jaccard ONCE (same bounded candidate
+    machinery as ``dedup_jaccard_pairs``; at 100 TB it runs on LSH
+    candidates, never all pairs), then a 5-row broadcast of thresholds
+    fans the pair set into per-cutoff counts: no re-verification per
+    cutoff, no second corpus scan.  Every threshold row is present even
+    when zero pairs clear it (LEFT join from the threshold axis), so
+    downstream tuning code can rely on the full axis.  Jaccard is
+    compared in exact integer basis points (half-up) on both engines."""
+    from pyspark.sql import functions as F
+
+    pairs = jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+    jac = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "(n_common * 20000 + (n_a + n_b - n_common))"
+            " div (2 * (n_a + n_b - n_common))"
+        ).alias("jac_bp"),
+    )
+    thr = spark.createDataFrame(
+        [(bp,) for bp in _SWEEP_BPS], "threshold_bp long"
+    )
+    hits = jac.join(
+        F.broadcast(thr), F.col("jac_bp") >= F.col("threshold_bp")
+    ).select("threshold_bp", "doc_a", "doc_b")
+    n_pairs = hits.groupBy("threshold_bp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        hits.select("threshold_bp", F.col("doc_a").alias("doc"))
+        .unionAll(hits.select("threshold_bp", F.col("doc_b").alias("doc")))
+        .groupBy("threshold_bp")
+        .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
+    )
+    return (
+        thr.join(n_pairs, "threshold_bp", "left")
+        .join(n_docs, "threshold_bp", "left")
+        .select(
+            "threshold_bp",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )

@@ -598,9 +598,11 @@ def q_corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.n_tokens, s.n_types, s.hapax_types,
            (s.n_types * 1000000) // s.n_tokens AS ttr_micro,
            (s.hapax_types * 1000000) // s.n_types AS hapax_share_micro,
-           CAST(FLOOR((CAST(r.k * r.sxy - r.sx * r.sy AS DOUBLE)
-                       / CAST(r.k * r.sxx - r.sx * r.sx AS DOUBLE))
-                      * 1000000 + 0.5) AS BIGINT) AS zipf_slope_micro
+           CASE WHEN r.k * r.sxx - r.sx * r.sx <> 0 THEN
+             CAST(FLOOR((CAST(r.k * r.sxy - r.sx * r.sy AS DOUBLE)
+                         / CAST(r.k * r.sxx - r.sx * r.sx AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT)
+           END AS zipf_slope_micro
     FROM stats s CROSS JOIN reg r
     """,
 )
@@ -657,14 +659,19 @@ def q_zipf_vocabulary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hapax_types",
         F.expr("(n_types * 1000000) div n_tokens").alias("ttr_micro"),
         F.expr("(hapax_types * 1000000) div n_types").alias("hapax_share_micro"),
-        F.floor(
-            (
-                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            )
-            * 1_000_000
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("zipf_slope_micro"),
+        # Degenerate-corpus guard (r13 advice): with a single distinct
+        # token k=1 and the OLS denominator is 0 -- Spark's double
+        # division would yield NaN while DuckDB's CAST(FLOOR(NaN))
+        # errors, so both engines take an explicit NULL instead.
+        F.when(
+            F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
+            F.floor(
+                (
+                    (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                    / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("zipf_slope_micro"),
     )

