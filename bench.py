@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     # r14 additions
     "star_orders_four_dims",
     "dedup_threshold_sweep",
+    "dedup_lsh_recall_audit",
 ]
 
 

@@ -751,3 +751,82 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
         )
     )
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH {{portable_chain}},
+    truth_int AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM truth_int
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(FLOOR((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) AS BIGINT)
+               / CAST(10000.0 AS DOUBLE) >= 0.7),
+    cnt AS (
+      SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS nt,
+             CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS nc,
+             CAST((SELECT COUNT(*) FROM vpairs) AS BIGINT) AS nv)
+    SELECT nt AS n_true_pairs, nc AS n_candidate_pairs, nv AS n_verified_pairs,
+           CASE WHEN nt > 0 THEN (nv * 20000 + nt) // (2 * nt) END AS recall_bp,
+           CASE WHEN nc > 0 THEN (nv * 20000 + nc) // (2 * nc) END AS candidate_precision_bp
+    FROM cnt""".format(portable_chain=_portable_minhash_sql(0.7)),
+)
+def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH QUALITY SCOREBOARD (r14): one row quantifying what the banded
+    MinHash pipeline trades for its 100 TB cost shape -- ground-truth
+    near-dup pairs (exact trigram Jaccard >= 0.7), LSH candidate pairs
+    (portable banding, hot-bucket guard on), verified pairs, and the two
+    derived rates in exact basis points: RECALL (verified/truth -- the
+    verify stage keeps exactly the candidates that are true pairs, so
+    verified = candidates INTERSECT truth) and CANDIDATE PRECISION
+    (verified/candidates -- how much verify work the banding wastes).
+    Every stage replays bit-for-bit in the DuckDB oracle (the portable
+    hash family), so the recall number itself is hash-verified, not
+    sampled.  Scale posture: the TRUTH side is the quadratic-ish
+    shared-shingle join -- at 100 TB this audit runs on a SAMPLED
+    corpus slab (same contract as `dedup_jaccard_pairs`, the registered
+    verify-stage query it reuses); the LSH side is the production cost
+    shape (sum bucket^2).  The pytest recall floor
+    (`tests/test_northstar.py`) asserts the float twin; this query
+    makes the portable twin's recall a driver-verified VALUE."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+        minhash_portable_band_buckets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    truth = jaccard_pairs(docs, "doc_id", "text", threshold=0.7)
+    banded = minhash_portable_band_buckets(docs, "doc_id", "text")
+    banded = _cache_aged("minhash_portable", banded)
+    cands = lsh_candidate_pairs(banded, max_bucket_size=10_000)
+    verified = jaccard_verify_pairs(docs, cands, "doc_id", "text", 0.7)
+
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    nv = verified.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col("nt").alias("n_true_pairs"),
+            F.col("nc").alias("n_candidate_pairs"),
+            F.col("nv").alias("n_verified_pairs"),
+            F.when(
+                F.col("nt") > 0,
+                F.expr("(nv * 20000 + nt) div (2 * nt)"),
+            ).alias("recall_bp"),
+            F.when(
+                F.col("nc") > 0,
+                F.expr("(nv * 20000 + nc) div (2 * nc)"),
+            ).alias("candidate_precision_bp"),
+        )
+    )
