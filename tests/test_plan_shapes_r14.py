@@ -24,9 +24,16 @@ def test_star_four_dim_broadcast_chain(spark, sf_dir):
     to a shuffled join instead of OOMing a forced broadcast)."""
     p = _plan(spark, sf_dir, "star_orders_four_dims")
     n_bhj = len(re.findall(r"BroadcastHashJoin", p))
-    assert n_bhj == 4, f"expected 4 BroadcastHashJoins, got {n_bhj}:\n{p}"
-    # The fact side must never shuffle for dimension resolution.
-    assert "SortMergeJoin" not in p, p
+    # >= 3, not == 4 (r14 advice): the three CONTRACT-hinted enum dims
+    # must always broadcast; the customer dim broadcasts by size
+    # statistics and is ALLOWED to degrade to a shuffled join when the
+    # fixture (or autoBroadcastJoinThreshold) grows past the stats bar
+    # -- that degradation is the documented 100 TB contract, not a
+    # regression, so neither the BHJ count nor an SMJ ban may pin it.
+    assert n_bhj >= 3, (
+        f"expected >= 3 BroadcastHashJoins (contract-hinted enum dims), "
+        f"got {n_bhj}:\n{p}"
+    )
     assert "CartesianProduct" not in p, p
     # Surrogate keys are pure codegen expressions -- no Python anywhere.
     assert "EvalPython" not in p and "MapInPandas" not in p, p
