@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "star_orders_four_dims",
     "dedup_threshold_sweep",
     "dedup_lsh_recall_audit",
+    "ann_recall_audit",
+    "ann_ivf_nprobe_sweep",
 ]
 
 

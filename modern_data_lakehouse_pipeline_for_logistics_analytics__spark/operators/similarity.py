@@ -580,30 +580,25 @@ def _int_d2(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-def ivf_portable_topk(
+def ivf_portable_scored_candidates(
     df: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
     n_clusters: int = 16,
-    nprobe: int = 4,
+    max_nprobe: int = 4,
     scale: int = 1_000_000,
 ) -> DataFrame:
-    """IVF ANN with an ENGINE-DETERMINISTIC coarse quantizer: centroids
-    are a Knuth-hash pseudo-random corpus sample (no Lloyd iterations --
-    the k-means fit of ``ivf_topk`` is float/engine-specific, so its
-    buckets can never hash-match another engine), vectors quantize to
-    integers, and both cluster assignment (argmin exact BIGINT squared-L2,
-    centroid-id tie-break) and query probing (nprobe nearest centroids by
-    the same metric) are arithmetic a SQL engine replays bit-for-bit.
-    Exact 6dp float64 cosine scores the probed candidates; rank with an
-    id tie-break.
+    """The candidate-generation + exact-scoring core of
+    ``ivf_portable_topk``, with each candidate tagged by the PROBE RANK
+    of the cluster it came through (1 = the query's nearest centroid).
 
-    Same inverted-list scale shape as ``ivf_topk`` -- per-query work ~
-    corpus * nprobe / n_clusters, centroid table broadcast -- traded
-    against a weaker (unlearned) quantizer.  Output:
-    ``query_id, neighbor_id, cos_sim, rank`` (rank <= k).
+    Factored out (r15) so the nprobe TUNING TABLE
+    (``ann_ivf_nprobe_sweep``) can score candidates ONCE at
+    ``max_nprobe`` and fan recall across every smaller nprobe by
+    filtering on ``probe_rank`` -- the same verify-once/fan-out shape
+    as ``dedup_threshold_sweep``.  Output: ``query_id, neighbor_id,
+    probe_rank, cos_sim`` (exact 6dp float64 cosine).
     """
     qc = _quantized(df, id_col, vec_col, scale)
     # Deterministic pseudo-random sample of n_clusters corpus vectors;
@@ -639,22 +634,54 @@ def ivf_portable_topk(
                 Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cluster"))
             ),
         )
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col("id").alias("query_id"), "cluster")
+        .filter(F.col("rn") <= max_nprobe)
+        .select(F.col("id").alias("query_id"), F.col("rn").alias("probe_rank"), "cluster")
     )
     # Assignment is unique per corpus vector and probe clusters are
     # distinct per query, so candidate pairs need no dedup.
     cands = (
         assigned.join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "probe_rank")
     )
     qv_ = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv_f"))
     cv_ = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv_f"))
-    scored = (
+    return (
         cands.join(F.broadcast(qv_), "query_id")
         .join(cv_, "neighbor_id")
         .withColumn("cos_sim", cosine(F.col("qv_f"), F.col("cv_f")))
+        .select("query_id", "neighbor_id", "probe_rank", "cos_sim")
+    )
+
+
+def ivf_portable_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF ANN with an ENGINE-DETERMINISTIC coarse quantizer: centroids
+    are a Knuth-hash pseudo-random corpus sample (no Lloyd iterations --
+    the k-means fit of ``ivf_topk`` is float/engine-specific, so its
+    buckets can never hash-match another engine), vectors quantize to
+    integers, and both cluster assignment (argmin exact BIGINT squared-L2,
+    centroid-id tie-break) and query probing (nprobe nearest centroids by
+    the same metric) are arithmetic a SQL engine replays bit-for-bit.
+    Exact 6dp float64 cosine scores the probed candidates
+    (``ivf_portable_scored_candidates``; the unused probe_rank column
+    prunes out of this plan); rank with an id tie-break.
+
+    Same inverted-list scale shape as ``ivf_topk`` -- per-query work ~
+    corpus * nprobe / n_clusters, centroid table broadcast -- traded
+    against a weaker (unlearned) quantizer.  Output:
+    ``query_id, neighbor_id, cos_sim, rank`` (rank <= k).
+    """
+    scored = ivf_portable_scored_candidates(
+        df, queries, id_col, vec_col, n_clusters, nprobe, scale
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
