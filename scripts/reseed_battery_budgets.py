@@ -18,12 +18,22 @@ the whole point is to stop seeding on best-case outliers.  Budgets only
 move UP under this rule (a quiet re-seed must not tighten a gate that
 was passing).
 
+Battery provenance (r14 advice): readings should come from batteries at
+HEAD, or at minimum from batteries on code where the target query is
+UNCHANGED -- a pre-restructure battery reading prices a plan that no
+longer exists.  The caller picks the battery files; keep that rule when
+picking.
+
 Usage:
   python scripts/reseed_battery_budgets.py <battery.json ...> -- <query ...>
+  python scripts/reseed_battery_budgets.py <battery.json ...> -- --all
 
-Each battery.json is a bench.py stdout payload (the one-line JSON with
-"queries"); pass >= 3.  Writes BENCH_BUDGET.json in place with an
-``added_r14`` provenance block carrying every reading.
+``--all`` re-seeds EVERY query present in >= 3 of the given batteries
+(r14 judge item 2: seed the whole budget population from
+battery-context medians instead of chasing last round's grace list).
+A target with no existing budget (new query) seeds from the battery
+medians alone.  Writes BENCH_BUDGET.json in place with an
+``added_r15`` provenance block carrying every reading.
 """
 
 from __future__ import annotations
@@ -55,7 +65,15 @@ def main() -> None:
 
     with open(BUDGET_PATH) as fh:
         doc = json.load(fh)
-    block = doc.setdefault("added_r14", {})
+    if targets == ["--all"]:
+        counts: dict[str, int] = {}
+        for _, q in batteries:
+            for name in q:
+                counts[name] = counts.get(name, 0) + 1
+        targets = sorted(n for n, c in counts.items() if c >= 3)
+        print(f"--all: {len(targets)} queries in >= 3 batteries")
+    block = doc.setdefault("added_r15", {})
+    n_moved = 0
     for name in targets:
         readings = {src: q[name] for src, q in batteries if name in q}
         if len(readings) < 3:
@@ -64,19 +82,25 @@ def main() -> None:
         median = vals[len(vals) // 2] if len(vals) % 2 else round(
             (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2, 4
         )
-        old = doc["budgets"][name]
+        # .get (r14 advice): a brand-new query has no budget yet -- seed
+        # it from the battery medians instead of raising KeyError.
+        old = doc["budgets"].get(name, 0.0)
         new = round(max(old, 2 * median), 4)
+        if new == old:
+            continue  # already at or above the battery bar: no churn
         doc["budgets"][name] = new
+        n_moved += 1
         block[name] = {
             "budget": new,
             "previous_budget": old,
             "battery_readings": readings,
             "rule": (
-                "2x median of full-battery medians-of-3 at HEAD "
-                "(battery-context re-seed; only moves budgets up)"
+                "2x median of full-battery medians-of-3 on unchanged-query "
+                "code (battery-context re-seed; only moves budgets up)"
             ),
         }
         print(f"{name}: {old} -> {new} (median of {len(vals)} batteries = {median})")
+    print(f"moved {n_moved}/{len(targets)} budgets up")
 
     with open(BUDGET_PATH, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
