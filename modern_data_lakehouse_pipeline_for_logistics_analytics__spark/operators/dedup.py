@@ -482,7 +482,11 @@ def minhash_lsh_dedup(
     that exact dedup catches upstream.  Pass ``None`` to disable."""
     banded = minhash_band_buckets(df, id_col, text_col, num_perm, bands)
     cands = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
-    verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold)
+    # The blake2b banding kernel is a fused tokenize+hash pass (it cannot
+    # reuse a (doc, s) frame), but the verify stage's tokenization CAN be
+    # the shared cached shingle frame (r15: one tokenize pass saved cold).
+    sh = _cache_aged("jaccard_sh", shingle_sets(df, id_col, text_col))
+    verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold, shingles=sh)
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
@@ -527,6 +531,7 @@ def minhash_portable_band_buckets(
     num_perm: int = 32,
     bands: int = 8,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band_no, bucket) MinHash-LSH banding built ONLY from JVM
     built-ins (md5/conv/mod/min/concat_ws) -- slightly more work per row
@@ -547,7 +552,14 @@ def minhash_portable_band_buckets(
         )
     params = portable_minhash_params(num_perm)
     rows_per_band = num_perm // bands
-    sh = shingle_sets(df, id_col, text_col, n)
+    # ``shingles``: callers that already hold the (doc, s) frame (the
+    # verify stage and the exact-truth stage tokenize the same corpus)
+    # hand it in so the corpus tokenization mapInPandas pass runs ONCE
+    # per pipeline, not once per stage (r15 optimization: the cold cost
+    # of every portable-LSH query was dominated by 2-3 redundant
+    # tokenize passes, ~2.5s each at sf0.1 -- guide section 4, pay the
+    # Python boundary once).
+    sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
     hx = sh.select("doc", (portable_base_hash(F.col("s")) % PORTABLE_P).alias("h0"))
     sig = hx.groupBy("doc").agg(
         *[
@@ -580,13 +592,22 @@ def minhash_portable_lsh(
     candidates only.  Same 100 TB cost shape (sum bucket^2, never
     corpus^2); the difference is that a SQL engine can replay every stage
     bit-for-bit, so the driver's DuckDB oracle hash-verifies the output
-    instead of recording a rows-only row."""
-    banded = minhash_portable_band_buckets(df, id_col, text_col, num_perm, bands)
+    instead of recording a rows-only row.
+
+    The (doc, s) shingle frame is tokenized ONCE (cached under the same
+    key ``jaccard_pairs`` uses, so an exact-truth stage over the same
+    corpus shares it too) and feeds both banding and verify -- r15: the
+    cold cost of every portable-LSH query was 2-3 corpus tokenization
+    passes; now it is one."""
+    sh = _cache_aged("jaccard_sh", shingle_sets(df, id_col, text_col))
+    banded = minhash_portable_band_buckets(
+        df, id_col, text_col, num_perm, bands, shingles=sh
+    )
     # Three plan branches read the banded rows (bucket sizes + both join
     # sides); cache so the 32-aggregate signature pass runs once.
     banded = _cache_aged("minhash_portable", banded)
     cands = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
-    verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold)
+    verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold, shingles=sh)
     return verified.select("doc_a", "doc_b", "jaccard")
 
 

@@ -731,14 +731,20 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_verify_pairs,
         lsh_candidate_pairs,
         minhash_portable_band_buckets,
+        shingle_sets,
     )
 
     docs = _docs(spark, sf_dir)
+    # One corpus tokenization pass for the whole pipeline (r15): the
+    # cached (doc, s) frame feeds banding AND verify (and is the same
+    # cache the recall audit's truth stage uses).
+    sh = _cache_aged("jaccard_sh", shingle_sets(docs, "doc_id", "text"))
     banded = _cache_aged(
-        "minhash_portable", minhash_portable_band_buckets(docs, "doc_id", "text")
+        "minhash_portable",
+        minhash_portable_band_buckets(docs, "doc_id", "text", shingles=sh),
     )
     cands = lsh_candidate_pairs(banded, max_bucket_size=10_000)
-    pairs = jaccard_verify_pairs(docs, cands, "doc_id", "text", 0.5)
+    pairs = jaccard_verify_pairs(docs, cands, "doc_id", "text", 0.5, shingles=sh)
     jac = pairs.select(
         "doc_a",
         "doc_b",
@@ -842,9 +848,14 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_verify_pairs,
         lsh_candidate_pairs,
         minhash_portable_band_buckets,
+        shingle_sets,
     )
 
     docs = _docs(spark, sf_dir)
+    # Shared tokenize pass (r15): with sample_mod=1 the truth stage's
+    # internal shingle cache has this exact logical plan, so truth,
+    # banding and verify all read ONE cached (doc, s) frame.
+    sh = _cache_aged("jaccard_sh", shingle_sets(docs, "doc_id", "text"))
     truth = jaccard_pairs(
         docs,
         "doc_id",
@@ -853,10 +864,10 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_TRUTH_MAX_DF,
         sample_mod=_TRUTH_SAMPLE_MOD,
     )
-    banded = minhash_portable_band_buckets(docs, "doc_id", "text")
+    banded = minhash_portable_band_buckets(docs, "doc_id", "text", shingles=sh)
     banded = _cache_aged("minhash_portable", banded)
     cands = lsh_candidate_pairs(banded, max_bucket_size=10_000)
-    verified = jaccard_verify_pairs(docs, cands, "doc_id", "text", 0.7)
+    verified = jaccard_verify_pairs(docs, cands, "doc_id", "text", 0.7, shingles=sh)
 
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("nt"))
     nc = cands.agg(F.count(F.lit(1)).cast("long").alias("nc"))
