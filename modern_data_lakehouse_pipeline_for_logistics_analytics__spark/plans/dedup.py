@@ -768,9 +768,13 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold_bp")
         .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
     )
+    # Both aggregate sides are <= |threshold axis| rows but post-agg size
+    # estimates are unknown, so the planner picked SortMergeJoin (two
+    # Exchange+Sort pairs on a 5-row frame).  Broadcast them (guide
+    # section 3.1: hint when you KNOW a side is small).
     return (
-        thr.join(n_pairs, "threshold_bp", "left")
-        .join(n_docs, "threshold_bp", "left")
+        thr.join(F.broadcast(n_pairs), "threshold_bp", "left")
+        .join(F.broadcast(n_docs), "threshold_bp", "left")
         .select(
             "threshold_bp",
             F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),

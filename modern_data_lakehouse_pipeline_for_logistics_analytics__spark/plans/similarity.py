@@ -476,12 +476,22 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     production candidate-bounded plans, and the scoreboard itself is a
     count-only aggregate (three tiny frames joined on a 2-row method
     axis)."""
+    from ..operators.dedup import _cache_aged
     from ..operators.similarity import cosine_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    truth = cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id"
+    # Cache the two expensive branches (r15): ``truth`` (the exact
+    # brute-force panel) feeds tc AND hits, ``retr`` (LSH + IVF top-10s)
+    # feeds cnts AND hits -- uncached, every branch re-ran its whole
+    # pipeline (the before-plan shows the brute-force join twice).  Both
+    # frames are k-bounded (50 / 100 rows); the cache costs nothing and
+    # halves the corpus-side work.
+    truth = _cache_aged(
+        "ann_audit_truth",
+        cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
+            "query_id", "neighbor_id"
+        ),
     )
     lsh = lsh_portable_topk(emb, queries, "vec_id", "embedding", k=10).select(
         "query_id", "neighbor_id"
@@ -489,8 +499,11 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_portable_topk(
         emb, queries, "vec_id", "embedding", k=10, n_clusters=16, nprobe=4
     ).select("query_id", "neighbor_id")
-    retr = lsh.withColumn("method", F.lit("portable_lsh")).unionAll(
-        ivf.withColumn("method", F.lit("portable_ivf"))
+    retr = _cache_aged(
+        "ann_audit_retr",
+        lsh.withColumn("method", F.lit("portable_lsh")).unionAll(
+            ivf.withColumn("method", F.lit("portable_ivf"))
+        ),
     )
     methods = spark.createDataFrame(
         [("portable_lsh",), ("portable_ivf",)], "method string"
@@ -500,13 +513,15 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_retrieved")
     )
     hits = (
-        retr.join(truth, ["query_id", "neighbor_id"])
+        retr.join(F.broadcast(truth), ["query_id", "neighbor_id"])
         .groupBy("method")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
+    # Post-agg sizes are unknown to the planner (SortMergeJoin on a
+    # 2-row axis otherwise); both sides are method-axis-bounded.
     return (
-        methods.join(cnts, "method", "left")
-        .join(hits, "method", "left")
+        methods.join(F.broadcast(cnts), "method", "left")
+        .join(F.broadcast(hits), "method", "left")
         .crossJoin(F.broadcast(tc))
         .select(
             "method",
@@ -631,12 +646,19 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, the recall arithmetic -- replays bit-for-bit in the DuckDB
     oracle.  Every axis row is present even at zero hits (LEFT join
     from the axis)."""
+    from ..operators.dedup import _cache_aged
     from ..operators.similarity import cosine_topk, ivf_portable_scored_candidates
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    truth = cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id"
+    # Same logical plan as ann_recall_audit's truth -> one shared cache
+    # entry when both audits run in a session (r15; truth feeds tc AND
+    # hits below, so uncached it ran the brute-force panel twice).
+    truth = _cache_aged(
+        "ann_audit_truth",
+        cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
+            "query_id", "neighbor_id"
+        ),
     )
     scored = ivf_portable_scored_candidates(
         emb, queries, "vec_id", "embedding", n_clusters=16, max_nprobe=8
@@ -648,23 +670,29 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("nprobe", "query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    topk = (
+    # topk feeds cnts AND hits; uncached, the scored-candidate pipeline
+    # (quantize + probe + exact cosine) ran once per branch (r15).
+    # Axis-x-k-bounded rows (<= 200): the cache is free.
+    topk = _cache_aged(
+        "nprobe_topk",
         fan.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("nprobe", "query_id", "neighbor_id")
+        .select("nprobe", "query_id", "neighbor_id"),
     )
     tc = truth.agg(F.count(F.lit(1)).cast("long").alias("nt"))
     cnts = topk.groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("long").alias("n_retrieved")
     )
     hits = (
-        topk.join(truth, ["query_id", "neighbor_id"])
+        topk.join(F.broadcast(truth), ["query_id", "neighbor_id"])
         .groupBy("nprobe")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
+    # Broadcast the axis-bounded aggregate sides (planner sees unknown
+    # post-agg sizes and picks SortMergeJoin on a 4-row frame otherwise).
     return (
-        axis.join(cnts, "nprobe", "left")
-        .join(hits, "nprobe", "left")
+        axis.join(F.broadcast(cnts), "nprobe", "left")
+        .join(F.broadcast(hits), "nprobe", "left")
         .crossJoin(F.broadcast(tc))
         .select(
             "nprobe",
