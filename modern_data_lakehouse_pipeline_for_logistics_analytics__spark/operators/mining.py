@@ -126,8 +126,16 @@ def itemcf_topk(
     """
     from pyspark.sql import Window
 
-    pairs = frequent_pairs(
-        df, basket_col, item_col, min_support, max_basket_items
+    from .dedup import _cache_aged
+
+    # The symmetrization union below reads ``pairs`` TWICE; uncached,
+    # the whole A-Priori pipeline (grouping shuffle, pair explode, pair
+    # count, two enrichment joins) ran once per branch (r15; the plan
+    # showed 34 Exchanges with zero reuse).  The frame is support-pruned
+    # -- small by construction -- so the cache is cheap.
+    pairs = _cache_aged(
+        "mining.itemcf_pairs",
+        frequent_pairs(df, basket_col, item_col, min_support, max_basket_items),
     )
     sym = pairs.select(
         F.col("item_a").alias("item"),
