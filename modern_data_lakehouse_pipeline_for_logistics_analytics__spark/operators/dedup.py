@@ -480,7 +480,14 @@ def minhash_lsh_dedup(
     Buckets above the cap are dropped -- the recall trade is documented on
     ``lsh_candidate_pairs``; over-full buckets hold near-identical docs
     that exact dedup catches upstream.  Pass ``None`` to disable."""
-    banded = minhash_band_buckets(df, id_col, text_col, num_perm, bands)
+    # The bucket-size guard plus both self-join sides read the banded
+    # rows (3 consumers); uncached, the blake2b banding kernel executed
+    # once per consumer (r15; the portable twin already cached its
+    # banded frame).
+    banded = _cache_aged(
+        "minhash_blake2b",
+        minhash_band_buckets(df, id_col, text_col, num_perm, bands),
+    )
     cands = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     # The blake2b banding kernel is a fused tokenize+hash pass (it cannot
     # reuse a (doc, s) frame), but the verify stage's tokenization CAN be

@@ -253,7 +253,15 @@ def lsh_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    banded = banded_hyperplane_buckets(df, id_col, vec_col, n_bands, planes_per_band, dim)
+    from .dedup import _cache_aged
+
+    # Both sides of the bucket self-join read the banded rows; uncached,
+    # the hyperplane-projection mapInPandas pass executed once per side
+    # (r15; the text-MinHash twin already caches its banded frame).
+    banded = _cache_aged(
+        "hyperplane_banded",
+        banded_hyperplane_buckets(df, id_col, vec_col, n_bands, planes_per_band, dim),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -356,7 +364,14 @@ def hyperplane_portable_pairs(
     slower at sf0.1 than this kernel, and the r5 verdict's rule applies
     -- the banding math is per-row and vectorizable, so it belongs in an
     Arrow batch, not in a shuffle.)"""
-    bnd = _portable_band_rows(df, id_col, vec_col, n_planes, bands, dim)
+    from .dedup import _cache_aged
+
+    # Cached for the same reason as the float-plane variant: the bucket
+    # self-join reads the banded rows twice (r15).
+    bnd = _cache_aged(
+        "hyperplane_banded_portable",
+        _portable_band_rows(df, id_col, vec_col, n_planes, bands, dim),
+    )
     a, b = bnd.alias("a"), bnd.alias("b")
     cands = (
         a.join(
