@@ -197,7 +197,14 @@ def jaccard_pairs(
     # tokenize/window subtree per branch.  Keyed/aged (not a bare
     # .cache()): successive calls over different inputs would otherwise
     # accumulate pinned shingle frames for the life of the session.
-    sh = _cache_aged("jaccard_sh", shingle_sets(df, id_col, text_col, n))
+    # With a sampling slab active the frame is a DIFFERENT plan than the
+    # pipeline-shared full-corpus "jaccard_sh" -- registering it under
+    # the same key would displace-and-unpersist the shared frame that
+    # banding/verify still read, silently reverting the audit to
+    # multiple tokenize passes at exactly the 100 TB posture the slab
+    # exists for (r15 advice).  A sampled truth slab keys separately.
+    sh_key = "jaccard_sh" if sample_mod is None or sample_mod <= 1 else "jaccard_sh_slab"
+    sh = _cache_aged(sh_key, shingle_sets(df, id_col, text_col, n))
     if max_df is not None:
         # Document frequency == row count: shingle_sets emits each
         # (doc, s) at most once.  The hot-shingle set is tiny (it is the
@@ -276,6 +283,15 @@ def jaccard_verify_pairs(
     # ``shingles``: callers that already materialized the (doc, s) frame
     # (prefix filtering caches it for the ranking pass) hand it in so the
     # corpus-tokenization mapInPandas scan runs ONCE, not once per stage.
+    # A supplied frame OVERRIDES ``n`` (its shingle width is whatever the
+    # caller built); passing both a frame and a non-default n is a
+    # contract violation that silently computed wrong Jaccard values --
+    # refuse it loudly (r15 advice).
+    if shingles is not None and n != 3:
+        raise ValueError(
+            "jaccard_verify_pairs: shingles= overrides n; pass one or the "
+            f"other (got shingles frame AND n={n})"
+        )
     base_sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
     from pyspark.sql import Window
 
@@ -285,15 +301,37 @@ def jaccard_verify_pairs(
             "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
         ),
     )
+    # NARROW JOIN KEY (r16, guide §2.3): the intersection join used the
+    # raw trigram STRING as an equi key (~20+ bytes, sorted/compared per
+    # row in the exchange+SMJ).  Keying on ``xxhash64(s)`` instead makes
+    # the sort/partition key (doc, 8-byte long); the string equality is
+    # kept as a RESIDUAL condition (written as <= AND >= so Catalyst
+    # cannot lift it back into the equi-key list), so a 64-bit collision
+    # between two different shingles of the same candidate pair still
+    # compares the strings and is rejected -- results byte-identical,
+    # oracle untouched.  The hash is a projection over the cached frame
+    # (computed in the exchange's map side), never stored in the cache.
     a = sh.select(
-        F.col("doc").alias("a_doc"), F.col("s").alias("s_a"), F.col("n_sh").alias("n_a")
+        F.col("doc").alias("a_doc"),
+        F.col("s").alias("s_a"),
+        F.xxhash64("s").alias("hs_a"),
+        F.col("n_sh").alias("n_a"),
     )
     b = sh.select(
-        F.col("doc").alias("b_doc"), F.col("s").alias("s_b"), F.col("n_sh").alias("n_b")
+        F.col("doc").alias("b_doc"),
+        F.col("s").alias("s_b"),
+        F.xxhash64("s").alias("hs_b"),
+        F.col("n_sh").alias("n_b"),
     )
     inter = (
         cands.join(a, F.col("doc_a") == F.col("a_doc"))
-        .join(b, (F.col("doc_b") == F.col("b_doc")) & (F.col("s_a") == F.col("s_b")))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("hs_a") == F.col("hs_b"))
+            & (F.col("s_a") <= F.col("s_b"))
+            & (F.col("s_a") >= F.col("s_b")),
+        )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -490,10 +528,14 @@ def minhash_lsh_dedup(
     )
     cands = lsh_candidate_pairs(banded, max_bucket_size=max_bucket_size)
     # The blake2b banding kernel is a fused tokenize+hash pass (it cannot
-    # reuse a (doc, s) frame), but the verify stage's tokenization CAN be
-    # the shared cached shingle frame (r15: one tokenize pass saved cold).
-    sh = _cache_aged("jaccard_sh", shingle_sets(df, id_col, text_col))
-    verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold, shingles=sh)
+    # reuse a (doc, s) frame), so in THIS pipeline the corpus shingle
+    # frame has exactly ONE consumer -- the verify stage, which reads it
+    # once into its candidate-filtered ``verify_sh`` cache.  The r15
+    # shape cached it under "jaccard_sh" anyway, pinning a full-corpus
+    # (doc, s) frame in storage for zero intra-query reuse (r15 advice;
+    # one of the three r15 driver regressions).  Pass the raw frame:
+    # verify still tokenizes once, nothing full-corpus is pinned.
+    verified = jaccard_verify_pairs(df, cands, id_col, text_col, threshold)
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
@@ -556,6 +598,11 @@ def minhash_portable_band_buckets(
             f"num_perm ({num_perm}) must divide evenly into bands ({bands}): "
             "an inexact split would silently drop trailing permutations AND "
             "desync this operator from its generated SQL oracle"
+        )
+    if shingles is not None and n != 3:
+        raise ValueError(
+            "minhash_portable_band_buckets: shingles= overrides n; pass one "
+            f"or the other (got shingles frame AND n={n})"
         )
     params = portable_minhash_params(num_perm)
     rows_per_band = num_perm // bands
@@ -964,6 +1011,21 @@ def release_pinned(key: str) -> None:
         _unpersist_checkpoint(df)
 
 
+def release_sig_cache(key: str) -> None:
+    """Unpersist and drop ONE signature-cache entry.  For caches whose
+    lineage roots in a pinned localCheckpoint (mining.itemcf_pairs over
+    mining.frequent_pairs): when the checkpoint is superseded, evicted
+    cache partitions could only recompute through the DEAD checkpoint --
+    the owner drops the dependent entry at supersede time (r15 advice)."""
+    with _cache_lock:
+        df = _sig_caches.pop(key, None)
+    if df is not None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # best-effort: a leak here degrades memory, not correctness
+
+
 def hold_pinned(key: str, df: DataFrame) -> None:
     """Supersede-and-hold the checkpointed frame backing ``key``'s most
     recent result.  Storage bound: ONE pinned final per operator key."""
@@ -1151,9 +1213,21 @@ def prefix_filter_candidates(
     prefix = ranked.filter(
         F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
     ).select("doc", "s")
+    # Hash-keyed candidate join (r16, guide §2.3 -- same narrowing as the
+    # verify stage): partition/sort on xxhash64(s), keep string equality
+    # as a residual (<= AND >=) so collisions cannot add pairs.  Results
+    # byte-identical; the prefix join's shuffle sorts 8-byte longs
+    # instead of shingle strings.
+    p = prefix.select("doc", "s", F.xxhash64("s").alias("hs")).alias("p")
+    f = sh.select("doc", "s", F.xxhash64("s").alias("hs")).alias("f")
     cands = (
-        prefix.alias("p")
-        .join(sh.alias("f"), (F.col("p.s") == F.col("f.s")) & (F.col("p.doc") < F.col("f.doc")))
+        p.join(
+            f,
+            (F.col("p.hs") == F.col("f.hs"))
+            & (F.col("p.s") <= F.col("f.s"))
+            & (F.col("p.s") >= F.col("f.s"))
+            & (F.col("p.doc") < F.col("f.doc")),
+        )
         .select(F.col("p.doc").alias("doc_a"), F.col("f.doc").alias("doc_b"))
         .distinct()
     )

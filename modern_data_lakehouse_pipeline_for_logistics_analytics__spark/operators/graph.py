@@ -71,44 +71,57 @@ def pagerank_fixedpoint(
     pre-partitioned persisted edges.  This is the size-adaptive choice
     AQE would make if checkpointed frames carried size stats.
     """
-    deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    # CACHE THE SHARED UPSTREAM SUBTREES (r16, guide §2.4): the caller's
+    # edge derivation (typically a scan + distinct + symmetrizing union)
+    # and the degree aggregate feed FIVE plan branches here -- the
+    # dangling probe, the sizing stats, the e build, the rank init and
+    # the zero-rows frame.  Uncached, each branch re-ran the whole
+    # upstream derivation (isolated profiling at sf0.1: ~5 of
+    # pagerank_part_supplier's 7s were redundant lineitem scans).  Both
+    # frames are small ((node, long) pairs / edge pairs); released in
+    # the finally.
+    ed = edges.select(F.col(src).alias("node"), F.col(dst).alias("to")).persist()
+    deg = (
+        ed.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
     )
     # Enforce the documented precondition LOUDLY: a dst-only (dangling)
     # node has no degree row, so its rank semantics are undefined -- the
     # two historical behaviors (excluded vs teleport-only row) differed
-    # silently depending on implementation details.  One cheap anti-join
-    # probe at call time beats either silent answer.
-    dangling = (
-        edges.select(F.col(dst).alias("node"))
-        .distinct()
-        .join(deg.select("node"), "node", "left_anti")
-        .limit(1)
-        .count()
-    )
-    if dangling:
-        raise ValueError(
-            "pagerank_fixedpoint: edge list has dangling destination nodes "
-            "(no outgoing edges); symmetrize the graph or add self-loops first"
-        )
-    # Materialize (node, to, deg) ONCE, pre-partitioned on the join key:
-    # without this every iteration re-runs the upstream edge derivation
-    # (scan + distinct + degree join -- measured 2x the whole query at
-    # sf0.1), and with the partitioning pinned the per-iteration join
-    # re-shuffles only the (node, long) rank rows, never the edges.
+    # silently depending on implementation details.  The probe rides the
+    # SAME job as the sizing stats (r16: one bounded 1-row action instead
+    # of two -- the loop is scheduling-bound at bench scale, guide §1.2).
     # Size the edge partitioning to the data, not the session default:
     # every iteration re-reads e, so 32 near-empty partitions x 5 rounds
     # is pure scheduler overhead at bench scale, while a huge graph still
     # fans out (~500k edge rows per partition, capped at 4x parallelism).
-    # One tiny agg over the degree table yields both the node count (join
-    # strategy) and the edge count (Σ deg = partition sizing).
-    stats = deg.agg(F.count(F.lit(1)).alias("n"), F.sum("deg").alias("ec")).first()
+    # One tiny agg over the degree table yields the node count (join
+    # strategy), the edge count (Σ deg = partition sizing) AND the
+    # dangling-destination count (precondition).
+    dangling_cnt = (
+        ed.select(F.col("to").alias("node"))
+        .distinct()
+        .join(deg.select("node"), "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    stats = (
+        deg.agg(F.count(F.lit(1)).alias("n"), F.sum("deg").alias("ec"))
+        .crossJoin(dangling_cnt)
+        .first()
+    )
+    if stats["dg"]:
+        ed.unpersist()
+        deg.unpersist()
+        raise ValueError(
+            "pagerank_fixedpoint: edge list has dangling destination nodes "
+            "(no outgoing edges); symmetrize the graph or add self-loops first"
+        )
     n_nodes, e_cnt = stats["n"], stats["ec"] or 0
     sc_default = edges.sparkSession.sparkContext.defaultParallelism
     e_parts = int(max(4, min(sc_default * 4, e_cnt // 500_000 + 1)))
     e = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
-        .join(deg, "node")
+        ed.join(deg, "node")
         .repartition(e_parts, "node")
         .persist()
     )
@@ -119,15 +132,29 @@ def pagerank_fixedpoint(
     # round (in-degree-0 nodes hold the bare teleport rank yet still
     # push mass out); folding them into the aggregate input costs one
     # map-side-combined union row per node -- an extra LEFT JOIN against
-    # the node set measured ~2x the whole query.  Materialized ONCE
-    # (deriving from deg would re-run the edge derivation per round);
-    # the final ranks checkpoint cuts lineage, so this releases on exit.
+    # the node set measured ~2x the whole query.  Lazy checkpoint: the
+    # first round's materialization computes it once, every later round
+    # reads the persisted RDD; the final ranks checkpoint cuts lineage,
+    # so this releases on exit.
     zero_rows = deg.select("node", F.lit(0).cast("long").alias("c")).localCheckpoint(
-        eager=True
+        eager=False
     )
+    # CHECKPOINT CADENCE (r16, guide §1.2 "the distributed algorithm"):
+    # each rank frame has exactly ONE downstream consumer (the next
+    # round's join), so nothing forces a materialization per round --
+    # the per-round eager checkpoint existed only to cap plan growth,
+    # and rank lineage grows LINEARLY (one join+agg per round), not
+    # exponentially like the 3-reference CC loop.  Rounds therefore
+    # chain lazily and materialize in ONE job per ``checkpoint_every``
+    # block (plus the final): iterations=5 now runs 2 loop jobs instead
+    # of 5.  Work is identical -- every join/agg still executes exactly
+    # once, inside fewer, deeper jobs; at bench scale the loop was
+    # scheduling-bound (job launch + checkpoint write per round), at
+    # cluster scale fewer materialization barriers only helps.
+    checkpoint_every = 4
     prev = None
     try:
-        for _ in range(iterations):
+        for i in range(iterations):
             full = (
                 e.join(maybe_bcast(ranks), "node")
                 .select(F.col("to").alias("node"), F.expr("r div deg").alias("c"))
@@ -140,15 +167,23 @@ def pagerank_fixedpoint(
                 (F.lit(teleport) + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}"))
                 .cast("long")
                 .alias("r"),
-            ).localCheckpoint(eager=True)
-            if prev is not None:
-                _unpersist_checkpoint(prev)  # successor materialized; safe
-            prev = ranks
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+                ranks = ranks.localCheckpoint(eager=True)
+                if prev is not None:
+                    _unpersist_checkpoint(prev)  # successor materialized; safe
+                prev = ranks
+        # Final materialization: one eager checkpoint executes every
+        # round since the last cadence checkpoint.
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev is not None:
+            _unpersist_checkpoint(prev)
     finally:
         e.unpersist()
+        ed.unpersist()
+        deg.unpersist()
         _unpersist_checkpoint(zero_rows)
-    if prev is not None:
-        hold_pinned("graph.pagerank", prev)
+    hold_pinned("graph.pagerank", ranks)
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
@@ -303,17 +338,32 @@ def bfs_distances(
     # a projection over one: _unpersist_checkpoint/hold_pinned inspect the
     # analyzed plan for a bare LogicalRDD, so a `.drop()` view would make
     # every release a silent no-op and leak one frontier frame per round
-    # (r8 review finding).  `dist` below is always a thin view over `ckpt`.
-    ckpt = (
+    # (r8 review finding).  `dist` below is always a thin view over the
+    # newest chain entry.
+    #
+    # CONVERGENCE-CHECK CADENCE (r16): every round still lazy-checkpoints
+    # (the frame feeds TWO consumers next round -- relax and fold -- so
+    # the persisted RDD dedups them), but the convergence agg runs only
+    # every ``check_every``-th round (and on the last): one job then
+    # materializes the whole pending chain -- each round's join/agg still
+    # executes exactly once, persisted as it goes.  Exactness is
+    # unaffected: min-relaxation rounds at the fixpoint are idempotent,
+    # and the check breaks only when the CHECKED round added nothing,
+    # which IS the fixpoint.  Worst case one extra no-op round of joins
+    # runs inside the same job -- at bench scale the loop cost is job
+    # scheduling, not joins (guide §1.2).  ``chain`` holds the not-yet-
+    # released checkpoints; entries before the materialized tail are
+    # superseded and released together after each check.
+    check_every = 2
+    chain: list[DataFrame] = [
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    dist = ckpt
-    prev_ckpt = None
+        .localCheckpoint(eager=False)
+    ]
+    dist = chain[-1]
     try:
-        for _ in range(max_depth):
+        for r in range(1, max_depth + 1):
             relaxed = (
                 e.join(dist, F.col("e_src") == F.col("node"))
                 .groupBy(F.col("e_dst").alias("node"))
@@ -329,26 +379,29 @@ def bfs_distances(
                     ).alias("dist"),
                     (F.col("dist").isNull()).cast("long").alias("__new"),
                 )
-                # Lazy (r13, CC precedent): the frontier-count agg below
-                # is the round's ONLY job, materializing the checkpoint.
                 .localCheckpoint(eager=False)
             )
-            n_new = stepped_ckpt.agg(F.sum("__new")).first()[0] or 0
-            if prev_ckpt is not None:
-                _unpersist_checkpoint(prev_ckpt)
-            prev_ckpt, ckpt = ckpt, stepped_ckpt
+            chain.append(stepped_ckpt)
             dist = stepped_ckpt.drop("__new")
-            if not n_new:
-                # no node joined the reachable set this round; distances
-                # of already-reached nodes can still only have IMPROVED
-                # to their exact value in earlier rounds (unit edges:
-                # a node first reached in round k has exact dist k)
-                break
+            if r % check_every == 0 or r == max_depth:
+                # This agg materializes every chain entry back to the
+                # last materialized one (lazy checkpoints persist as the
+                # job computes through them).
+                n_new = stepped_ckpt.agg(F.sum("__new")).first()[0] or 0
+                for f in chain[:-1]:
+                    _unpersist_checkpoint(f)
+                chain = [stepped_ckpt]
+                if not n_new:
+                    # the checked round added no node: distances of
+                    # already-reached nodes reached their exact values in
+                    # earlier rounds (unit edges: a node first reached in
+                    # round k has exact dist k), so this is the fixpoint
+                    break
     finally:
         e.unpersist()
-    if prev_ckpt is not None:
-        _unpersist_checkpoint(prev_ckpt)
-    hold_pinned("graph.bfs", ckpt)
+    for f in chain[:-1]:
+        _unpersist_checkpoint(f)
+    hold_pinned("graph.bfs", chain[-1])
     return dist
 
 
@@ -388,14 +441,21 @@ def temporal_reachability(
         F.col(avail).alias("e_avail"),
         F.col(arr).alias("e_arr"),
     ).cache()
-    ckpt = (
+    # All-lazy round chain (r16): this loop has NO per-round convergence
+    # decision, so nothing needs a per-round action at all -- each round
+    # lazy-checkpoints (the state frame feeds two consumers next round:
+    # relax + fold, and the persisted RDD dedups them), and ONE
+    # ``count()`` at the end materializes the whole chain in a single
+    # job (rounds jobs -> 1; the count cannot prune columns because the
+    # checkpoint pins the physical RDD).  Work per round is unchanged;
+    # only the per-round job launch + materialization barrier go away.
+    chain: list[DataFrame] = [
         seeds.select(F.col(seed_col).alias("node"), F.col(seed_date_col).alias("d"))
         .groupBy("node")
         .agg(F.min("d").alias("d"))
-        .localCheckpoint(eager=True)
-    )
-    state = ckpt
-    prev_ckpt = None
+        .localCheckpoint(eager=False)
+    ]
+    state = chain[-1]
     try:
         for _ in range(rounds):
             relaxed = (
@@ -416,17 +476,16 @@ def temporal_reachability(
                         F.coalesce(F.col("nd"), F.col("d")),
                     ).alias("d"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if prev_ckpt is not None:
-                _unpersist_checkpoint(prev_ckpt)
-            prev_ckpt, ckpt = ckpt, stepped_ckpt
+            chain.append(stepped_ckpt)
             state = stepped_ckpt
+        state.count()  # one job materializes every round's checkpoint
     finally:
         e.unpersist()
-    if prev_ckpt is not None:
-        _unpersist_checkpoint(prev_ckpt)
-    hold_pinned("graph.temporal", ckpt)
+    for f in chain[:-1]:
+        _unpersist_checkpoint(f)
+    hold_pinned("graph.temporal", chain[-1])
     return state
 
 
@@ -464,16 +523,22 @@ def shortest_paths_bounded(
         F.col(dst).alias("e_dst"),
         F.col(weight).cast("long").alias("e_w"),
     ).cache()
-    ckpt = (
+    # Same convergence-check cadence as ``bfs_distances`` (r16): lazy
+    # checkpoint per round (the dist frame feeds relax + fold), one
+    # materializing improvement-count job per ``check_every`` rounds.
+    # Min-plus relaxation is idempotent at the fixpoint, so checking
+    # only every other round breaks exactly when the checked round
+    # improved nothing -- the same bounded answer.
+    check_every = 2
+    chain: list[DataFrame] = [
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    dist = ckpt
-    prev_ckpt = None
+        .localCheckpoint(eager=False)
+    ]
+    dist = chain[-1]
     try:
-        for _ in range(rounds):
+        for r in range(1, rounds + 1):
             relaxed = (
                 e.join(dist, F.col("e_src") == F.col("node"))
                 .groupBy(F.col("e_dst").alias("rnode"))
@@ -492,22 +557,22 @@ def shortest_paths_bounded(
                         | (F.col("nd") < F.col("dist"))
                     ).cast("long").alias("__chg"),
                 )
-                # Lazy (r13, CC precedent): the improvement-count agg
-                # below is the round's ONLY job and materializes it.
                 .localCheckpoint(eager=False)
             )
-            n_chg = stepped_ckpt.agg(F.sum("__chg")).first()[0] or 0
-            if prev_ckpt is not None:
-                _unpersist_checkpoint(prev_ckpt)
-            prev_ckpt, ckpt = ckpt, stepped_ckpt
+            chain.append(stepped_ckpt)
             dist = stepped_ckpt.drop("__chg")
-            if not n_chg:
-                break
+            if r % check_every == 0 or r == rounds:
+                n_chg = stepped_ckpt.agg(F.sum("__chg")).first()[0] or 0
+                for f in chain[:-1]:
+                    _unpersist_checkpoint(f)
+                chain = [stepped_ckpt]
+                if not n_chg:
+                    break
     finally:
         e.unpersist()
-    if prev_ckpt is not None:
-        _unpersist_checkpoint(prev_ckpt)
-    hold_pinned("graph.sssp", ckpt)
+    for f in chain[:-1]:
+        _unpersist_checkpoint(f)
+    hold_pinned("graph.sssp", chain[-1])
     return dist
 
 
@@ -568,42 +633,53 @@ def kcore_bounded(
     else:
         und = _build_undirected_kcore(edges, src, dst)
 
-    # Lifecycle discipline: prev/ckpt always hold the CHECKPOINT frames
+    # Lifecycle discipline: the chain always holds the CHECKPOINT frames
     # themselves -- never a .select() projection over one, which would
     # make _unpersist_checkpoint a silent no-op (the r8 leak class).
-    ckpt = (
-        und.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
-    )
-    alive = ckpt
-    n_alive = alive.count()
-    prev = None
+    #
+    # Survivor-count cadence (r16, same scheme as bfs/sssp): every round
+    # lazy-checkpoints (the alive set feeds BOTH semi-joins next round),
+    # the survivor count runs every ``check_every``-th round and on the
+    # last, and the loop breaks when two CHECKED rounds have equal
+    # counts -- peeling is monotone (the alive set only shrinks), so
+    # equal counts k rounds apart mean the set was constant throughout,
+    # i.e. the fixpoint.  Rounds past the fixpoint recompute the same
+    # surviving degrees (idempotent), so the returned frame is
+    # unchanged; the per-round count job and the initial exact count
+    # are gone (rounds=4: 5 jobs -> 2).
+    check_every = 2
+    chain: list[DataFrame] = [
+        und.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=False)
+    ]
+    alive = chain[-1]
+    n_checked = None
     deg = None
     try:
-        for _ in range(rounds):
+        for r in range(1, rounds + 1):
             deg = (
                 und.join(alive.select(F.col("node").alias("s")), "s", "semi")
                 .join(alive.select(F.col("node").alias("d")), "d", "semi")
                 .groupBy(F.col("s").alias("node"))
                 .agg(F.count(F.lit(1)).cast("long").alias("deg"))
                 .filter(F.col("deg") >= k)
-                # Lazy (r13, CC precedent): the survivor count below is
-                # the round's ONLY job and materializes the checkpoint.
                 .localCheckpoint(eager=False)
             )
-            n_new = deg.count()
-            if prev is not None:
-                _unpersist_checkpoint(prev)
-            prev, ckpt = ckpt, deg
+            chain.append(deg)
             alive = deg.select("node")
-            if n_new == n_alive:
-                break
-            n_alive = n_new
+            if r % check_every == 0 or r == rounds:
+                n_new = deg.count()
+                for f in chain[:-1]:
+                    _unpersist_checkpoint(f)
+                chain = [deg]
+                if n_new == n_checked:
+                    break
+                n_checked = n_new
     finally:
         und.unpersist()
-    if prev is not None:
-        _unpersist_checkpoint(prev)
-    hold_pinned("graph.kcore", ckpt)
-    return deg if deg is not None else ckpt.withColumn("deg", F.lit(None).cast("long"))
+    for f in chain[:-1]:
+        _unpersist_checkpoint(f)
+    hold_pinned("graph.kcore", chain[-1])
+    return deg if deg is not None else chain[-1].withColumn("deg", F.lit(None).cast("long"))
 
 
 def hits_fixedpoint(
@@ -641,22 +717,35 @@ def hits_fixedpoint(
         .distinct()
         .persist()
     )
+    # The initial hub table and each half-step's L-inf NORMALIZATION are
+    # thin projections over a materialized checkpoint -- checkpointing
+    # them too (the r13-r15 shape) paid a persist write per half-step
+    # and two trailing count() jobs for zero recompute saved: each
+    # normalized view is consumed once per reader directly off the
+    # cached raw-sums RDD.  r16 keeps a checkpoint ONLY for the raw
+    # per-half sums (whose max agg is the half-step's one job and whose
+    # RDD the next half's join reads), halving checkpoint writes and
+    # dropping the two final materialization jobs (8 -> 6 per
+    # 3-iteration run).  The PINNED frames are the raw checkpoints (the
+    # returned selects are thin views over them; pinning a projection
+    # would silently break release -- the r8 rule).
+    hubs_raw = None  # checkpoint backing `hubs`; None while hubs is the seed
+    auths_raw = None
     hubs = e.select(F.col("s").alias("node")).distinct().select(
         "node", F.lit(scale).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
+    )
     auths = None
-    supers: list[DataFrame] = [hubs]
+    supers: list[DataFrame] = []
 
-    def _half(frame: DataFrame, edge_key: str, out_key: str) -> DataFrame:
+    def _half(frame: DataFrame, edge_key: str, out_key: str):
         raw = (
             e.join(frame.withColumnRenamed("node", edge_key), edge_key)
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum("r").cast("long").alias("s"))
         )
-        # Lazy checkpoints (r13, CC precedent): the per-half max agg is
-        # the half-step's ONLY job -- it materializes `raw` (and, via
-        # lineage, the previous half's `out`); each half-step thus costs
-        # one job instead of three.
+        # Lazy checkpoint (r13, CC precedent): the per-half max agg is
+        # the half-step's ONLY job -- it materializes `raw` (and the
+        # seed/previous normalization riding in its lineage).
         raw = raw.localCheckpoint(eager=False)
         supers.append(raw)
         mx = raw.agg(F.max("s")).first()[0]
@@ -665,31 +754,22 @@ def hits_fixedpoint(
         out = raw.select(
             "node",
             F.expr(f"(s * {int(scale)}) div {int(mx)}").cast("long").alias("r"),
-        ).localCheckpoint(eager=False)
-        supers.append(out)
-        return out
+        )
+        return raw, out
 
     try:
         for _ in range(iterations):
-            auths = _half(hubs, "s", "d")
-            hubs = _half(auths, "d", "s")
-        # MATERIALIZE the lazy finals before the finally releases their
-        # ancestors: an unmaterialized lazy checkpoint still reaches its
-        # parents through lineage, and those parents are materialized
-        # lineage-CUT checkpoints -- unpersisting them first would make
-        # the returned frames unrecomputable.  Two bounded jobs over
-        # cached parents.
-        for final in (auths, hubs):
-            if final is not None:
-                final.count()  # JVM-only action; persists the checkpoint
+            auths_raw, auths = _half(hubs, "s", "d")
+            hubs_raw, hubs = _half(auths, "d", "s")
     finally:
         e.unpersist()
-        # Release every superseded intermediate except the two finals.
+        # Release every superseded raw checkpoint except the two finals
+        # (already materialized by their own max aggs).
         for f in supers:
-            if f is not hubs and f is not auths:
+            if f is not hubs_raw and f is not auths_raw:
                 _unpersist_checkpoint(f)
-    hold_pinned("graph.hits_hubs", hubs)
-    hold_pinned("graph.hits_auths", auths)
+    hold_pinned("graph.hits_hubs", hubs_raw)
+    hold_pinned("graph.hits_auths", auths_raw)
     return (
         hubs.select("node", F.col("r").alias("score_fp")),
         auths.select("node", F.col("r").alias("score_fp")),

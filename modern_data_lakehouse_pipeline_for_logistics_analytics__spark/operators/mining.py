@@ -40,7 +40,7 @@ def frequent_pairs(
     counts and lift.  Output: ``item_a, item_b, n_ab, n_a, n_b, lift``
     (item_a < item_b; lift = n_ab * N / (n_a * n_b), 6dp half-up).
     """
-    from .dedup import hold_pinned
+    from .dedup import hold_pinned, release_sig_cache
 
     # The distinct item table feeds THREE consumers (the basket count,
     # the item counts, and the pruned grouping) -- checkpoint it once so
@@ -55,6 +55,11 @@ def frequent_pairs(
         .localCheckpoint(eager=False)
     )
     hold_pinned("mining.frequent_pairs", items)
+    # Superseding the checkpoint above invalidates any itemcf pair cache
+    # rooted in the PREVIOUS one: evicted cached partitions would
+    # recompute through a dead checkpoint and fail with missing blocks
+    # (r15 advice).  Drop the dependent entry with its root.
+    release_sig_cache("mining.itemcf_pairs")
     n_baskets = items.select("basket").distinct().count()
     item_counts = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
     frequent = item_counts.filter(F.col("n_i") >= min_support)

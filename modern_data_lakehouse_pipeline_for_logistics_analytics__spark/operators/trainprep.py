@@ -498,13 +498,28 @@ def bpe_learn_merges(
 
     wseq = Window.partitionBy("wid").orderBy("pos")
     # Lazy checkpoints (r13, CC precedent): each round's top-pair collect
-    # is the only job per round -- it materializes the PREVIOUS round's
-    # stepped frame (and round 1 materializes this base).
+    # is the only job per round -- it materializes the round's pending
+    # lazy checkpoints (round 1 materializes the base).
+    #
+    # r16: the round's lead()-window frame ``tt`` is ALSO checkpointed
+    # (lazily -- the collect materializes it in the same job).  Without
+    # it, ``tt`` was an un-shared subtree referenced FOUR times per
+    # round (the top-pair agg, the merge-position scan via starts AND
+    # drops, and the stepped join's probe side), so the per-word
+    # sort+lead pass over the whole symbol table executed 4x per round;
+    # ``sel`` (the greedy-scan position picker, two more windows)
+    # likewise executed twice via starts/drops.  Both now compute once
+    # per round and every other reader hits the persisted RDD -- same
+    # results, same one job per round, ~3 fewer window passes over the
+    # symbol table per merge round (guide §2.4, duplicated subtrees).
     t = base.localCheckpoint(eager=False)
-    prev = None
+    live: list[DataFrame] = [t]  # pending frames; released once superseded
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        tt = t.withColumn("__nxt", F.lead("sym").over(wseq))
+        tt = t.withColumn("__nxt", F.lead("sym").over(wseq)).localCheckpoint(
+            eager=False
+        )
+        live.append(tt)
         top = (
             tt.filter(F.col("__nxt").isNotNull())
             .groupBy("sym", "__nxt")
@@ -513,7 +528,18 @@ def bpe_learn_merges(
             .limit(1)
             .collect()
         )
+        # The collect materialized ``tt`` (and through its lineage every
+        # older pending frame); only ``tt`` feeds the rest of the round
+        # and only ``t`` can still be returned (the no-pairs break), so
+        # everything else is superseded now.
+        for f in live:
+            if f is not tt and f is not t:
+                _unpersist_checkpoint(f)
+        live = [f for f in live if f is tt or f is t]
         if not top:
+            # No pair left to merge: the previous symbol table is final.
+            _unpersist_checkpoint(tt)
+            live = [t]
             break
         x, y, cnt = top[0]["sym"], top[0]["__nxt"], top[0]["cnt"]
         merges.append((r, x, y, int(cnt)))
@@ -529,7 +555,9 @@ def bpe_learn_merges(
             )
             .filter(((F.col("pos") - F.col("__rmin")) % 2) == 0)
             .select("wid", "pos")
+            .localCheckpoint(eager=False)
         )
+        live.append(sel)
         starts = sel.withColumn("__is_start", F.lit(1))
         drops = sel.select(
             "wid", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("__is_drop")
@@ -560,18 +588,16 @@ def bpe_learn_merges(
             .select("wid", "n", "pos", "sym")
             .localCheckpoint(eager=False)
         )
-        # Unpersisting the GRANDPARENT is safe here: this round's collect
-        # already materialized (and lineage-cut) `t`, so nothing reaches
-        # `prev` anymore; the new lazy `stepped` depends only on `t`.
-        if prev is not None:
-            _unpersist_checkpoint(prev)
-        prev, t = t, stepped
-    if prev is not None:
-        # The final round's `t` is a lazy checkpoint nobody has computed
-        # yet and its parent `prev` is a materialized lineage-CUT frame:
-        # materialize t BEFORE releasing prev or t becomes unrecomputable.
+        live.append(stepped)
+        t = stepped
+    if len(live) > 1:
+        # The final `t` is a lazy checkpoint nobody has computed yet
+        # whose parents are materialized lineage-CUT frames: materialize
+        # it BEFORE releasing them or it becomes unrecomputable.
         t.count()
-        _unpersist_checkpoint(prev)
+        for f in live:
+            if f is not t:
+                _unpersist_checkpoint(f)
     if return_symbols:
         from .dedup import hold_pinned
 

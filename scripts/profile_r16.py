@@ -1,4 +1,4 @@
-"""r15 optimization-round profiler: isolate declared queries with the
+"""r16 optimization-round profiler: isolate declared queries with the
 noop sink (guide section 1.4) and capture their formatted plans.
 
 For each query name given on the command line:
@@ -6,14 +6,14 @@ For each query name given on the command line:
     so the timed action is the computation, not the bench's hash-fold
     sink, and reports each run plus the median;
   - labels the jobs (``setJobDescription``, guide section 1.5);
-  - writes ``plans/r15/<name>_<tag>.txt`` with ``explain("formatted")``
+  - writes ``plans/r16/<name>_<tag>.txt`` with ``explain("formatted")``
     (tag = --tag, default "before").
 
 Caches are released between queries exactly like bench.py so a query's
 median reflects its own intra-query cache reuse, never a predecessor's.
 
 Usage:
-  python scripts/profile_r15.py [--tag before|after] [--runs N] name ...
+  python scripts/profile_r16.py [--tag before|after] [--runs N] name ...
 """
 
 from __future__ import annotations
@@ -55,10 +55,10 @@ def main() -> None:
     )
     import __spark_entry__ as entrymod
 
-    spark = build_session(app_name="profile_r15")
+    spark = build_session(app_name="profile_r16")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
-    plan_dir = os.path.join(REPO_ROOT, "plans", "r15")
+    plan_dir = os.path.join(REPO_ROOT, "plans", "r16")
     os.makedirs(plan_dir, exist_ok=True)
 
     # Warmup mirrors bench.py: absorb JVM/codegen startup on the flagship.
