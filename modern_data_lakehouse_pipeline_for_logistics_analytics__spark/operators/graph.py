@@ -637,17 +637,25 @@ def kcore_bounded(
     # themselves -- never a .select() projection over one, which would
     # make _unpersist_checkpoint a silent no-op (the r8 leak class).
     #
-    # Survivor-count cadence (r16, same scheme as bfs/sssp): every round
-    # lazy-checkpoints (the alive set feeds BOTH semi-joins next round),
-    # the survivor count runs every ``check_every``-th round and on the
-    # last, and the loop breaks when two CHECKED rounds have equal
-    # counts -- peeling is monotone (the alive set only shrinks), so
-    # equal counts k rounds apart mean the set was constant throughout,
-    # i.e. the fixpoint.  Rounds past the fixpoint recompute the same
-    # surviving degrees (idempotent), so the returned frame is
-    # unchanged; the per-round count job and the initial exact count
-    # are gone (rounds=4: 5 jobs -> 2).
-    check_every = 2
+    # Survivor-count cadence: every round lazy-checkpoints (the alive
+    # set feeds BOTH semi-joins next round), the survivor count runs
+    # every ``check_every``-th round and on the last, and the loop
+    # breaks when two CHECKED rounds have equal counts -- peeling is
+    # monotone (the alive set only shrinks), so equal counts k rounds
+    # apart mean the set was constant throughout, i.e. the fixpoint.
+    # Rounds past the fixpoint recompute the same surviving degrees
+    # (idempotent), so the returned frame is unchanged.  check_every
+    # stays 1 HERE (unlike bfs/sssp's 2): a kcore peel round is two
+    # edge-frame semi-joins + a full degree aggregate, far more than
+    # the count job a sparser cadence saves, and skipping a check
+    # defers the early exit past the usual 2-3-round fixpoint by one
+    # whole peel round (battery-measured +0.9s at sf0.1 with
+    # check_every=2).  What r16 keeps from the bfs/sssp scheme is
+    # dropping r15's eager initial checkpoint + exact baseline count
+    # (the first check needs no baseline -- the break compares two
+    # CHECKED rounds) (rounds=4 on a non-converging graph: 7 jobs ->
+    # 5; converging at round 3: 7 -> 4).
+    check_every = 1
     chain: list[DataFrame] = [
         und.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=False)
     ]
